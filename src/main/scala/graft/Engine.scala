@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + testdata table loader.
+  *
+  * Mirrors the reference's execution setup (q4112_main.c:40-132): a fixed
+  * thread count and fully in-memory columnar tables. On Spark, threads map
+  * to local[N] executor slots and the columnar store is parquet + Tungsten
+  * batches. `shuffle.partitions` is pinned to the core count (not 200) so
+  * local runs don't drown in tiny tasks; AQE coalesces further at runtime
+  * and re-plans skewed joins — at cluster scale the same config scales by
+  * raising cores/partitions, no code change.
+  */
+object Engine {
+
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** All driver testdata tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one parquet table from a scale-factor directory. Parquet scans
+    * get predicate pushdown + column pruning from Catalyst for free, so
+    * callers just select/filter declaratively.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,118 @@
+package graft.gen
+
+import graft.model.{GenConfig, Item, Order}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed, seeded, deterministic port of the reference generator's
+  * *contract* (q4112.h:19-41; the reference's q4112_gen.o is a closed
+  * binary — README.md:26-28 — so we reproduce the parameter semantics,
+  * not the byte stream).
+  *
+  * Built on `spark.range` + codegen'd `xxhash64` column expressions: every
+  * row's values are pure functions of (seed, row id), so generation is
+  * embarrassingly parallel, splittable, and identical at any partition
+  * count — the property that lets the same generator run on 1e6 rows
+  * locally and 1e9+ rows on a cluster.
+  *
+  * Contract reproduced:
+  *  - items.id unique, never 0 (ids are 1..innerTuples)      q4112.h:14
+  *  - price ∈ [0, innerValMax]                               q4112.h:16-18
+  *  - a `outerSelectivity` fraction of orders rows carry an item_id that
+  *    exists in items; the rest reference keys outside the id range
+  *    (so they never match)                                  q4112.h:32-35
+  *  - matching FKs draw uniformly from the first
+  *    ceil(innerTuples * innerSelectivity) item ids, so an
+  *    `innerSelectivity` fraction of items is reachable      q4112.h:19-23
+  *  - store_id ∈ [1, groups], never 0; every group appears at least once
+  *    (first `groups` rows are a permutation-free 1..groups run), then
+  *    `hhProbability` of remaining rows land on the first `hhGroups`
+  *    heavy-hitter ids                                       q4112.h:36-41
+  *  - quantity ∈ [0, outerValMax]                            q4112.h:28-29
+  */
+object Q4112Gen {
+
+  /** Scale of the fixed-point uniform draw used for selectivity /
+    * heavy-hitter branching.
+    */
+  private val UnitScale = 1L << 30
+
+  def items(spark: SparkSession, cfg: GenConfig): Dataset[Item] = {
+    import spark.implicits._
+    spark
+      .range(1L, cfg.innerTuples + 1L)
+      .select(
+        $"id",
+        pmod(xxhash64(lit(cfg.seed), $"id"), lit(cfg.innerValMax + 1L)).as("price"))
+      .as[Item]
+  }
+
+  def orders(spark: SparkSession, cfg: GenConfig): Dataset[Order] = {
+    import spark.implicits._
+    val matchedInner = math.max(1L, math.ceil(cfg.innerTuples * cfg.innerSelectivity).toLong)
+    val matchCut = (cfg.outerSelectivity * UnitScale).toLong
+    val hhCut = (cfg.hhProbability * UnitScale).toLong
+
+    val row = spark.range(0L, cfg.outerTuples)
+    val matches = pmod(xxhash64(lit(cfg.seed + 1), $"id"), lit(UnitScale)) < lit(matchCut)
+    val itemId = when(matches, pmod(xxhash64(lit(cfg.seed + 2), $"id"), lit(matchedInner)) + 1L)
+      // non-matching keys live strictly above the items id range → never join
+      .otherwise(pmod(xxhash64(lit(cfg.seed + 2), $"id"), lit(1L << 40)) + cfg.innerTuples + 1L)
+
+    val storeId =
+      if (cfg.groups == 0L) lit(0L)
+      else {
+        val uniform = pmod(xxhash64(lit(cfg.seed + 4), $"id"), lit(cfg.groups)) + 1L
+        val heavy =
+          if (cfg.hhGroups > 0L)
+            when(pmod(xxhash64(lit(cfg.seed + 3), $"id"), lit(UnitScale)) < lit(hhCut),
+              pmod(xxhash64(lit(cfg.seed + 5), $"id"), lit(cfg.hhGroups)) + 1L)
+              .otherwise(uniform)
+          else uniform
+        // first `groups` rows enumerate every group once (q4112.h:38-39)
+        when($"id" < cfg.groups, $"id" + 1L).otherwise(heavy)
+      }
+
+    row
+      .select(
+        itemId.as("itemId"),
+        storeId.as("storeId"),
+        pmod(xxhash64(lit(cfg.seed + 6), $"id"), lit(cfg.outerValMax + 1L)).as("quantity"))
+      .as[Order]
+  }
+
+  /** Independent collections-based oracle for the full q4112 query
+    * (avg over groups of avg(price*quantity) — q4112.c semantics, integer
+    * floor division at both levels, q4112.c:326 and :576). Used by tests
+    * at small scale; replicates `assert(gen_res == run_res)` at
+    * q4112_main.c:127. Returns None when no group has any matching row.
+    */
+  def oracleFull(items: Seq[Item], orders: Seq[Order]): Option[Long] = {
+    val price = items.map(i => i.id -> i.price).toMap
+    val perGroup = collection.mutable.Map.empty[Long, (Long, Long)] // store -> (sum, count)
+    orders.foreach { o =>
+      price.get(o.itemId).foreach { p =>
+        val (s, c) = perGroup.getOrElse(o.storeId, (0L, 0L))
+        perGroup(o.storeId) = (s + p * o.quantity, c + 1L)
+      }
+    }
+    if (perGroup.isEmpty) None
+    else {
+      val avgs = perGroup.values.map { case (s, c) => s / c }
+      Some(avgs.sum / avgs.size)
+    }
+  }
+
+  /** Oracle for the part-1 query (single ungrouped integer AVG —
+    * q4112_hj_1.c:76).
+    */
+  def oraclePart1(items: Seq[Item], orders: Seq[Order]): Option[Long] = {
+    val price = items.map(i => i.id -> i.price).toMap
+    var sum = 0L
+    var count = 0L
+    orders.foreach { o =>
+      price.get(o.itemId).foreach { p => sum += p * o.quantity; count += 1L }
+    }
+    if (count == 0L) None else Some(sum / count)
+  }
+}
