@@ -24,6 +24,9 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
+      // so read them as Long and convert explicitly (see nanosToTimestamp)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,4 +44,19 @@ object Engine {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events table with `ts` normalized to TimestampType (µs). Nanos
+    * timestamps arrive as Long under `nanosAsLong`; the ns→µs division
+    * must be integral (`div`) — a double roundtrip would lose precision
+    * above 2^53 ns (~1970+104 days).
+    */
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 }

@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Q4112
+import graft.functions.FlajoletMartin
+import graft.ops._
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -35,6 +36,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ q4112 parity (§2.2-2.4)
     // A1 + J3: broadcast hash join + ungrouped integer AVG (part 1)
     "q4112_part1" -> ((s, dir) =>
       Q4112.part1(partItems(s, dir), liOrders(s, dir),
@@ -57,10 +59,148 @@ object SparkEntry {
     "q4112_part2" -> ((s, dir) =>
       Q4112.part2(partItems(s, dir), liOrders(s, dir),
         "p_partkey", "l_partkey", "price", "quantity", "l_suppkey", Q4112.BroadcastHash)),
+
+    // ------------------------------------------------ join library (§2.2 generalized)
+    "join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      Joins.semi(c, o, c("c_custkey") === o("o_custkey")).select(col("c_custkey"))
+    }),
+    "join_anti" -> ((s, dir) => {
+      // orders whose customer is NOT in the BUILDING segment (filter +
+      // anti-join; every custkey has orders in this data, so the filter
+      // is what makes the anti side non-trivial)
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      Joins.anti(o, c, o("o_custkey") === c("c_custkey")).select(col("o_orderkey"))
+    }),
+    "join_outer_count" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+    "join_nonequi" -> ((s, dir) => {
+      val su = t(s, dir, "supplier"); val n = t(s, dir, "nation")
+      Joins.nonEqui(su, n, su("s_nationkey") < n("n_nationkey"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_pairs"))
+    }),
+    "join_range" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val buckets = t(s, dir, "region")
+        .select(col("r_regionkey"),
+          (col("r_regionkey") * 10).cast("double").as("lo"),
+          ((col("r_regionkey") + 1) * 10).cast("double").as("hi"))
+      Joins.rangeJoin(li, col("l_quantity"), buckets, col("lo"), col("hi"))
+        .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // ------------------------------------------------ aggregation library (§2.4)
+    "agg_salted_skew" -> ((s, dir) =>
+      Aggregates.saltedSumCount(t(s, dir, "lineitem"),
+        col("l_suppkey"), floor(col("l_quantity")))),
+    "agg_topk_global" -> ((s, dir) =>
+      Aggregates.topK(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice")).as("price")),
+        10, col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
+    "agg_topk_per_group" -> ((s, dir) =>
+      Aggregates.topKPerGroup(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), floor(col("l_extendedprice")).as("price")),
+        Seq(col("l_returnflag")), 3,
+        col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
+    "agg_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // default RANGE frame: peers (tied order keys) share the cumulative
+      // value, so the result is deterministic even with duplicate keys
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).as("qty"))
+        .withColumn("running_qty", sum(col("qty")).over(w))
+    }),
+    "distinct_exact" -> ((s, dir) =>
+      Aggregates.distinctExact(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
+    // A5: FM/PCSA estimator (reference-faithful) — rows-only check
+    "distinct_fm" -> ((s, dir) =>
+      Aggregates.distinctFm(t(s, dir, "lineitem"), col("l_partkey"))),
+    // A5 pragmatic default: HLL++ — rows-only check
+    "distinct_hll" -> ((s, dir) =>
+      Aggregates.distinctHll(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
+
+    // ------------------------------------------------ dedup family
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, maxHamming = 3)),
+    "dedup_embedding" -> ((s, dir) =>
+      // testdata embeddings are random (pairwise cosine ≲ 0.5), so the
+      // demo threshold is low; real near-dup pipelines use ~0.95
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.25, planes = 16)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+
+    // ------------------------------------------------ text analysis
+    "text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+    }),
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // ------------------------------------------------ similarity search
+    "sim_topk_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
+
+    // ------------------------------------------------ multimodal plumbing
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, dims = 8).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"), col("payload_hash"))
+    }),
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resizePlan(media, maxSide = 256)
+    }),
+
+    // ------------------------------------------------ events (batch forms)
+    "events_window_agg" -> ((s, dir) =>
+      Engine.eventsTable(s, dir)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
+        .select(unix_timestamp(col("w.start")).as("window_start_s"),
+          col("event_type"), col("n_events"), col("sum_value_milli"))),
+    "events_sessionize" -> ((s, dir) =>
+      streaming.Events.sessionizeBatch(Engine.eventsTable(s, dir), gapMs = 30 * 60 * 1000L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (FM/HLL sketches, LSH candidates, xxhash-derived plumbing) →
+    * driver records a weaker rows-only check for those.
     */
   def oracleSql: Map[String, String] = {
     val p1 =
@@ -81,6 +221,90 @@ object SparkEntry {
       "q4112_part2" ->
         s"""WITH g AS ($groupedCte)
            |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
+
+      "join_semi" ->
+        """SELECT c_custkey FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+      "join_anti" ->
+        """SELECT o_orderkey FROM orders
+          |WHERE NOT EXISTS (SELECT 1 FROM customer
+          |                  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')""".stripMargin,
+      "join_outer_count" ->
+        """SELECT c_custkey, count(o_orderkey) AS n_orders
+          |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          |GROUP BY c_custkey""".stripMargin,
+      "join_nonequi" ->
+        """SELECT s_suppkey, count(*) AS n_pairs
+          |FROM supplier JOIN nation ON s_nationkey < n_nationkey
+          |GROUP BY s_suppkey""".stripMargin,
+      "join_range" ->
+        """SELECT r_regionkey, count(*) AS n_rows
+          |FROM lineitem JOIN region
+          |  ON l_quantity >= r_regionkey * 10 AND l_quantity < (r_regionkey + 1) * 10
+          |GROUP BY r_regionkey""".stripMargin,
+
+      "agg_salted_skew" ->
+        """SELECT l_suppkey AS k,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_value,
+          |       count(*) AS cnt
+          |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+      "agg_topk_global" ->
+        """SELECT l_orderkey, l_linenumber, cast(floor(l_extendedprice) as bigint) AS price
+          |FROM lineitem
+          |ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
+          |LIMIT 10""".stripMargin,
+      "agg_topk_per_group" ->
+        """SELECT l_returnflag, l_orderkey, l_linenumber, price FROM (
+          |  SELECT l_returnflag, l_orderkey, l_linenumber,
+          |         cast(floor(l_extendedprice) as bigint) AS price,
+          |         row_number() OVER (PARTITION BY l_returnflag
+          |           ORDER BY floor(l_extendedprice) DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+          |  FROM lineitem) WHERE rn <= 3""".stripMargin,
+      "agg_window_running" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |       cast(floor(l_quantity) as bigint) AS qty,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) OVER (
+          |         PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) as bigint) AS running_qty
+          |FROM lineitem""".stripMargin,
+      "distinct_exact" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "dedup_exact" ->
+        """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+          |       min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "text_stats" ->
+        """SELECT doc_id,
+          |       length(text) AS n_chars_text,
+          |       CASE WHEN length(trim(text)) = 0 THEN 0
+          |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          |       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+          |       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+          |FROM documents""".stripMargin,
+
+      "events_window_agg" ->
+        """SELECT cast(floor(epoch(ts) / 300) * 300 as bigint) AS window_start_s,
+          |       event_type, count(*) AS n_events,
+          |       cast(sum(cast(floor(value * 1000) as bigint)) as bigint) AS sum_value_milli
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "events_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,
+          |         lag(cast(epoch_ms(ts) as bigint)) OVER (
+          |           PARTITION BY user_id ORDER BY ts) AS prev_ms
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, ts_ms,
+          |         sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+          |                  THEN 1 ELSE 0 END) OVER (
+          |           PARTITION BY user_id ORDER BY ts_ms
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          |  FROM e)
+          |SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+          |       count(*) AS n_events
+          |FROM s GROUP BY user_id, session_seq""".stripMargin,
     )
   }
 }

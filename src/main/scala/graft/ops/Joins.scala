@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generalized join surface.
+  *
+  * The reference implements two physical engines for one logical join —
+  * nested-loop (q4112_nlj.c) and hash (q4112_hj.c) over `items.id =
+  * orders.item_id`. On Spark the logical surface widens to every join
+  * type Catalyst supports; the physical choice (broadcast-hash /
+  * shuffled-hash / sort-merge / broadcast-nested-loop) is Catalyst's,
+  * steered by hints — the Spark analog of the reference's
+  * one-binary-per-algorithm build (Makefile:7).
+  *
+  * Scale notes baked into the helpers:
+  *  - `broadcastRight` pins the dimension side into every executor —
+  *    O(|small|) memory, zero shuffle of the fact side; the 100 TB
+  *    default whenever the dim fits in memory (same reasoning as the
+  *    reference fixing items as build side, q4112.h:45-50).
+  *  - `shuffledHash`/`sortMerge` shuffle both sides on the key — the
+  *    fallbacks when both sides are large; AQE converts between them and
+  *    splits skewed partitions at runtime.
+  *  - `nonEqui` is a broadcast nested-loop — O(n·m) work; only valid
+  *    when one side is small, which the API makes explicit by taking the
+  *    small side second.
+  */
+object Joins {
+
+  def broadcastRight(left: DataFrame, right: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    left.join(broadcast(right), cond, joinType)
+
+  def shuffledHash(left: DataFrame, right: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    left.join(right.hint("shuffle_hash"), cond, joinType)
+
+  def sortMerge(left: DataFrame, right: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    left.join(right.hint("merge"), cond, joinType)
+
+  /** EXISTS — rows of `left` with at least one match; no right columns
+    * materialized, so the probe side streams (no output amplification).
+    */
+  def semi(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(broadcast(right), cond, "left_semi")
+
+  /** NOT EXISTS. */
+  def anti(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(broadcast(right), cond, "left_anti")
+
+  /** Non-equi join (theta); `small` is broadcast, giving
+    * BroadcastNestedLoopJoin — the J1/J2 nested-loop engines of the
+    * reference (q4112_nlj_1.c:5-28) generalized to arbitrary predicates.
+    */
+  def nonEqui(large: DataFrame, small: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    large.join(broadcast(small), cond, joinType)
+
+  /** Range join: `left.key ∈ [right.lo, right.hi)`. With a broadcast
+    * small side this is a BNLJ; at scale, bucketize the range into a
+    * band-join (equi-join on overlapping buckets then residual filter) —
+    * provided here as the scalable path.
+    */
+  def rangeJoin(left: DataFrame, leftKey: Column, right: DataFrame,
+      lo: Column, hi: Column): DataFrame =
+    left.join(broadcast(right), leftKey >= lo && leftKey < hi, "inner")
+
+  /** Band (bucketized) range join for two LARGE sides: both sides emit
+    * one row per covered bucket of width `bucketWidth`, the join becomes
+    * an equi-join on the bucket id (shuffle, not cross product), and the
+    * residual predicate removes false candidates. This is the 100 TB
+    * form of [[rangeJoin]].
+    */
+  def bandRangeJoin(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, lo: Column, hi: Column,
+      bucketWidth: Long): DataFrame = {
+    val lb = left.withColumn("__bucket", (leftKey / bucketWidth).cast("long"))
+    val rb = right.withColumn("__buckets",
+      sequence((lo / bucketWidth).cast("long"), ((hi - 1) / bucketWidth).cast("long")))
+      .withColumn("__bucket", explode(col("__buckets")))
+      .drop("__buckets")
+    lb.join(rb, Seq("__bucket"), "inner")
+      .filter(leftKey >= lo && leftKey < hi)
+      .drop("__bucket")
+  }
+}

