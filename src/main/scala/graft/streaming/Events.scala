@@ -87,11 +87,20 @@ object Events {
       .drop("session_seq")
   }
 
-  /** Open a streaming read of an events parquet directory with the same
-    * schema as the batch table.
+  /** Open a streaming read of an events parquet path with the same
+    * schema as the batch table. The testdata ships single-file parquet;
+    * FileStreamSource needs `basePath` to be the enclosing directory in
+    * that case (a real deployment points at a directory of files and
+    * ingests new arrivals incrementally).
     */
   def readStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource force-sets basePath to the source path unless it
+    // is a glob, and basePath must be a directory — glob-ify the first
+    // char so single-FILE parquet (the testdata shape) streams too
+    val streamPath =
+      if (new java.io.File(path).isFile) s"$sfDir/[e]vents.parquet" else path
+    spark.readStream.schema(schema).parquet(streamPath)
   }
 }

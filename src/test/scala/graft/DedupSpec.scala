@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"
+  private val nearDup = base.replace("lazy", "sleepy") // one-word edit
+  private val unrelated =
+    "completely different content about astrophysics and the thermodynamics of stellar cores"
+
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.toUpperCase), // exact dup modulo normalization? (case differs)
+    (3L, base.replaceAll(" ", "  ")), // exact dup modulo whitespace
+    (4L, nearDup),
+    (5L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exact dedup collapses case/whitespace variants") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (keep_id, n_copies)
+    // ids 1,2,3 normalize identically → one group of 3 keeping id 1
+    assert(got.contains((1L, 3L)))
+    assert(got.length === 3)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), s"near-dup pair missing from $pairs")
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L },
+      s"unrelated doc matched: $pairs")
+  }
+
+  test("minhash jaccard on identical-normalized docs is 1.0") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups within 3") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", n = 5, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    assert(pairs((1L, 3L)) === 0L)
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("exact n-gram jaccard: identical docs 1.0, threshold excludes unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("embedding LSH near-dup finds planted duplicate vectors") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d) * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    val emb = (Seq(
+      (1L, vec(1)), (2L, vec(1)), // identical pair
+      (3L, vec(7)), (4L, vec(9)), (5L, vec(11)))) // distinct directions
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.99, planes = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"identical vectors not found: $pairs")
+  }
+
+  test("shingles: short text degrades to whole-string shingle") {
+    val got = docs.sparkSession.range(1)
+      .select(Dedup.shingles(lit("ab"), n = 5).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(got === Seq("ab"))
+  }
+}

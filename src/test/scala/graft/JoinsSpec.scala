@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    .toDF("lk", "lv")
+  private lazy val right = Seq((2L, "x"), (3L, "y"), (3L, "z"), (5L, "w"))
+    .toDF("rk", "rv")
+
+  test("semi join keeps exactly the left rows with a match, once each") {
+    val got = Joins.semi(left, right, left("lk") === right("rk"))
+      .select("lk").as[Long].collect().sorted
+    assert(got.toSeq === Seq(2L, 3L))
+  }
+
+  test("anti join keeps exactly the left rows without a match") {
+    val got = Joins.anti(left, right, left("lk") === right("rk"))
+      .select("lk").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 4L))
+  }
+
+  test("non-equi join matches the naive predicate evaluation") {
+    val got = Joins.nonEqui(left, right, left("lk") < right("rk"))
+      .select("lk", "rk").as[(Long, Long)].collect().sorted
+    val expected = for {
+      l <- Seq(1L, 2L, 3L, 4L); r <- Seq(2L, 3L, 3L, 5L) if l < r
+    } yield (l, r)
+    assert(got.toSeq === expected.sorted)
+  }
+
+  test("broadcast/shuffled-hash/sort-merge strategies agree") {
+    val cond = left("lk") === right("rk")
+    val a = Joins.broadcastRight(left, right, cond).select("lk", "rv").collect().map(_.toString).sorted
+    val b = Joins.shuffledHash(left, right, cond).select("lk", "rv").collect().map(_.toString).sorted
+    val c = Joins.sortMerge(left, right, cond).select("lk", "rv").collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq === c.toSeq)
+  }
+
+  test("band range join equals broadcast range join") {
+    val points = (0L until 200L).map(i => (i, i % 97)).toDF("pid", "v")
+    val ranges = Seq((0L, 0L, 10L), (1L, 5L, 25L), (2L, 90L, 97L), (3L, 40L, 41L))
+      .toDF("rid", "lo", "hi")
+    val viaBroadcast = Joins.rangeJoin(points, col("v"), ranges, col("lo"), col("hi"))
+      .select("pid", "rid").as[(Long, Long)].collect().sorted
+    val viaBand = Joins.bandRangeJoin(points, col("v"), ranges, col("lo"), col("hi"), bucketWidth = 8L)
+      .select("pid", "rid").as[(Long, Long)].collect().sorted
+    assert(viaBand.toSeq === viaBroadcast.toSeq)
+    assert(viaBroadcast.nonEmpty)
+  }
+}

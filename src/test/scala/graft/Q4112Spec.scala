@@ -1,0 +1,89 @@
+package graft
+
+import graft.gen.Q4112Gen
+import graft.model.GenConfig
+import graft.ops.Q4112
+
+/** Differential tests of the q4112 query vs the collections oracle —
+  * the Spark port of the reference's `assert(gen_res == run_res)`
+  * (q4112_main.c:127), across a scaled-down mirror of the reference's
+  * part-1 and part-2 config matrices (BASELINE.md), including the
+  * heavy-hitter skew configs.
+  */
+class Q4112Spec extends SparkSpec {
+  import Q4112._
+
+  private def itemsDf(cfg: GenConfig) = Q4112Gen.items(spark, cfg).toDF()
+  private def ordersDf(cfg: GenConfig) = Q4112Gen.orders(spark, cfg).toDF()
+
+  /** Scaled-down reference matrix: outer shrunk 1e9 → 5e3, inner
+    * proportionally; selectivities / groups / hh shape preserved.
+    */
+  private val part1Configs = Seq(
+    GenConfig(100, 1.0, 999, 5000, 0.5, 999, 0, 0, 0.0, seed = 11),
+    GenConfig(100, 1.0, 999, 5000, 1.0, 999, 0, 0, 0.0, seed = 12),
+    GenConfig(1000, 0.5, 999, 5000, 0.5, 999, 0, 0, 0.0, seed = 13),
+    GenConfig(1000, 1.0, 999, 5000, 1.0, 999, 0, 0, 0.0, seed = 14))
+
+  private val part2Configs = Seq(
+    GenConfig(100, 1.0, 999, 5000, 1.0, 999, 10, 0, 0.0, seed = 21),
+    GenConfig(100, 1.0, 999, 5000, 1.0, 999, 100, 0, 0.0, seed = 22),
+    GenConfig(1000, 1.0, 999, 5000, 1.0, 999, 100, 5, 0.5, seed = 23),
+    GenConfig(1000, 1.0, 999, 5000, 1.0, 999, 100, 5, 1.0, seed = 24),
+    GenConfig(1000, 0.5, 999, 5000, 0.5, 999, 500, 10, 0.9, seed = 25))
+
+  for ((cfg, i) <- part1Configs.zipWithIndex; strategy <- Seq(BroadcastHash, ShuffledHash, SortMerge)) {
+    test(s"part1 cfg$i matches oracle under $strategy") {
+      val items = Q4112Gen.items(spark, cfg).collect().toSeq
+      val orders = Q4112Gen.orders(spark, cfg).collect().toSeq
+      val expected = Q4112Gen.oraclePart1(items, orders)
+      val got = part1(itemsDf(cfg), ordersDf(cfg), "id", "itemId", "price", "quantity", strategy)
+        .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      assert(got === expected)
+    }
+  }
+
+  for ((cfg, i) <- part2Configs.zipWithIndex) {
+    test(s"part2 cfg$i matches oracle (incl. per-group intermediate)") {
+      val items = Q4112Gen.items(spark, cfg).collect().toSeq
+      val orders = Q4112Gen.orders(spark, cfg).collect().toSeq
+      val expected = Q4112Gen.oracleFull(items, orders)
+      val got = part2(itemsDf(cfg), ordersDf(cfg), "id", "itemId", "price", "quantity", "storeId")
+        .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      assert(got === expected)
+
+      // per-group intermediate vs a collections group-by
+      val price = items.map(it => it.id -> it.price).toMap
+      val byGroup = orders
+        .flatMap(o => price.get(o.itemId).map(p => o.storeId -> (p * o.quantity)))
+        .groupBy(_._1)
+        .map { case (g, xs) => g -> xs.map(_._2).sum / xs.size }
+      val gotGroups = grouped(itemsDf(cfg), ordersDf(cfg), "id", "itemId", "price", "quantity", "storeId")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotGroups === byGroup)
+    }
+  }
+
+  test("generator honours the contract: unique non-zero ids, value caps, group floor") {
+    val cfg = GenConfig(500, 1.0, 99, 4000, 0.8, 9, 50, 5, 0.7, seed = 31)
+    val items = Q4112Gen.items(spark, cfg).collect().toSeq
+    assert(items.map(_.id).distinct.size === 500)
+    assert(items.forall(i => i.id >= 1 && i.id <= 500))
+    assert(items.forall(i => i.price >= 0 && i.price <= 99))
+    val orders = Q4112Gen.orders(spark, cfg).collect().toSeq
+    assert(orders.forall(o => o.quantity >= 0 && o.quantity <= 9))
+    assert(orders.forall(o => o.storeId >= 1 && o.storeId <= 50))
+    // every group appears at least once (q4112.h:38-39)
+    assert(orders.map(_.storeId).distinct.size === 50)
+    // matching share ≈ outerSelectivity
+    val matching = orders.count(_.itemId <= 500).toDouble / orders.size
+    assert(matching > 0.7 && matching < 0.9, s"matching share $matching")
+  }
+
+  test("heavy hitters absorb ~hhProbability of rows") {
+    val cfg = GenConfig(100, 1.0, 99, 10000, 1.0, 99, 1000, 10, 0.9, seed = 32)
+    val orders = Q4112Gen.orders(spark, cfg).collect().toSeq
+    val hhShare = orders.count(_.storeId <= 10).toDouble / orders.size
+    assert(hhShare > 0.8 && hhShare < 0.98, s"hh share $hhShare")
+  }
+}

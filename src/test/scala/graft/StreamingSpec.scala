@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.Events
+import graft.streaming.Events.{SessionEvent, UserSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+  private val Gap = 60000L // 1 min session gap for tests
+
+  test("streaming sessionize closes sessions after the gap, state carries across batches") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val query = Events.sessionize(stream.toDS(), gapMs = Gap)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10s apart (one open session);
+      // user 2 one event
+      stream.addData(
+        SessionEvent(1L, ts(0L), "click"),
+        SessionEvent(1L, ts(10000L), "click"),
+        SessionEvent(2L, ts(5000L), "view"))
+      query.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0) // nothing closed yet
+
+      // batch 2: events far beyond the gap close both open sessions
+      stream.addData(
+        SessionEvent(1L, ts(10000L + Gap + 1), "click"),
+        SessionEvent(2L, ts(5000L + Gap + 1), "view"))
+      query.processAllAvailable()
+      val closed = spark.table("sessions_out").as[UserSession].collect().toSet
+      assert(closed === Set(
+        UserSession(1L, 0L, 10000L, 2L),
+        UserSession(2L, 5000L, 5000L, 1L)))
+    } finally query.stop()
+  }
+
+  test("batch sessionize agrees with an independently computed expectation") {
+    val events = Seq(
+      (1L, 0L), (1L, 30000L), (1L, 100000L), // user1: [0,30000](2), [100000](1)
+      (2L, 0L), (2L, 59999L), (2L, 119998L)) // user2: one session, gaps < 60001
+      .map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val got = Events.sessionizeBatch(events, gapMs = Gap)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 30000L, 2L), (1L, 100000L, 100000L, 1L),
+      (2L, 0L, 119998L, 3L)))
+  }
+
+  test("streaming windowed agg (complete mode) equals the batch aggregation") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val query = Events.windowedAgg(df, "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      val data = (0 until 100).map(i =>
+        (ts(i * 13000L), if (i % 3 == 0) "a" else "b", i / 10.0))
+      stream.addData(data: _*)
+      query.processAllAvailable()
+      // float sums accumulate in partition order → compare rounded
+      val streamed = spark.table("win_out")
+        .select(unix_timestamp($"window_start").as("w"), $"event_type", $"n_events",
+          round($"sum_value", 6).as("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+
+      val batch = Events.windowedAgg(data.toDF("ts", "event_type", "value"), "5 minutes")
+        .select(unix_timestamp($"window_start").as("w"), $"event_type", $"n_events",
+          round($"sum_value", 6).as("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("readStream over events parquet produces the batch row count") {
+    val streamed = Events.readStream(spark, sfDir)
+    assert(streamed.isStreaming)
+    val query = streamed.groupBy().count()
+      .writeStream.format("memory").queryName("evt_count")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val n = spark.table("evt_count").collect().head.getLong(0)
+      val batchN = Engine.table(spark, sfDir, "events").count()
+      assert(n === batchN)
+    } finally query.stop()
+  }
+}
