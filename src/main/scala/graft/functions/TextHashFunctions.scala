@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native signature kernels for the dedup operators.
+  *
+  * The declarative forms (64 `aggregate`-over-array columns) run as
+  * INTERPRETED higher-order functions in Spark — every one of the 64 bit
+  * expressions re-walks the shingle array, so a document pays
+  * O(64 · |shingles|) interpreted expression evals (observed: minutes per
+  * partition at sf0.1). These expressions do the same math as one tight
+  * loop per row: hash each shingle ONCE with XXH64, then fold all 64
+  * bit-votes / all k min-trackers from that single hash. Semantics
+  * (which pairs collide) are equivalent; the constants differ from the
+  * declarative form, which is fine — LSH guarantees are distributional,
+  * and exact Jaccard/hamming verification runs on the candidates anyway.
+  */
+object TextHash {
+  /** One 64-bit hash per shingle — the shared first step. */
+  @inline def shingleHash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+}
+
+/** simhash64(shingles): bit j is the sign of Σ_s (bit j of xxh64(s) ? +1 : -1).
+  * Mirrors the classic Charikar construction the reference-free dedup
+  * pipeline needs; one pass, one hash per shingle.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    SimHash64.compute(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHash64.compute($a)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** Static kernel so generated code and interpreted eval share it. */
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = TextHash.shingleHash(arr.getUTF8String(i), 0L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** minhash_signature(shingles): k-element signature, element k =
+  * min over shingles of a universal-hash mix of the shingle's xxh64.
+  * One xxh64 per shingle; k cheap integer mixes per shingle.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashSignature.compute(input.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashSignature.compute($a, $numHashes))")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignature {
+  // odd multipliers/addends derived from splitmix64 of the hash index —
+  // a standard universal-hash family over one base hash per shingle
+  private def mixConstants(k: Int): (Long, Long) = {
+    var z = (k + 1).toLong * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z | 1L, z ^ (z >>> 31))
+  }
+
+  def compute(arr: ArrayData, numHashes: Int): Array[Long] = {
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val (a, b) = mixConstants(k); as(k) = a; bs(k) = b; k += 1
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = TextHash.shingleHash(arr.getUTF8String(i), 42L)
+        var j = 0
+        while (j < numHashes) {
+          val v = as(j) * x + bs(j)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** shingle_set(text, n): distinct character n-grams of the
+  * whitespace-collapsed, lowercased text, in first-occurrence order;
+  * texts shorter than n yield the whole normalized text as the single
+  * shingle. The declarative `transform(sequence(...), substr)` form
+  * re-evaluates the normalization regex per element when interpreted
+  * (higher-order functions are CodegenFallback) — O(len²) per document;
+  * this kernel is one O(len·n) pass.
+  */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle length must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleSet.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ShingleSet.compute($a, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+  override def prettyName: String = "shingle_set"
+}
+
+object ShingleSet {
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    // normalize: collapse whitespace runs to ' ', lowercase
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var lastWs = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!lastWs) sb.append(' ')
+        lastWs = true
+      } else {
+        sb.append(Character.toLowerCase(c))
+        lastWs = false
+      }
+      i += 1
+    }
+    val norm = sb.toString
+    if (norm.length < n)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(norm)))
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j + n <= norm.length) {
+      seen.add(norm.substring(j, j + n))
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object TextHashFunctions {
+  def shingleSet(text: Column, n: Int = 5): Column =
+    bridge.toColumn(ShingleSet(bridge.toExpression(text), n))
+  def simhash64(shingles: Column): Column =
+    bridge.toColumn(SimHash64(bridge.toExpression(shingles)))
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    bridge.toColumn(MinHashSignature(bridge.toExpression(shingles), numHashes))
+}

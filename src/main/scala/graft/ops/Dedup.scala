@@ -2,25 +2,37 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{TextHashFunctions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines, each designed
-  * around its shuffle profile at 100 TB:
+  * around its shuffle and compute profile at 100 TB:
   *
   *  - exact: one shuffle on a 128-bit content hash (not the text itself —
   *    the shuffle carries 16 bytes + ids, not documents).
-  *  - MinHash+LSH: per-row signature computed scan-side with codegen'd
-  *    array expressions (no explode of shingles → no |doc|×|shingles|
-  *    blow-up); the only shuffle is the band-bucket self-join, which is
-  *    the textbook LSH trade: candidates ∝ collisions, not n².
-  *  - SimHash: 64-bit signature scan-side; pigeonhole banding (4×16-bit
-  *    chunks) turns hamming≤3 search into 4 equi-joins.
-  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  *  - MinHash+LSH: signatures computed scan-side by the native
+  *    [[graft.functions.MinHashSignature]] kernel (one xxh64 per shingle,
+  *    k integer mixes — the declarative 64-aggregate form is interpreted
+  *    and re-walks the array per hash). The banded self-join carries only
+  *    (id, band, bucket) — candidate pairs are slim; shingle sets are
+  *    re-joined only for the exact-Jaccard verification of candidates.
+  *  - SimHash: native 64-bit [[graft.functions.SimHash64]] signature;
+  *    pigeonhole banding (4×16-bit chunks) turns hamming≤3 search into
+  *    4 equi-joins on 2-byte keys.
+  *  - n-gram Jaccard: exact pairwise verification (cross-join form for
+  *    small blocks; LSH is the recall path at scale).
   *  - embedding near-dup: random-hyperplane LSH over `array<float>`
-  *    vectors, cosine verified on candidates with the codegen'd
-  *    [[graft.functions.CosineSimilarity]].
+  *    vectors; banded candidates slim, cosine verified on candidates with
+  *    the codegen'd [[graft.functions.CosineSimilarity]].
+  *
+  * Compute-heavy signature stages `repartition` to the cluster's
+  * parallelism first: a small parquet input (one file → one partition)
+  * must not serialize a CPU-bound stage onto one core — at 100 TB the
+  * same repartition balances uneven file sizes.
   */
 object Dedup {
+
+  private def parallelism(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
 
   // ---------------------------------------------------------------- exact
 
@@ -34,32 +46,28 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct character n-gram shingles of the normalized text, as an
-    * array column — computed with `sequence`+`transform` so it stays
-    * inside whole-stage codegen (no UDF, no explode).
+  /** Distinct character n-gram shingles of the normalized text — native
+    * one-pass kernel ([[graft.functions.ShingleSet]]).
     */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val norm = lower(regexp_replace(text, "\\s+", " "))
-    val len = length(norm)
-    when(len < n, array(norm))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), len - n + 1),
-        i => norm.substr(i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 5): Column =
+    TextHashFunctions.shingleSet(text, n)
+
+  /** MinHash signature of a shingle array (native kernel). */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
+    TextHashFunctions.minhashSignature(shingleCol, numHashes)
+
+  /** 64-bit SimHash of a shingle array (native kernel). */
+  def simhash64(shingleCol: Column): Column =
+    TextHashFunctions.simhash64(shingleCol)
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   // ------------------------------------------------------- MinHash + LSH
 
-  /** MinHash signature: element k = min over shingles of
-    * xxhash64(seed_k, shingle). All scan-side column math.
-    */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { k =>
-      array_min(transform(shingleCol, s => xxhash64(lit(k), s)))
-    }: _*)
-
   /** Candidate near-dup pairs by banded MinHash-LSH, verified with exact
-    * Jaccard over the shingle sets. `bands`×`rowsPerBand` must equal the
-    * signature length. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    * Jaccard over the shingle sets. `bands` must divide `numHashes`.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -71,46 +79,33 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // one row per (doc, band): bucket = hash of the band's slice
-    val banded = sig.select(
-      col("id"), col("sh"),
+    // repartition = CPU balance + a materialization barrier, so the
+    // shingle array is computed once, not re-inlined by projection collapse
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .repartition(parallelism(docs))
+    val sig = sh.select(col("id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    // slim banded rows: (id, band, bucket) only — no payload in the shuffle
+    val banded = sig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .dropDuplicates("id_a", "id_b")
+      .distinct()
+    // exact-Jaccard verification on candidates only
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   // ------------------------------------------------------------- SimHash
-
-  /** 64-bit SimHash of the shingle set: bit j of the signature is the
-    * sign of Σ_shingles (±1 depending on bit j of xxhash64(shingle)).
-    * Expressed as 64 aggregate-over-array columns — scan-side, codegen'd.
-    */
-  def simhash64(shingleCol: Column): Column = {
-    val bits = (0 until 64).map { j =>
-      val votes = aggregate(
-        shingleCol, lit(0L),
-        (acc, s) => acc + when((shiftright(xxhash64(s), j).bitwiseAND(lit(1L))) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
 
   /** SimHash near-dup pairs: pigeonhole on 4 16-bit chunks (any pair with
     * hamming ≤ 3 shares at least one chunk), verify hamming via
@@ -122,8 +117,9 @@ object Dedup {
       textCol: String,
       n: Int = 5,
       maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-      simhash64(shingles(col(textCol), n)).as("sig"))
+    val sig = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .repartition(parallelism(docs))
+      .select(col("id"), simhash64(col("sh")).as("sig"))
     val chunked = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -142,10 +138,9 @@ object Dedup {
 
   // ------------------------------------------------- exact n-gram Jaccard
 
-  /** Exact pairwise n-gram Jaccard ≥ threshold. Blocking: only pairs
-    * sharing a cheap block key (here: token-count bucket + first token)
-    * are compared — at corpus scale the all-pairs variant is intractable
-    * by design, and LSH ([[minhashPairs]]) is the recall-complete path.
+  /** Exact pairwise n-gram Jaccard ≥ threshold. All-pairs within the
+    * input — intractable at corpus scale by design; LSH
+    * ([[minhashPairs]]) is the scale path, this is the oracle/verifier.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -153,15 +148,13 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val prep = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+    val prep = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .repartition(parallelism(docs))
     val a = prep.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = prep.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -169,7 +162,7 @@ object Dedup {
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
     * from random-hyperplane LSH (signature = sign bits of dot products
-    * with `planes` pseudo-random hyperplanes, banded into byte chunks).
+    * with `planes` pseudo-random hyperplanes, banded into two chunks).
     */
   def embeddingPairs(
       emb: DataFrame,
@@ -185,21 +178,27 @@ object Dedup {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", (0 until planes).map(p => planeBit(col("v"), p)).reduce(_ bitwiseOR _))
-    // band the signature into two halves: hamming-tolerant candidates
-    val banded = sig.select(col("id"), col("v"),
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(parallelism(emb))
+    val sig = vecs.select(col("id"),
+      (0 until planes).map(p => planeBit(col("v"), p)).reduce(_ bitwiseOR _).as("sig"))
+    // band the signature into two halves: hamming-tolerant candidates,
+    // slim rows (id, chunk, ckey) only
+    val banded = sig.select(col("id"),
       explode(array(
         struct(lit(0).as("chunk"), col("sig").bitwiseAND(lit((1L << (planes / 2)) - 1)).as("ckey")),
         struct(lit(1).as("chunk"), shiftright(col("sig"), planes / 2).as("ckey")))).as("cc"))
-      .select(col("id"), col("v"), col("cc.chunk"), col("cc.ckey"))
-    val a = banded.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("chunk", "ckey"))
+      .select(col("id"), col("cc.chunk"), col("cc.ckey"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("chunk", "ckey"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .distinct()
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("cosine") >= threshold)
   }
 }
