@@ -118,6 +118,18 @@ object MinHashSignature {
   }
 
   def compute(arr: ArrayData, numHashes: Int): Array[Long] = {
+    val hashes = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < hashes.length) {
+      hashes(i) =
+        if (arr.isNullAt(i)) 0L else TextHash.shingleHash(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    computeFromHashes(hashes(_), hashes.length, numHashes)
+  }
+
+  /** Shared min-tracking fold over any indexed hash source. */
+  def computeFromHashes(hashAt: Int => Long, n: Int, numHashes: Int): Array[Long] = {
     val as = new Array[Long](numHashes)
     val bs = new Array[Long](numHashes)
     var k = 0
@@ -125,17 +137,14 @@ object MinHashSignature {
       val (a, b) = mixConstants(k); as(k) = a; bs(k) = b; k += 1
     }
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val x = TextHash.shingleHash(arr.getUTF8String(i), 42L)
-        var j = 0
-        while (j < numHashes) {
-          val v = as(j) * x + bs(j)
-          if (v < sig(j)) sig(j) = v
-          j += 1
-        }
+      val x = hashAt(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = as(j) * x + bs(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
       }
       i += 1
     }
@@ -207,11 +216,229 @@ object ShingleSet {
   }
 }
 
+/** shingle_hashes(text, n): SORTED distinct 64-bit hashes of the
+  * character n-grams of the normalized text. The all-numeric form of
+  * [[ShingleSet]]: downstream LSH (minhash mixes, simhash votes) and
+  * exact-Jaccard verification only need set identity, so hashing each
+  * shingle once here removes string materialization, string shuffle
+  * payloads (8 B/shingle vs whole n-grams), and string-equality set ops
+  * from the entire dedup pipeline. Sorted so Jaccard verification is a
+  * linear merge ([[JaccardSorted]]).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle length must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ShingleHashes.compute($a, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  /** splitmix64 finalizer — turns the rolling polynomial into a
+    * well-mixed 64-bit value.
+    */
+  @inline private def mix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    // normalize: collapse whitespace runs to ' ', lowercase (same
+    // normalization as ShingleSet)
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var lastWs = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!lastWs) sb.append(' ')
+        lastWs = true
+      } else {
+        sb.append(Character.toLowerCase(c))
+        lastWs = false
+      }
+      i += 1
+    }
+    val norm = sb
+    val len = norm.length
+    val seen = new java.util.HashSet[java.lang.Long]()
+    if (len < n) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < len) { h = h * 31 + norm.charAt(j); j += 1 }
+      seen.add(mix(h))
+    } else {
+      var j = 0
+      while (j + n <= len) {
+        var h = 1125899906842597L
+        var k = j
+        while (k < j + n) { h = h * 31 + norm.charAt(k); k += 1 }
+        seen.add(mix(h))
+        j += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+}
+
+/** jaccard_sorted(a, b): exact Jaccard similarity of two SORTED distinct
+  * long arrays — one linear merge, no hash sets, codegen'd. The
+  * verification kernel for LSH candidates.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSorted.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardSorted.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
+}
+
+object JaccardSorted {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** simhash64 over pre-hashed shingles: same vote fold as [[SimHash64]]
+  * without re-hashing.
+  */
+case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64FromHashes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHash64FromHashes.compute($a)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64FromHashes = copy(child = c)
+  override def prettyName: String = "simhash64_from_hashes"
+}
+
+object SimHash64FromHashes {
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** minhash signature over pre-hashed shingles: k universal-hash mixes of
+  * each pre-computed hash, min-tracked — no string hashing.
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashFromHashes.compute(input.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashFromHashes.compute($a, $numHashes))")
+
+  override protected def withNewChildInternal(c: Expression): MinHashFromHashes = copy(child = c)
+  override def prettyName: String = "minhash_from_hashes"
+}
+
+object MinHashFromHashes {
+  def compute(arr: ArrayData, numHashes: Int): Array[Long] =
+    MinHashSignature.computeFromHashes(
+      i => arr.getLong(i), arr.numElements(), numHashes)
+}
+
 object TextHashFunctions {
   def shingleSet(text: Column, n: Int = 5): Column =
     bridge.toColumn(ShingleSet(bridge.toExpression(text), n))
+  def shingleHashes(text: Column, n: Int = 5): Column =
+    bridge.toColumn(ShingleHashes(bridge.toExpression(text), n))
+  def jaccardSorted(a: Column, b: Column): Column =
+    bridge.toColumn(JaccardSorted(bridge.toExpression(a), bridge.toExpression(b)))
   def simhash64(shingles: Column): Column =
     bridge.toColumn(SimHash64(bridge.toExpression(shingles)))
+  def simhash64FromHashes(hashes: Column): Column =
+    bridge.toColumn(SimHash64FromHashes(bridge.toExpression(hashes)))
   def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
     bridge.toColumn(MinHashSignature(bridge.toExpression(shingles), numHashes))
+  def minhashFromHashes(hashes: Column, numHashes: Int = 64): Column =
+    bridge.toColumn(MinHashFromHashes(bridge.toExpression(hashes), numHashes))
 }

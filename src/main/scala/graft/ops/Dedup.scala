@@ -52,6 +52,12 @@ object Dedup {
   def shingles(text: Column, n: Int = 5): Column =
     TextHashFunctions.shingleSet(text, n)
 
+  /** Sorted distinct 64-bit shingle hashes — the all-numeric form the
+    * LSH pipelines run on ([[graft.functions.ShingleHashes]]).
+    */
+  def shingleHashes(text: Column, n: Int = 5): Column =
+    TextHashFunctions.shingleHashes(text, n)
+
   /** MinHash signature of a shingle array (native kernel). */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
     TextHashFunctions.minhashSignature(shingleCol, numHashes)
@@ -59,9 +65,6 @@ object Dedup {
   /** 64-bit SimHash of a shingle array (native kernel). */
   def simhash64(shingleCol: Column): Column =
     TextHashFunctions.simhash64(shingleCol)
-
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   // ------------------------------------------------------- MinHash + LSH
 
@@ -80,11 +83,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // repartition = CPU balance + a materialization barrier, so the
-    // shingle array is computed once, not re-inlined by projection collapse
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // shingle-hash array is computed once, not re-inlined by projection
+    // collapse; all-numeric payload (8 B/shingle, no strings anywhere)
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .repartition(parallelism(docs))
     val sig = sh.select(col("id"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
+      TextHashFunctions.minhashFromHashes(col("sh"), numHashes).as("sig"))
     // slim banded rows: (id, band, bucket) only — no payload in the shuffle
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map { b =>
@@ -97,11 +101,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    // exact-Jaccard verification on candidates only
+    // exact-Jaccard verification on candidates only: linear merge over
+    // the sorted hash arrays (codegen'd), not string-set intersection
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        TextHashFunctions.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -117,9 +123,9 @@ object Dedup {
       textCol: String,
       n: Int = 5,
       maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sig = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .repartition(parallelism(docs))
-      .select(col("id"), simhash64(col("sh")).as("sig"))
+      .select(col("id"), TextHashFunctions.simhash64FromHashes(col("sh")).as("sig"))
     val chunked = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -148,13 +154,14 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val prep = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val prep = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .repartition(parallelism(docs))
     val a = prep.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = prep.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        TextHashFunctions.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
