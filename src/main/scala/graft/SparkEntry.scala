@@ -138,6 +138,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, maxHamming = 3)),
+    "dedup_ngram" -> ((s, dir) =>
+      // scoped to 200 docs: exact all-pairs is the verifier/oracle path,
+      // LSH (dedup_minhash) is the corpus-scale path
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+        n = 5, threshold = 0.7)),
     "dedup_embedding" -> ((s, dir) =>
       // testdata embeddings are random (pairwise cosine ≲ 0.5), so the
       // demo threshold is low; real near-dup pipelines use ~0.95
@@ -154,6 +160,9 @@ object SparkEntry {
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
         TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
     }),
+    "text_subwords" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "text_quality" -> ((s, dir) =>
@@ -183,6 +192,25 @@ object SparkEntry {
     "multimodal_resize" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.resizePlan(media, maxSide = 256)
+    }),
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, everyMs = 60000L)
+        .select(col("media_id"), col("frame_ts_ms"), col("frame_ref"))
+    }),
+
+    // ------------------------------------------------ generator (§2.1 S1)
+    // Seeded distributed q4112_gen-contract generator + the full query
+    // over it; deterministic, independent of sfDir (rows-only check).
+    "gen_q4112" -> ((s, _) => {
+      val cfg = graft.model.GenConfig(
+        innerTuples = 1000, innerSelectivity = 1.0, innerValMax = 999,
+        outerTuples = 100000, outerSelectivity = 1.0, outerValMax = 999,
+        groups = 100, hhGroups = 5, hhProbability = 0.8, seed = 77)
+      Q4112.part2(
+        graft.gen.Q4112Gen.items(s, cfg).toDF(),
+        graft.gen.Q4112Gen.orders(s, cfg).toDF(),
+        "id", "itemId", "price", "quantity", "storeId")
     }),
 
     // ------------------------------------------------ events (batch forms)
@@ -274,6 +302,27 @@ object SparkEntry {
         """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
           |       min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
+
+      "dedup_ngram" ->
+        """WITH d AS (
+          |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+          |  FROM documents WHERE doc_id < 200),
+          |g AS (
+          |  SELECT doc_id,
+          |         CASE WHEN length(t) < 5 THEN [t]
+          |              ELSE list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) END AS sh
+          |  FROM d)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          |FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+      "text_subwords" ->
+        """SELECT doc_id,
+          |       len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS n_subwords
+          |FROM documents""".stripMargin,
 
       "text_stats" ->
         """SELECT doc_id,

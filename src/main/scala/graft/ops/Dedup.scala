@@ -169,7 +169,8 @@ object Dedup {
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
     * from random-hyperplane LSH (signature = sign bits of dot products
-    * with `planes` pseudo-random hyperplanes, banded into two chunks).
+    * with `planes` pseudo-random hyperplanes —
+    * [[graft.functions.HyperplaneSignature]] — banded into two chunks).
     */
   def embeddingPairs(
       emb: DataFrame,
@@ -177,18 +178,10 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       planes: Int = 16): DataFrame = {
-    // deterministic pseudo-random hyperplane component p,d ∈ {-1,+1}
-    def planeBit(v: Column, p: Int): Column = {
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * when(pmod(xxhash64(lit(p), i), lit(2)) === 0, -1.0).otherwise(1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(parallelism(emb))
     val sig = vecs.select(col("id"),
-      (0 until planes).map(p => planeBit(col("v"), p)).reduce(_ bitwiseOR _).as("sig"))
+      graft.functions.VectorLshFunctions.hyperplaneSignature(col("v"), planes).as("sig"))
     // band the signature into two halves: hamming-tolerant candidates,
     // slim rows (id, chunk, ckey) only
     val banded = sig.select(col("id"),

@@ -41,27 +41,13 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-centroid c,d ∈ [-1, 1] (seeded hash — stands in
-    * for trained k-means centroids, which would arrive as a broadcast
-    * table in a real pipeline; the plumbing is identical).
+  /** Nearest-centroid id for a vector, against `nCentroids` deterministic
+    * pseudo-centroids (native kernel [[graft.functions.TopCentroids]];
+    * stands in for trained k-means centroids, which would arrive as a
+    * broadcast array in a real pipeline — the plumbing is identical).
     */
-  private def centroidComponent(c: Int, d: Column): Column =
-    (pmod(xxhash64(lit(c), d), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
-
-  /** Nearest-centroid id for a vector: argmax over c of cos(v, centroid_c)
-    * ≈ argmax of dot(v, unit-ish centroid). Computed as a single
-    * expression tree (greatest over per-centroid structs).
-    */
-  def centroidId(v: Column, nCentroids: Int): Column = {
-    val scored = (0 until nCentroids).map { cid =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * centroidComponent(cid, i)),
-        lit(0.0), (acc, x) => acc + x)
-      struct(dot.as("score"), lit(cid).as("cid"))
-    }
-    greatest(scored: _*).getField("cid")
-  }
+  def centroidId(v: Column, nCentroids: Int): Column =
+    graft.functions.VectorLshFunctions.nearestCentroid(v, nCentroids)
 
   /** IVF-style ANN: corpus bucketed by nearest pseudo-centroid; each
     * probe fans out to its `nProbe` nearest buckets; candidates within a
@@ -76,18 +62,8 @@ object Similarity {
       .withColumn("bucket", centroidId(col("cv"), nCentroids))
     // probe → its nProbe best buckets, ranked by centroid dot product
     val probeBuckets = probes.select(col(probeId).as("probe_id"), col(probeVec).as("pv"))
-      .withColumn("bucket_scores", array((0 until nCentroids).map { cid =>
-        val dot = aggregate(
-          zip_with(col("pv"), sequence(lit(0), size(col("pv")) - 1),
-            (x, i) => x * centroidComponent(cid, i)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(dot.as("score"), lit(cid).as("cid"))
-      }: _*))
-      .withColumn("bucket",
-        explode(slice(transform(array_sort(col("bucket_scores"),
-          (a, b) => when(a.getField("score") > b.getField("score"), -1)
-            .when(a.getField("score") < b.getField("score"), 1).otherwise(0)),
-          s => s.getField("cid")), 1, nProbe)))
+      .withColumn("bucket", explode(
+        graft.functions.VectorLshFunctions.topCentroids(col("pv"), nCentroids, nProbe)))
       .select(col("probe_id"), col("pv"), col("bucket"))
     val scored = c.join(broadcast(probeBuckets), Seq("bucket"))
       .filter(col("corpus_id") =!= col("probe_id"))
