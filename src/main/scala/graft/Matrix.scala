@@ -1,0 +1,107 @@
+package graft
+
+import graft.gen.Q4112Gen
+import graft.model.GenConfig
+import graft.ops.Q4112
+
+import org.apache.spark.sql.SparkSession
+
+/** Config-matrix harness — the Spark port of the reference's driver loop
+  * (q4112_main.c:114-132): for each configuration, generate seeded data,
+  * run the query `reps` times, assert the engine result equals the
+  * independent oracle (q4112_main.c:127 `assert(gen_res == run_res)`),
+  * and append one CSV row per run:
+  * `inner,isel,ivmax,outer,osel,ovmax,groups,hh,hhp,threads,repeat,ns`
+  * (same column order as q4112_main.c:128-131).
+  *
+  * `runMain graft.Matrix [outCsv] [scale]` — scale shrinks the reference
+  * matrices (outer=1e9 → 1e9·scale); default 1e-3 mirrors FIXTURES.md.
+  */
+object Matrix {
+
+  /** Part-1 matrix (PDF p.2 / BASELINE.md): 8 configs, ungrouped. */
+  def part1Matrix(scale: Double): Seq[GenConfig] =
+    for {
+      (inner, isel) <- Seq((100L, 1.0), (100000L, 1.0), (100000000L, 0.5), (100000000L, 1.0))
+      osel <- Seq(0.5, 1.0)
+    } yield GenConfig(
+      innerTuples = math.max(1L, (inner * scale).toLong),
+      innerSelectivity = isel, innerValMax = 99999L,
+      outerTuples = math.max(1L, (1000000000L * scale).toLong),
+      outerSelectivity = osel, outerValMax = 99999L,
+      groups = 0L, hhGroups = 0L, hhProbability = 0.0, seed = 4112L)
+
+  /** Part-2 matrix (PDF p.3 / BASELINE.md): 21 configs with groups/skew. */
+  def part2Matrix(scale: Double): Seq[GenConfig] = {
+    val shapes = Seq(
+      (100L, 100L, 0L, 0.0), (100L, 10000L, 0L, 0.0), (100L, 1000000L, 0L, 0.0),
+      (100L, 100000000L, 0L, 0.0), (100L, 100000000L, 100L, 0.5),
+      (100L, 100000000L, 100L, 1.0), (100L, 100000000L, 10000L, 1.0),
+      (100000L, 100L, 0L, 0.0), (100000L, 10000L, 0L, 0.0), (100000L, 1000000L, 0L, 0.0),
+      (100000L, 100000000L, 0L, 0.0), (100000L, 100000000L, 100L, 0.5),
+      (100000L, 100000000L, 100L, 1.0), (100000L, 100000000L, 10000L, 1.0),
+      (100000000L, 100L, 0L, 0.0), (100000000L, 10000L, 0L, 0.0),
+      (100000000L, 1000000L, 0L, 0.0), (100000000L, 100000000L, 0L, 0.0),
+      (100000000L, 100000000L, 100L, 0.5), (100000000L, 100000000L, 100L, 1.0),
+      (100000000L, 100000000L, 10000L, 1.0))
+    shapes.map { case (inner, groups, hh, hhp) =>
+      val g = math.max(1L, (groups * scale).toLong)
+      GenConfig(
+        innerTuples = math.max(1L, (inner * scale).toLong),
+        innerSelectivity = 1.0, innerValMax = 99999L,
+        outerTuples = math.max(g, (1000000000L * scale).toLong),
+        outerSelectivity = 1.0, outerValMax = 99999L,
+        groups = g,
+        hhGroups = math.min(math.max(if (hh == 0) 0L else 1L, (hh * scale).toLong), g),
+        hhProbability = hhp, seed = 4112L)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outCsv = if (args.length > 0) args(0) else "matrix_results.csv"
+    val scale = if (args.length > 1) args(1).toDouble else 1e-3
+    val reps = 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = new java.io.PrintWriter(new java.io.FileWriter(outCsv, true))
+    try {
+      for ((cfg, part) <- part1Matrix(scale).map((_, 1)) ++ part2Matrix(scale).map((_, 2))) {
+        val items = Q4112Gen.items(spark, cfg)
+        val orders = Q4112Gen.orders(spark, cfg)
+        // independent oracle, computed once per config (small scales only)
+        val oracle =
+          if (part == 1) Q4112Gen.oraclePart1(items.collect().toSeq, orders.collect().toSeq)
+          else Q4112Gen.oracleFull(items.collect().toSeq, orders.collect().toSeq)
+        for (rep <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val result =
+            if (part == 1)
+              Q4112.part1(items.toDF(), orders.toDF(), "id", "itemId", "price", "quantity")
+                .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+            else
+              Q4112.part2(items.toDF(), orders.toDF(), "id", "itemId", "price", "quantity", "storeId")
+                .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+          val ns = System.nanoTime() - t0
+          assert(result == oracle,
+            s"result $result != oracle $oracle for $cfg") // q4112_main.c:127
+          out.println(Seq(
+            cfg.innerTuples, cfg.innerSelectivity, cfg.innerValMax,
+            cfg.outerTuples, cfg.outerSelectivity, cfg.outerValMax,
+            cfg.groups, cfg.hhGroups, cfg.hhProbability,
+            cpus, rep, ns).mkString(","))
+          System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s ok")
+        }
+      }
+    } finally out.close()
+    spark.stop()
+  }
+}
