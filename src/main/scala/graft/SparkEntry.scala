@@ -84,6 +84,21 @@ object SparkEntry {
       Joins.nonEqui(su, n, su("s_nationkey") < n("n_nationkey"))
         .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_pairs"))
     }),
+    "join_asof" -> ((s, dir) => {
+      // for each click, the user's most recent purchase at or before it
+      val e = Engine.eventsTable(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_millis(col("ts")).as("click_ms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      Joins.asof(clicks, purchases,
+        keyCols = Seq("user_id"), leftTime = "click_ms", rightTime = "p_ms",
+        leftCols = Seq("click_id", "user_id", "click_ms"),
+        rightCols = Seq("purchase_id"))
+        .withColumn("purchase_id", coalesce(col("purchase_id"), lit(-1L)))
+    }),
     "join_range" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val buckets = t(s, dir, "region")
@@ -95,6 +110,11 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------ aggregation library (§2.4)
+    "agg_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))),
     "agg_salted_skew" -> ((s, dir) =>
       Aggregates.saltedSumCount(t(s, dir, "lineitem"),
         col("l_suppkey"), floor(col("l_quantity")))),
@@ -265,12 +285,24 @@ object SparkEntry {
         """SELECT s_suppkey, count(*) AS n_pairs
           |FROM supplier JOIN nation ON s_nationkey < n_nationkey
           |GROUP BY s_suppkey""".stripMargin,
+      "join_asof" ->
+        """SELECT l.event_id AS click_id, l.user_id AS user_id,
+          |       epoch_ms(l.ts) AS click_ms,
+          |       coalesce(r.event_id, -1) AS purchase_id
+          |FROM (SELECT * FROM events WHERE event_type = 'click') l
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
       "join_range" ->
         """SELECT r_regionkey, count(*) AS n_rows
           |FROM lineitem JOIN region
           |  ON l_quantity >= r_regionkey * 10 AND l_quantity < (r_regionkey + 1) * 10
           |GROUP BY r_regionkey""".stripMargin,
 
+      "agg_rollup" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty,
+          |       count(*) AS cnt
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
       "agg_salted_skew" ->
         """SELECT l_suppkey AS k,
           |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_value,

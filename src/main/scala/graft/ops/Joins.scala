@@ -66,6 +66,44 @@ object Joins {
       lo: Column, hi: Column): DataFrame =
     left.join(broadcast(right), leftKey >= lo && leftKey < hi, "inner")
 
+  /** As-of join: for each left row, the single latest right row with
+    * `rightTime <= leftTime` within the same key (LEFT-join semantics —
+    * unmatched left rows keep NULL right columns).
+    *
+    * Implementation is the scalable sort-based form, NOT a range join:
+    * tag both sides, union, and carry the most recent right payload
+    * forward with a `last(_, ignoreNulls)` running window — one shuffle
+    * on the key, no |left|×|right| candidate blow-up, works at any time
+    * density. Right rows sort before left rows at equal timestamps, so
+    * the match is inclusive. Right payload columns must be non-null to
+    * count as a match, and output names must not clash with left's.
+    */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String, rightTime: String,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ls = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(0).as("__side")) ++
+        leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    val rs = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(1).as("__side")) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    val u = ls.unionByName(rs, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightCols.foldLeft(u) { (df, c) =>
+      df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        rightCols.map(c => col(s"__m_$c").as(c)): _*)
+  }
+
   /** Band (bucketized) range join for two LARGE sides: both sides emit
     * one row per covered bucket of width `bucketWidth`, the join becomes
     * an equi-join on the bucket id (shuffle, not cross product), and the

@@ -41,6 +41,26 @@ class JoinsSpec extends SparkSpec {
     assert(a.toSeq === c.toSeq)
   }
 
+  test("asof join picks the latest right row at or before each left time") {
+    val quotes = Seq( // (key, t, qid)
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 15L, 200L))
+      .toDF("k", "qt", "qid")
+    val trades = Seq( // (key, t, tid)
+      (1L, 5L, 1L),   // before any quote → null
+      (1L, 10L, 2L),  // == quote ts → inclusive match 100
+      (1L, 25L, 3L),  // between 20 and 30 → 101
+      (1L, 99L, 4L),  // after all → 102
+      (2L, 14L, 5L),  // before key-2 quote → null
+      (3L, 50L, 6L))  // key with no quotes → null
+      .toDF("k", "tt", "tid")
+    val got = Joins.asof(trades, quotes,
+      keyCols = Seq("k"), leftTime = "tt", rightTime = "qt",
+      leftCols = Seq("tid"), rightCols = Seq("qid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> -1L, 2L -> 100L, 3L -> 101L, 4L -> 102L, 5L -> -1L, 6L -> -1L))
+  }
+
   test("band range join equals broadcast range join") {
     val points = (0L until 200L).map(i => (i, i % 97)).toDF("pid", "v")
     val ranges = Seq((0L, 0L, 10L), (1L, 5L, 25L), (2L, 90L, 97L), (3L, 40L, 41L))
