@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.{JaccardSorted, ShingleHashes}
+import graft.ops.{Aggregates, Dedup, Joins}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5): invariants over random inputs, the
+  * ScalaCheck complement to the fixed differential specs. Gens are
+  * driven directly with fixed seeds (the scalatest-scalacheck bridge
+  * isn't in the offline dependency cache) so failures are reproducible.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    (1 to n).foreach { i => f(g.pureApply(Gen.Parameters.default, Seed(4112L + i))) }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 20).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(4112L + i)),
+        gb.pureApply(Gen.Parameters.default, Seed(8224L + i)))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val smallText: Gen[String] =
+    Gen.listOfN(40, Gen.frequency(9 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+      1 -> Gen.const('\t'))).map(_.mkString)
+
+  test("jaccard_sorted ∈ [0,1], reflexive, symmetric (kernel level)") {
+    forAll(smallText, smallText) { (a: String, b: String) =>
+      val sa = ShingleHashes.compute(UTF8String.fromString(a), 3)
+      val sb = ShingleHashes.compute(UTF8String.fromString(b), 3)
+      val jab = JaccardSorted.compute(sa, sb)
+      val jba = JaccardSorted.compute(sb, sa)
+      val jaa = JaccardSorted.compute(sa, sa)
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert(jab === jba)
+      assert(jaa === 1.0)
+    }
+  }
+
+  test("shingle hashes are sorted, distinct, whitespace-collapse invariant") {
+    forAll(smallText) { (a: String) =>
+      val s = ShingleHashes.compute(UTF8String.fromString(a), 4)
+      val arr = (0 until s.numElements()).map(s.getLong)
+      assert(arr === arr.sorted)
+      assert(arr.distinct.size === arr.size)
+      val doubled = a.replace(" ", "  ")
+      val s2 = ShingleHashes.compute(UTF8String.fromString(doubled), 4)
+      assert((0 until s2.numElements()).map(s2.getLong) === arr)
+    }
+  }
+
+  test("salted aggregation equals direct groupBy for arbitrary data") {
+    val rows = Gen.listOfN(300, Gen.zip(Gen.choose(0L, 5L), Gen.choose(-100L, 100L)))
+    forAll(rows) { (data: List[(Long, Long)]) =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("k", "v")
+        val direct = df.groupBy($"k")
+          .agg(sum($"v").as("sum_value"), count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val salted = Aggregates.saltedSumCount(df, $"k", $"v", saltBuckets = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(salted === direct)
+      }
+    }
+  }
+
+  test("asof join equals the naive per-row maximum search") {
+    val leftGen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 100L), Gen.choose(0L, 1000L)))
+    val rightGen = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 100L), Gen.choose(0L, 1000L)))
+    forAll(leftGen, rightGen) { (l: List[(Long, Long, Long)], r: List[(Long, Long, Long)]) =>
+      whenever(l.nonEmpty) {
+        // unique (key, time) on the right so the match is deterministic
+        val rr = r.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+        val ll = l.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        val got = Joins.asof(
+          ll.toDF("k", "t", "lid"), rr.toDF("k", "t", "rid"),
+          keyCols = Seq("k"), leftTime = "t", rightTime = "t",
+          leftCols = Seq("lid"), rightCols = Seq("rid"))
+          .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+        val expected = ll.map { case (k, t, lid) =>
+          val matches = rr.filter(x => x._1 == k && x._2 <= t)
+          lid -> (if (matches.isEmpty) None else Some(matches.maxBy(_._2)._3))
+        }.toMap
+        assert(got === expected)
+      }
+    }
+  }
+
+  test("FM estimate is within its power-of-two band for random cardinalities") {
+    // PCSA with 2^12 partitions is only meaningful for n ≳ partitions:
+    // below that, most bitmaps are empty and the sum floors near 2^12/PHI
+    // — the reference accepts the overestimate because it sizes a hash
+    // table with it (q4112.c:356-371). Test the working regime, plus the
+    // small-n floor property (estimate never undershoots the truth by 4x).
+    forAll(Gen.choose(8000, 40000), n = 8) { (n: Int) =>
+      val df = (0 until n).map(i => Tuple1(i.toLong * 1099511628211L)).toDF("v")
+      val est = Aggregates.distinctFm(df, $"v").collect().head.getLong(0)
+      assert((est & (est - 1)) === 0L)
+      assert(est >= n / 4 && est <= n.toLong * 8, s"n=$n est=$est")
+    }
+    forAll(Gen.choose(1, 3000), n = 4) { (n: Int) =>
+      val df = (0 until n).map(i => Tuple1(i.toLong * 1099511628211L)).toDF("v")
+      val est = Aggregates.distinctFm(df, $"v").collect().head.getLong(0)
+      assert(est >= n / 4, s"n=$n est=$est undershoots")
+    }
+  }
+
+  test("minhash signature agreement approximates jaccard") {
+    // near-dup pair: signature agreement within ±0.35 of true jaccard
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    forAll(Gen.choose(0, 10)) { (edits: Int) =>
+      val other = base.split(" ").zipWithIndex.map { case (w, i) =>
+        if (i < edits) w.reverse else w
+      }.mkString(" ")
+      val sa = ShingleHashes.compute(UTF8String.fromString(base), 5)
+      val sb = ShingleHashes.compute(UTF8String.fromString(other), 5)
+      val truth = JaccardSorted.compute(sa, sb)
+      val ma = graft.functions.MinHashFromHashes.compute(sa, 128)
+      val mb = graft.functions.MinHashFromHashes.compute(sb, 128)
+      val agree = ma.zip(mb).count { case (x, y) => x == y }.toDouble / 128
+      assert(math.abs(agree - truth) < 0.35, s"edits=$edits truth=$truth agree=$agree")
+    }
+  }
+}
