@@ -27,6 +27,8 @@ object Engine {
       // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
       // so read them as Long and convert explicitly (see nanosToTimestamp)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (bucketed co-located joins) live outside the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

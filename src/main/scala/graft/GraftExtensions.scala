@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Two entry points, same registry:
+  *  - `spark.sql.extensions=graft.GraftExtensions` — injected at session
+  *    build time (the SparkSessionExtensions path for deployments);
+  *  - `GraftExtensions.register(spark)` — imperative registration into a
+  *    live session (tests, notebooks).
+  *
+  * After either, all kernels are callable from SQL:
+  * `SELECT jaccard_sorted(shingle_hashes(a.text, 5), shingle_hashes(b.text, 5))`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) for every native function. */
+  val entries: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("shingle_set",
+      info("shingle_set", "shingle_set(text, n) - distinct character n-grams of normalized text"),
+      (es: Seq[Expression]) => ShingleSet(es.head, intArg(es(1), "n"))),
+    ("shingle_hashes",
+      info("shingle_hashes", "shingle_hashes(text, n) - sorted distinct 64-bit n-gram hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1), "n"))),
+    ("jaccard_sorted",
+      info("jaccard_sorted", "jaccard_sorted(a, b) - exact Jaccard of two sorted bigint arrays"),
+      (es: Seq[Expression]) => JaccardSorted(es.head, es(1))),
+    ("simhash64",
+      info("simhash64", "simhash64(shingles) - 64-bit SimHash of an array<string>"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("simhash64_from_hashes",
+      info("simhash64_from_hashes", "simhash64_from_hashes(hashes) - SimHash from pre-hashed shingles"),
+      (es: Seq[Expression]) => SimHash64FromHashes(es.head)),
+    ("minhash_signature",
+      info("minhash_signature", "minhash_signature(shingles, k) - k-element MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, intArg(es(1), "k"))),
+    ("minhash_from_hashes",
+      info("minhash_from_hashes", "minhash_from_hashes(hashes, k) - MinHash from pre-hashed shingles"),
+      (es: Seq[Expression]) => MinHashFromHashes(es.head, intArg(es(1), "k"))),
+    ("cosine_similarity",
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two array<float> vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot product of two array<float> vectors"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    ("hyperplane_sig",
+      info("hyperplane_sig", "hyperplane_sig(v, planes) - random-hyperplane LSH sign bits"),
+      (es: Seq[Expression]) => HyperplaneSignature(es.head, intArg(es(1), "planes"))),
+    ("top_centroids",
+      info("top_centroids", "top_centroids(v, n, k) - ids of the k nearest pseudo-centroids"),
+      (es: Seq[Expression]) => TopCentroids(es.head, intArg(es(1), "n"), intArg(es(2), "k"))),
+    ("fm_count_distinct",
+      info("fm_count_distinct", "fm_count_distinct(v) - Flajolet-Martin/PCSA distinct estimate"),
+      (es: Seq[Expression]) => FlajoletMartin(es.head).toAggregateExpression()))
+
+  /** Imperative registration into a live session. */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

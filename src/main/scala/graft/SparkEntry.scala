@@ -241,6 +241,13 @@ object SparkEntry {
           sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
         .select(unix_timestamp(col("w.start")).as("window_start_s"),
           col("event_type"), col("n_events"), col("sum_value_milli"))),
+    "events_hop_window" -> ((s, dir) =>
+      // sliding 10-min windows every 5 min: each event lands in 2 windows
+      Engine.eventsTable(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("window_start_s"),
+          col("event_type"), col("n_events"))),
     "events_sessionize" -> ((s, dir) =>
       streaming.Events.sessionizeBatch(Engine.eventsTable(s, dir), gapMs = 30 * 60 * 1000L)),
   )
@@ -370,6 +377,12 @@ object SparkEntry {
           |       event_type, count(*) AS n_events,
           |       cast(sum(cast(floor(value * 1000) as bigint)) as bigint) AS sum_value_milli
           |FROM events GROUP BY 1, 2""".stripMargin,
+      "events_hop_window" ->
+        """SELECT ws AS window_start_s, event_type, count(*) AS n_events
+          |FROM events,
+          |     unnest([cast(floor(epoch(ts) / 300) * 300 as bigint),
+          |             cast(floor(epoch(ts) / 300) * 300 - 300 as bigint)]) AS t(ws)
+          |GROUP BY 1, 2""".stripMargin,
       "events_sessionize" ->
         """WITH e AS (
           |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,

@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join: the shuffle-free large×large join path. */
+class TablesSpec extends SparkSpec {
+
+  test("same-bucketing sort-merge join runs with no Exchange on either side") {
+    // the warehouse dir outlives the in-memory catalog across JVM runs;
+    // clear leftover locations so saveAsTable can recreate them
+    for (t <- Seq("li_bucketed", "part_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val li = Engine.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), floor(col("l_quantity")).as("qty"))
+    val pt = Engine.table(spark, sfDir, "part")
+      .select(col("p_partkey"), floor(col("p_retailprice")).as("price"))
+    Tables.writeBucketed(li, "li_bucketed", buckets = 8, keys = Seq("l_partkey"))
+    Tables.writeBucketed(pt, "part_bucketed", buckets = 8, keys = Seq("p_partkey"))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = Tables.readTable(spark, "li_bucketed")
+        .join(Tables.readTable(spark, "part_bucketed"),
+          col("l_partkey") === col("p_partkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+
+      // and it computes the same thing as the plain join
+      val expected = li.join(pt, col("l_partkey") === col("p_partkey")).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
