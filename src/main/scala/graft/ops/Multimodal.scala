@@ -65,24 +65,31 @@ object Multimodal {
   }
 
   /** Distributed feature extraction: partition-parallel map over the
-    * payload bytes. `mapPartitions` (not per-row UDF) so a real codec can
-    * amortize per-batch init (model load, decoder context) exactly like
-    * a Pandas-UDF batch would.
+    * payload bytes. `mapPartitions` is the Scala analog of a
+    * `mapInPandas` iterator-of-batches UDF: per-partition init constructs
+    * the decoder context once, and rows are processed in fixed-size
+    * batches (the Arrow-batch shape) so a real codec/model can amortize
+    * per-batch dispatch exactly like a Pandas UDF would.
     */
-  def extractFeatures(media: DataFrame, dims: Int = 16): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      media: DataFrame, dims: Int = 16, batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init would construct the decoder context here
-        rows.map { case (id, modality, payload) =>
-          val bytes = if (payload == null) Array.emptyByteArray else payload
-          MediaFeatures(
-            media_id = id,
-            modality = modality,
-            n_bytes = bytes.length.toLong,
-            payload_hash = java.util.Arrays.hashCode(bytes).toLong,
-            feature = decodeStub(bytes, dims))
+        // per-partition init: a real impl constructs the decoder/model here
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch dispatch: a real impl hands `batch` to the codec as
+          // one call (the mapInPandas pandas.DataFrame equivalent)
+          batch.map { case (id, modality, payload) =>
+            val bytes = if (payload == null) Array.emptyByteArray else payload
+            MediaFeatures(
+              media_id = id,
+              modality = modality,
+              n_bytes = bytes.length.toLong,
+              payload_hash = java.util.Arrays.hashCode(bytes).toLong,
+              feature = decodeStub(bytes, dims))
+          }
         }
       }
   }
