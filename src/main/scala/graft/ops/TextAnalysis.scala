@@ -10,43 +10,47 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+  import graft.functions.TextProfileFunctions
 
-  /** BPE-ish subword count: word-ish runs + digits + punctuation, the
-    * common pre-tokenizer regex family. Counts matches of
-    * `\p{L}+|\p{N}+|[^\p{L}\p{N}\s]` — an upper-bound proxy for BPE
-    * token counts that needs no vocabulary.
+  /** Whitespace token count (non-space runs; one-pass native kernel). */
+  def tokenCount(text: Column): Column =
+    TextProfileFunctions.textStats(text).getField("n_tokens")
+
+  /** BPE-ish subword count: letter runs + digit runs + individual other
+    * non-space chars — the common pre-tokenizer classes
+    * (`\p{L}+|\p{N}+|[^\p{L}\p{N}\s]`), an upper-bound proxy for BPE
+    * token counts that needs no vocabulary. Native one-pass kernel.
     */
   def subwordCount(text: Column): Column =
-    regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]")).cast("long")
+    TextProfileFunctions.textStats(text).getField("n_subwords")
 
-  /** Character-class composition ratios, the backbone of quality scoring. */
+  /** Character-class composition ratios, the backbone of quality scoring.
+    * All derived from ONE [[graft.functions.TextStatsExpr]] pass —
+    * common-subexpression elimination collapses the struct references
+    * inside whole-stage codegen.
+    */
   def charRatios(df: DataFrame, text: Column): DataFrame = {
-    val len = length(text).cast("double")
-    df.withColumn("n_chars_total", length(text).cast("long"))
-      .withColumn("alpha_ratio",
-        when(len === 0, 0.0).otherwise(length(regexp_replace(text, "[^\\p{L}]", "")) / len))
-      .withColumn("digit_ratio",
-        when(len === 0, 0.0).otherwise(length(regexp_replace(text, "[^0-9]", "")) / len))
-      .withColumn("punct_ratio",
-        when(len === 0, 0.0)
-          .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")) / len))
-      .withColumn("space_ratio",
-        when(len === 0, 0.0).otherwise(length(regexp_replace(text, "[^\\s]", "")) / len))
+    val st = TextProfileFunctions.textStats(text)
+    val len = st.getField("n_chars").cast("double")
+    def ratio(field: String): Column =
+      when(len === 0, 0.0).otherwise(st.getField(field) / len)
+    df.withColumn("n_chars_total", st.getField("n_chars"))
+      .withColumn("alpha_ratio", ratio("n_alpha"))
+      .withColumn("digit_ratio", ratio("n_digit"))
+      .withColumn("punct_ratio", ratio("n_punct"))
+      .withColumn("space_ratio", ratio("n_space"))
   }
 
   /** Heuristic quality score ∈ [0,1]: rewards alphabetic text of
     * reasonable length with moderate punctuation — the standard cheap
-    * pre-filter before expensive model-based scoring.
+    * pre-filter before expensive model-based scoring. One kernel pass.
     */
   def qualityScore(text: Column): Column = {
-    val len = length(text).cast("double")
-    val alpha = when(len === 0, 0.0).otherwise(length(regexp_replace(text, "[^\\p{L}]", "")) / len)
-    val punct = when(len === 0, 0.0).otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")) / len)
-    val words = tokenCount(text).cast("double")
+    val st = TextProfileFunctions.textStats(text)
+    val len = st.getField("n_chars").cast("double")
+    val alpha = when(len === 0, 0.0).otherwise(st.getField("n_alpha") / len)
+    val punct = when(len === 0, 0.0).otherwise(st.getField("n_punct") / len)
+    val words = st.getField("n_tokens").cast("double")
     val lenScore = least(len / 200.0, lit(1.0))
     val wordScore = least(words / 30.0, lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punct * 4.0)
@@ -54,29 +58,11 @@ object TextAnalysis {
       alpha * 0.4 + lenScore * 0.2 + wordScore * 0.2 + punctPenalty * 0.2)), 6)
   }
 
-  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
-  private val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " and ", " of ", " to ", " is ", " in ", " that ", " it "),
-    "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", " nicht ", " ein ", " zu "),
-    "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " une ", " que ", " pas "),
-    "es" -> Seq(" el ", " la ", " los ", " y ", " es ", " una ", " que ", " no "),
-    "it" -> Seq(" il ", " la ", " che ", " e ", " di ", " un ", " per ", " non "))
-
-  /** Language-ID: count stopword hits per language over the lowercased,
-    * space-padded text; argmax wins, `und` (undetermined) when no hits.
-    * Pure expressions — one codegen'd pass, no shuffle.
+  /** Language-ID: stopword-count argmax over {en,de,fr,es,it}, `und`
+    * when nothing hits. Native kernel ([[graft.functions.LangId]]) —
+    * one normalize pass + substring scans, no per-word regex.
     */
-  def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    def hits(words: Seq[String]): Column =
-      words.map(w => when(padded.contains(w),
-        // count occurrences: (len - len(removed)) / len(word)
-        ((length(padded) - length(regexp_replace(padded, w.trim, ""))) / w.trim.length)
-          .cast("long")).otherwise(0L)).reduce(_ + _)
-    val scored = stopwords.toSeq.map { case (lang, ws) => struct(hits(ws).as("score"), lit(lang).as("lang")) }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column = TextProfileFunctions.langId(text)
 
   /** Deterministic document fingerprint: 64-bit xxhash of the
     * whitespace/case-normalized text. Collision-checkable at corpus scale
