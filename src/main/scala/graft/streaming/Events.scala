@@ -37,31 +37,65 @@ object Events {
   /** Streaming sessionization: per-user sessions closed after `gapMs` of
     * inactivity, via `flatMapGroupsWithState` (custom state machine —
     * the mapGroupsWithState surface of SURVEY's streaming mapping).
+    *
+    * State is bounded and sessions always terminate: each update arms an
+    * event-time timeout at `last + gapMs`; when the watermark (event time
+    * minus `watermarkDelay`) passes it with no new events, the open
+    * session is emitted and the state REMOVED — churned users cost
+    * nothing and their final session is not lost. State is therefore
+    * O(users active within one gap), not O(users ever seen). In batch
+    * execution timeouts never fire (state dies with the job), so the
+    * batch form emits only gap-closed sessions; use [[sessionizeBatch]]
+    * for complete batch results.
     */
-  def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L)
-      : Dataset[UserSession] = {
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    // hoisted: the state function must not capture the Dataset itself
+    val streaming = events.isStreaming
+    val withWm =
+      if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout() // batch: timeouts can never fire
+    withWm
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var closed = List.empty[UserSession]
-          var st = state.getOption.orNull
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            st match {
-              case null => st = SessionState(t, t, 1)
-              case s if t - s.last > gapMs =>
-                closed ::= UserSession(userId, s.start, s.last, s.n)
-                st = SessionState(t, t, 1)
-              case s => st = SessionState(s.start, t, s.n + 1)
+          if (state.hasTimedOut) {
+            // gap elapsed in event time with no new events: close + evict
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.last > gapMs =>
+                  closed ::= UserSession(userId, s.start, s.last, s.n)
+                  st = SessionState(t, t, 1)
+                case s => st = SessionState(s.start, t, s.n + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              if (streaming) {
+                // arm the gap timeout; must stay above the current
+                // watermark or Spark rejects it (late-data session)
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
+              }
+            }
+            closed.reverseIterator
           }
-          if (st != null) state.update(st)
-          closed.reverseIterator
       }
   }
 

@@ -17,25 +17,50 @@ class StreamingSpec extends SparkSpec {
     val query = Events.sessionize(stream.toDS(), gapMs = Gap)
       .writeStream.format("memory").queryName("sessions_out")
       .outputMode("append").start()
+    // offset all event times well past the initial watermark (0): a row
+    // with ts <= watermark is dropped as late by the stateful operator
+    val B = 86400000L
     try {
       // batch 1: user 1 has two events 10s apart (one open session);
       // user 2 one event
       stream.addData(
-        SessionEvent(1L, ts(0L), "click"),
-        SessionEvent(1L, ts(10000L), "click"),
-        SessionEvent(2L, ts(5000L), "view"))
+        SessionEvent(1L, ts(B), "click"),
+        SessionEvent(1L, ts(B + 10000L), "click"),
+        SessionEvent(2L, ts(B + 5000L), "view"))
       query.processAllAvailable()
       assert(spark.table("sessions_out").count() === 0) // nothing closed yet
 
       // batch 2: events far beyond the gap close both open sessions
       stream.addData(
-        SessionEvent(1L, ts(10000L + Gap + 1), "click"),
-        SessionEvent(2L, ts(5000L + Gap + 1), "view"))
+        SessionEvent(1L, ts(B + 10000L + Gap + 1), "click"),
+        SessionEvent(2L, ts(B + 5000L + Gap + 1), "view"))
       query.processAllAvailable()
       val closed = spark.table("sessions_out").as[UserSession].collect().toSet
       assert(closed === Set(
-        UserSession(1L, 0L, 10000L, 2L),
-        UserSession(2L, 5000L, 5000L, 1L)))
+        UserSession(1L, B, B + 10000L, 2L),
+        UserSession(2L, B + 5000L, B + 5000L, 1L)))
+    } finally query.stop()
+  }
+
+  test("sessionize emits final sessions via event-time timeout and evicts state") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    // zero watermark delay so the watermark tracks max event time exactly
+    val query = Events.sessionize(stream.toDS(), gapMs = Gap, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_timeout_out")
+      .outputMode("append").start()
+    try {
+      // user 3 goes quiet; only OTHER users' events advance the watermark
+      stream.addData(SessionEvent(3L, ts(1000L), "click"))
+      query.processAllAvailable()
+      assert(spark.table("sessions_timeout_out").count() === 0)
+
+      // watermark jumps far past user 3's gap deadline (1000 + Gap);
+      // the no-data batch fires the timeout and emits the final session
+      stream.addData(SessionEvent(9L, ts(1000L + 10 * Gap), "click"))
+      query.processAllAvailable()
+      val closed = spark.table("sessions_timeout_out").as[UserSession].collect().toSet
+      assert(closed === Set(UserSession(3L, 1000L, 1000L, 1L)))
     } finally query.stop()
   }
 
