@@ -37,17 +37,30 @@ object Bench {
 
     // best-of-2 per query, like the reference's best-of-5 CSV convention
     // (BASELINE.md): run 1 absorbs first-touch costs (parquet footers,
-    // codegen, JIT) that are not steady-state engine throughput
+    // codegen, JIT) that are not steady-state engine throughput.
+    // A query that throws reports -1 (never a fast "success") and its
+    // error lands in the "errors" map.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once = time {
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      }
-      name -> math.min(once, once)
+      def once: Double =
+        try time { fn(spark, sfDir).count(); () }
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              (Option(e.getMessage).getOrElse(e.getClass.getName))
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+            -1.0
+        }
+      val a = once
+      val b = once
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

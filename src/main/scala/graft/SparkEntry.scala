@@ -173,11 +173,13 @@ object SparkEntry {
 
     // ------------------------------------------------ text analysis
     "text_stats" -> ((s, dir) => {
+      // every count from ONE TextStatsExpr kernel pass (CSE collapses
+      // the struct references inside whole-stage codegen)
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_text"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
+        TextAnalysis.digitCount(col("text")).as("n_digits"),
         TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
     }),
     "text_subwords" -> ((s, dir) =>
@@ -292,13 +294,21 @@ object SparkEntry {
         """SELECT s_suppkey, count(*) AS n_pairs
           |FROM supplier JOIN nation ON s_nationkey < n_nationkey
           |GROUP BY s_suppkey""".stripMargin,
+      // compares at the SAME ms granularity as the Spark query
+      // (unix_millis both sides); ties at equal p_ms break to the max
+      // purchase_id, matching Joins.asof's deterministic tie-break
       "join_asof" ->
-        """SELECT l.event_id AS click_id, l.user_id AS user_id,
-          |       epoch_ms(l.ts) AS click_ms,
-          |       coalesce(r.event_id, -1) AS purchase_id
-          |FROM (SELECT * FROM events WHERE event_type = 'click') l
-          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-          |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+        """WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+          |           FROM events WHERE event_type = 'click'),
+          |     p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+          |           FROM events WHERE event_type = 'purchase'),
+          |     m AS (SELECT c.click_id, c.user_id, c.click_ms, max(p.p_ms) AS best_ms
+          |           FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ms <= c.click_ms
+          |           GROUP BY 1, 2, 3)
+          |SELECT m.click_id, m.user_id, m.click_ms,
+          |       coalesce(max(p.purchase_id), -1) AS purchase_id
+          |FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.p_ms = m.best_ms
+          |GROUP BY 1, 2, 3""".stripMargin,
       "join_range" ->
         """SELECT r_regionkey, count(*) AS n_rows
           |FROM lineitem JOIN region
@@ -338,13 +348,13 @@ object SparkEntry {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
       "dedup_exact" ->
-        """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        """SELECT md5(lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g'))) AS content_hash,
           |       min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
 
       "dedup_ngram" ->
         """WITH d AS (
-          |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+          |  SELECT doc_id, lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t
           |  FROM documents WHERE doc_id < 200),
           |g AS (
           |  SELECT doc_id,
@@ -360,16 +370,19 @@ object SparkEntry {
 
       "text_subwords" ->
         """SELECT doc_id,
-          |       len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS n_subwords
+          |       len(regexp_extract_all(text,
+          |         '\p{L}+|\p{N}+|[^\p{L}\p{N}\t\n\x0b\f\r ]'))::BIGINT AS n_subwords
           |FROM documents""".stripMargin,
 
+      // explicit [\t\n\x0B\f\r ] whitespace class and \p{N} digit class:
+      // identical semantics in RE2 and in the one-pass TextStats kernel
+      // (Java \s / Character.isWhitespace and RE2 \s disagree on Unicode)
       "text_stats" ->
         """SELECT doc_id,
           |       length(text) AS n_chars_text,
-          |       CASE WHEN length(trim(text)) = 0 THEN 0
-          |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-          |       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
-          |       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+          |       len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::BIGINT AS n_tokens,
+          |       len(regexp_extract_all(text, '\p{N}'))::BIGINT AS n_digits,
+          |       md5(lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g'))) AS fingerprint
           |FROM documents""".stripMargin,
 
       "events_window_agg" ->

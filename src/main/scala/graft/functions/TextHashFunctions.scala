@@ -182,15 +182,21 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleSet {
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
-    // normalize: collapse whitespace runs to ' ', lowercase
-    val s = text.toString
+  /** The regex-portable whitespace set [\t\n\x0B\f\r ] — NOT
+    * Character.isWhitespace, which disagrees with RE2 \s on
+    * U+001C-001F/U+2028 and would break oracle parity on Unicode text.
+    */
+  @inline private[functions] def isWsClass(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** Shared normalization: collapse [\t\n\x0B\f\r ] runs to ' ', lowercase. */
+  private[functions] def normalize(s: String): java.lang.StringBuilder = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var lastWs = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (isWsClass(c)) {
         if (!lastWs) sb.append(' ')
         lastWs = true
       } else {
@@ -199,7 +205,11 @@ object ShingleSet {
       }
       i += 1
     }
-    val norm = sb.toString
+    sb
+  }
+
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val norm = normalize(text.toString).toString
     if (norm.length < n)
       return new GenericArrayData(Array[Any](UTF8String.fromString(norm)))
     val seen = new java.util.LinkedHashSet[String]()
@@ -247,49 +257,34 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleHashes {
-  /** splitmix64 finalizer — turns the rolling polynomial into a
-    * well-mixed 64-bit value.
+  /** Each n-gram window is hashed with XXH64 over its UTF-16LE bytes —
+    * an injective window encoding, so distinct shingles collide only at
+    * the hash's own ~2^-64 rate (a rolling polynomial is NOT injective:
+    * swapping adjacent chars (c, d) → (c+1, d-31) preserves a base-31
+    * value). One flat byte buffer for the whole text; no per-window
+    * allocation.
     */
-  @inline private def mix(x0: Long): Long = {
-    var z = x0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   def compute(text: UTF8String, n: Int): GenericArrayData = {
-    // normalize: collapse whitespace runs to ' ', lowercase (same
-    // normalization as ShingleSet)
-    val s = text.toString
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    var lastWs = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
-        if (!lastWs) sb.append(' ')
-        lastWs = true
-      } else {
-        sb.append(Character.toLowerCase(c))
-        lastWs = false
-      }
-      i += 1
+    // same normalization as ShingleSet (portable ws class, lowercase)
+    val sb = ShingleSet.normalize(text.toString)
+    val len = sb.length
+    // UTF-16LE byte image of the normalized text
+    val bytes = new Array[Byte](len * 2)
+    var b = 0
+    while (b < len) {
+      val c = sb.charAt(b)
+      bytes(b * 2) = (c & 0xFF).toByte
+      bytes(b * 2 + 1) = ((c >> 8) & 0xFF).toByte
+      b += 1
     }
-    val norm = sb
-    val len = norm.length
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
     val seen = new java.util.HashSet[java.lang.Long]()
     if (len < n) {
-      var h = 1125899906842597L
-      var j = 0
-      while (j < len) { h = h * 31 + norm.charAt(j); j += 1 }
-      seen.add(mix(h))
+      seen.add(XXH64.hashUnsafeBytes(bytes, off, len * 2, 42L))
     } else {
       var j = 0
       while (j + n <= len) {
-        var h = 1125899906842597L
-        var k = j
-        while (k < j + n) { h = h * 31 + norm.charAt(k); k += 1 }
-        seen.add(mix(h))
+        seen.add(XXH64.hashUnsafeBytes(bytes, off + j * 2L, n * 2, 42L))
         j += 1
       }
     }

@@ -16,11 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * At corpus scale the profile should be ONE scan-side pass; these
   * kernels fold every count in a single character loop.
   *
-  * Class semantics mirror the column-expression versions: alpha =
-  * `Character.isLetter` (\p{L}), digit = ASCII 0-9, punct = POSIX ASCII
-  * punctuation (\p{Punct}), space = `Character.isWhitespace`; tokens =
-  * non-space runs; subwords = letter runs + digit runs + other
-  * non-space chars (the BPE-ish pre-tokenizer classes).
+  * Class semantics are defined over CODE POINTS with regex-portable
+  * classes, so the same counts come out of Java, RE2 (DuckDB), and the
+  * kernel: alpha = \p{L} (`Character.isLetter(cp)`), digit = \p{N}
+  * (`Character.getType(cp)` ∈ {Nd, Nl, No}), punct = POSIX ASCII
+  * punctuation (\p{Punct}), space = the explicit set
+  * `[\t\n\x0B\f\r ]` (NOT `Character.isWhitespace` or an engine's \s —
+  * those disagree between Java and RE2 on U+000B/U+001C-1F/U+2028);
+  * tokens = non-space runs; subwords = letter runs + \p{N} runs + other
+  * non-space chars (the BPE-ish pre-tokenizer classes
+  * `\p{L}+|\p{N}+|[^\p{L}\p{N}\t\n\x0B\f\r ]`). n_chars counts code
+  * points, matching Spark `length()` and DuckDB `length()`.
   */
 object TextStats {
   val schema: StructType = StructType(Seq(
@@ -32,35 +38,48 @@ object TextStats {
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_subwords", LongType, nullable = false)))
 
-  @inline private def isAsciiPunct(c: Char): Boolean =
-    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
-      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+  @inline private def isAsciiPunct(cp: Int): Boolean =
+    (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
+      (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')
+
+  /** The regex-portable \s subset: [\t\n\x0B\f\r ]. */
+  @inline private def isSpaceClass(cp: Int): Boolean =
+    cp == ' ' || (cp >= '\t' && cp <= '\r') // \t \n \x0B \f \r
+
+  /** \p{N}: decimal digit, letter number, other number. */
+  @inline private def isNumberClass(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
 
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
+    var chars = 0L
     var alpha = 0L; var digit = 0L; var punct = 0L; var space = 0L
     var tokens = 0L; var subwords = 0L
-    var prevClass = 0 // 0=space/none, 1=letter, 2=digit, 3=other
+    var prevClass = 0 // 0=space/none, 1=letter, 2=number, 3=other
     var prevSpace = true
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      val ws = Character.isWhitespace(c)
-      val letter = Character.isLetter(c)
-      val dig = c >= '0' && c <= '9'
+      val cp = s.codePointAt(i)
+      chars += 1
+      val ws = isSpaceClass(cp)
+      val letter = Character.isLetter(cp)
+      val dig = isNumberClass(cp)
       if (letter) alpha += 1
       if (dig) digit += 1
-      if (isAsciiPunct(c)) punct += 1
+      if (isAsciiPunct(cp)) punct += 1
       if (ws) space += 1
       if (!ws && prevSpace) tokens += 1
       val cls = if (ws) 0 else if (letter) 1 else if (dig) 2 else 3
-      // subword starts: new letter run, new digit run, every "other" char
+      // subword starts: new letter run, new number run, every "other" char
       if (cls == 3 || (cls != 0 && cls != prevClass)) subwords += 1
       prevClass = cls
       prevSpace = ws
-      i += 1
+      i += Character.charCount(cp)
     }
-    InternalRow(s.length.toLong, alpha, digit, punct, space, tokens, subwords)
+    InternalRow(chars, alpha, digit, punct, space, tokens, subwords)
   }
 }
 

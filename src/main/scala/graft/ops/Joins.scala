@@ -75,7 +75,9 @@ object Joins {
     * forward with a `last(_, ignoreNulls)` running window — one shuffle
     * on the key, no |left|×|right| candidate blow-up, works at any time
     * density. Right rows sort before left rows at equal timestamps, so
-    * the match is inclusive. Right payload columns must be non-null to
+    * the match is inclusive; ties among right rows at the same timestamp
+    * break deterministically to the lexicographically greatest
+    * `rightCols` payload. Right payload columns must be non-null to
     * count as a match, and output names must not clash with left's.
     */
   def asof(
@@ -94,7 +96,8 @@ object Joins {
         rightCols.map(c => col(c).as(s"__r_$c")): _*)
     val u = ls.unionByName(rs, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(col("__t").asc +: col("__side").desc +:
+        rightCols.map(c => col(s"__r_$c").asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = rightCols.foldLeft(u) { (df, c) =>
       df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))

@@ -64,18 +64,30 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = TextProfileFunctions.langId(text)
 
+  /** \p{N} code-point count (decimal/letter/other numbers) — one-pass
+    * kernel field, regex-portable (Java and RE2 agree on \p{N}).
+    */
+  def digitCount(text: Column): Column =
+    TextProfileFunctions.textStats(text).getField("n_digit")
+
+  /** Whitespace-run normalization with the EXPLICIT class
+    * `[\t\n\x0B\f\r ]+` rather than `\s+`: Java regex \s and RE2 \s
+    * disagree outside this set, and fingerprints must be engine-portable.
+    */
+  private val wsRun = "[\\t\\n\\x0B\\f\\r ]+"
+
   /** Deterministic document fingerprint: 64-bit xxhash of the
     * whitespace/case-normalized text. Collision-checkable at corpus scale
     * (2^64 space) and stable across partitionings.
     */
   def fingerprint64(text: Column): Column =
-    xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+    xxhash64(lower(regexp_replace(text, wsRun, " ")))
 
   /** MD5 fingerprint of normalized text — same normalization, hex string.
     * (Portable across engines, so it is the oracle-checkable variant.)
     */
   def fingerprintMd5(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    md5(lower(regexp_replace(text, wsRun, " ")))
 
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
