@@ -374,6 +374,86 @@ object SparkEntry {
           |         '\p{L}+|\p{N}+|[^\p{L}\p{N}\t\n\x0b\f\r ]'))::BIGINT AS n_subwords
           |FROM documents""".stripMargin,
 
+      // mirrors qualityScore's IEEE arithmetic term by term, same
+      // left-associated evaluation order → bit-exact doubles
+      "text_quality" ->
+        """WITH s AS (SELECT doc_id,
+          |    length(text)::DOUBLE AS len,
+          |    len(regexp_extract_all(text, '\p{L}'))::DOUBLE AS n_alpha,
+          |    len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE AS n_punct,
+          |    len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::DOUBLE AS n_tokens
+          |  FROM documents)
+          |SELECT doc_id,
+          |  greatest(0.0, least(1.0,
+          |    (CASE WHEN len = 0 THEN 0.0 ELSE n_alpha / len END) * 0.4
+          |    + least(len / 200.0, 1.0) * 0.2
+          |    + least(n_tokens / 30.0, 1.0) * 0.2
+          |    + greatest(0.0, 1.0 - (CASE WHEN len = 0 THEN 0.0 ELSE n_punct / len END) * 4.0) * 0.2
+          |  )) AS quality
+          |FROM s""".stripMargin,
+
+      // stopword-token counts per language; argmax with ties to the
+      // earlier language in (en,de,fr,es,it), 'und' when all zero —
+      // exactly LangIdKernel's strict-> update order
+      "text_langid" ->
+        """WITH w AS (SELECT doc_id,
+          |    str_split(regexp_replace(lower(text), '[\t\n\x0b\f\r ]+', ' ', 'g'), ' ') AS t
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |    len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it'))) AS en,
+          |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+          |    len(list_filter(t, x -> x IN ('le','la','les','et','est','une','que','pas'))) AS fr,
+          |    len(list_filter(t, x -> x IN ('el','la','los','y','es','una','que','no'))) AS es,
+          |    len(list_filter(t, x -> x IN ('il','la','che','e','di','un','per','non'))) AS it
+          |  FROM w)
+          |SELECT doc_id,
+          |  CASE WHEN greatest(en, de, fr, es, it) = 0 THEN 'und'
+          |       WHEN en >= de AND en >= fr AND en >= es AND en >= it THEN 'en'
+          |       WHEN de >= fr AND de >= es AND de >= it THEN 'de'
+          |       WHEN fr >= es AND fr >= it THEN 'fr'
+          |       WHEN es >= it THEN 'es'
+          |       ELSE 'it' END AS lang_pred
+          |FROM c""".stripMargin,
+
+      // rank-only output: double-precision cosine ordering agrees across
+      // engines unless two cosines differ by < 1e-15 (distinct random
+      // vectors never do)
+      "sim_topk_brute" ->
+        """SELECT probe_id, corpus_id, "rank" FROM (
+          |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+          |         row_number() OVER (PARTITION BY p.vec_id
+          |           ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+          |                                           p.embedding::DOUBLE[]) DESC,
+          |                    c.vec_id ASC) AS "rank"
+          |  FROM embeddings c
+          |  JOIN (SELECT * FROM embeddings WHERE vec_id <= 5) p
+          |    ON c.vec_id <> p.vec_id)
+          |WHERE "rank" <= 5""".stripMargin,
+
+      // multimodal metadata stand-ins are LCG arithmetic on the id and
+      // md5 content hashes — fully reproducible in SQL
+      "multimodal_features" ->
+        """SELECT doc_id AS media_id, 'image' AS modality,
+          |       strlen(text)::BIGINT AS n_bytes,
+          |       md5(text) AS payload_hash
+          |FROM documents""".stripMargin,
+      "multimodal_resize" ->
+        """WITH m AS (SELECT doc_id AS media_id,
+          |    ((doc_id * 48271 + 11) % 1920 + 1)::INT AS width,
+          |    ((doc_id * 69621 + 7) % 1080 + 1)::INT AS height
+          |  FROM documents)
+          |SELECT media_id, width, height,
+          |       ceil(width * least(256.0 / width, 256.0 / height, 1.0))::INT AS target_width,
+          |       ceil(height * least(256.0 / width, 256.0 / height, 1.0))::INT AS target_height
+          |FROM m""".stripMargin,
+      "multimodal_frames" ->
+        """WITH m AS (SELECT doc_id AS media_id,
+          |    (doc_id * 16807 + 3) % 600000 AS duration_ms
+          |  FROM documents)
+          |SELECT media_id, ts AS frame_ts_ms,
+          |       md5(media_id || ':' || ts) AS frame_ref
+          |FROM m, unnest(range(0, greatest(duration_ms - 1, 0) + 1, 60000)) AS u(ts)""".stripMargin,
+
       // explicit [\t\n\x0B\f\r ] whitespace class and \p{N} digit class:
       // identical semantics in RE2 and in the one-pass TextStats kernel
       // (Java \s / Character.isWhitespace and RE2 \s disagree on Unicode)

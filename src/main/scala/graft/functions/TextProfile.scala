@@ -119,7 +119,10 @@ object LangIdKernel {
     Array("il", "la", "che", "e", "di", "un", "per", "non"))
 
   def compute(text: UTF8String): UTF8String = {
-    // normalize: lowercase, whitespace runs → single space, padded
+    // normalize: lowercase, [\t\n\x0B\f\r ] runs → single space, padded
+    // (the same regex-portable ws class as TextStats, for oracle parity:
+    // counting " word " occurrences in this padding equals counting
+    // space-split tokens equal to `word`)
     val raw = text.toString
     val sb = new java.lang.StringBuilder(raw.length + 2)
     sb.append(' ')
@@ -127,7 +130,7 @@ object LangIdKernel {
     var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (c == ' ' || (c >= '\t' && c <= '\r')) {
         if (!lastWs) sb.append(' ')
         lastWs = true
       } else {

@@ -30,22 +30,26 @@ object Multimodal {
       media_id: Long,
       modality: String,
       n_bytes: Long,
-      payload_hash: Long,
+      payload_hash: String,
       feature: Array[Float])
 
   /** Wrap any table into a media table by treating a string column as the
     * opaque payload (deterministic stand-in for real image bytes; the
     * schema and downstream plumbing are exactly what real media uses).
+    * Metadata stand-ins are plain LCG arithmetic on the id — portable to
+    * any SQL engine, so the whole multimodal family is oracle-checkable.
     */
   def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
-      modality: String = "image"): DataFrame =
+      modality: String = "image"): DataFrame = {
+    val id = col(idCol).cast("long")
     df.select(
-      col(idCol).cast("long").as("media_id"),
+      id.as("media_id"),
       lit(modality).as("modality"),
       col(payloadCol).cast("binary").as("payload"),
-      (pmod(xxhash64(col(idCol)), lit(1920L)) + 1L).cast("int").as("width"),
-      (pmod(xxhash64(col(idCol), lit(1)), lit(1080L)) + 1L).cast("int").as("height"),
-      pmod(xxhash64(col(idCol), lit(2)), lit(600000L)).as("duration_ms"))
+      ((id * 48271L + 11L) % 1920L + 1L).cast("int").as("width"),
+      ((id * 69621L + 7L) % 1080L + 1L).cast("int").as("height"),
+      ((id * 16807L + 3L) % 600000L).as("duration_ms"))
+  }
 
   /** STUB decode kernel — deterministic fake feature vector derived from
     * the payload bytes. A real implementation would decode the codec and
@@ -77,17 +81,21 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init: a real impl constructs the decoder/model here
+        // per-partition init: a real impl constructs the decoder/model
+        // here (the MD5 digest stands in for that per-partition context)
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.grouped(batchSize).flatMap { batch =>
           // per-batch dispatch: a real impl hands `batch` to the codec as
           // one call (the mapInPandas pandas.DataFrame equivalent)
           batch.map { case (id, modality, payload) =>
             val bytes = if (payload == null) Array.emptyByteArray else payload
+            md.reset()
+            val hex = md.digest(bytes).map("%02x".format(_)).mkString
             MediaFeatures(
               media_id = id,
               modality = modality,
               n_bytes = bytes.length.toLong,
-              payload_hash = java.util.Arrays.hashCode(bytes).toLong,
+              payload_hash = hex,
               feature = decodeStub(bytes, dims))
           }
         }
@@ -103,7 +111,8 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs))))
       .select(col("media_id"), col("modality"), col("frame_ts_ms"),
-        xxhash64(col("media_id"), col("frame_ts_ms")).as("frame_ref"))
+        md5(concat(col("media_id").cast("string"), lit(":"),
+          col("frame_ts_ms").cast("string"))).as("frame_ref"))
 
   /** Metadata-only resize plan: computes target dimensions preserving
     * aspect ratio without touching payload bytes (scan reads only the

@@ -44,6 +44,9 @@ object TextAnalysis {
   /** Heuristic quality score ∈ [0,1]: rewards alphabetic text of
     * reasonable length with moderate punctuation — the standard cheap
     * pre-filter before expensive model-based scoring. One kernel pass.
+    * Pure IEEE-754 arithmetic with a fixed evaluation order, so any
+    * engine mirroring the formula reproduces it bit-exactly (no round()
+    * step — rounding semantics differ across engines).
     */
   def qualityScore(text: Column): Column = {
     val st = TextProfileFunctions.textStats(text)
@@ -54,8 +57,8 @@ object TextAnalysis {
     val lenScore = least(len / 200.0, lit(1.0))
     val wordScore = least(words / 30.0, lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punct * 4.0)
-    round(greatest(lit(0.0), least(lit(1.0),
-      alpha * 0.4 + lenScore * 0.2 + wordScore * 0.2 + punctPenalty * 0.2)), 6)
+    greatest(lit(0.0), least(lit(1.0),
+      alpha * 0.4 + lenScore * 0.2 + wordScore * 0.2 + punctPenalty * 0.2))
   }
 
   /** Language-ID: stopword-count argmax over {en,de,fr,es,it}, `und`
