@@ -43,6 +43,10 @@ object GraftExtensions {
     ("shingle_hashes",
       info("shingle_hashes", "shingle_hashes(text, n) - sorted distinct 64-bit n-gram hashes"),
       (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1), "n"))),
+    ("winnow_fingerprint",
+      info("winnow_fingerprint",
+        "winnow_fingerprint(text, k, w) - winnowing (MOSS) rolling-hash document sketch"),
+      (es: Seq[Expression]) => WinnowFingerprint(es.head, intArg(es(1), "k"), intArg(es(2), "w"))),
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - exact Jaccard of two sorted bigint arrays"),
       (es: Seq[Expression]) => JaccardSorted(es.head, es(1))),

@@ -125,8 +125,12 @@ object SparkEntry {
         10, col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
     "agg_topk_per_group" -> ((s, dir) =>
       Aggregates.topKPerGroup(
+        // hash-repartition: the partial (map-side) top-k sort runs per
+        // input partition and the single-file testdata scan yields ONE;
+        // hash exchange (unlike round-robin) adds no pre-exchange sort
         t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
-          col("l_linenumber"), floor(col("l_extendedprice")).as("price")),
+          col("l_linenumber"), floor(col("l_extendedprice")).as("price"))
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
         Seq(col("l_returnflag")), 3,
         col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
     "agg_window_running" -> ((s, dir) => {
@@ -187,6 +191,27 @@ object SparkEntry {
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    // winnowing (MOSS) rolling-hash sketch — size per doc (rows-only:
+    // XXH64 is not reproducible in the oracle engine)
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4))
+          .cast("long").as("n_fingerprints"))),
+    // near-dup pairs by winnow-sketch Jaccard: same verify kernel as
+    // dedup_ngram but over the ~2/(w+1)-sized sketch (the cheap
+    // all-pairs screen; LSH over sketches is the corpus-scale path)
+    "dedup_winnow" -> ((s, dir) => {
+      val prep = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"),
+          TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4).as("fp"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val a = prep.select(col("id").as("id_a"), col("fp").as("fp_a"))
+      val b = prep.select(col("id").as("id_b"), col("fp").as("fp_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
 

@@ -297,6 +297,94 @@ object ShingleHashes {
   }
 }
 
+/** winnow_fingerprint(text, k, w): the winnowing document sketch
+  * (Schleimer/Wilkerson/Aiken, the MOSS fingerprinting scheme): hash
+  * every character k-gram of the normalized text (rolling window, one
+  * XXH64 per gram over the flat UTF-16LE buffer), then keep the minimum
+  * hash of every w-gram window (rightmost on ties). Guarantee: two
+  * documents sharing any substring of ≥ w+k-1 normalized chars share at
+  * least one fingerprint, while the sketch is ~2/(w+1) the size of the
+  * full gram set. Output: sorted distinct selected hashes — directly
+  * joinable/jaccard-able like [[ShingleHashes]] output, at a fraction of
+  * the bytes.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1, "gram length must be >= 1")
+  require(w >= 1, "window length must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprint.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WinnowFingerprint.compute($a, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
+  override def prettyName: String = "winnow_fingerprint"
+}
+
+object WinnowFingerprint {
+  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val sb = ShingleSet.normalize(text.toString)
+    val len = sb.length
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val bytes = new Array[Byte](len * 2)
+    var b = 0
+    while (b < len) {
+      val c = sb.charAt(b)
+      bytes(b * 2) = (c & 0xFF).toByte
+      bytes(b * 2 + 1) = ((c >> 8) & 0xFF).toByte
+      b += 1
+    }
+    if (len < k)
+      return new GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(bytes, off, len * 2, 42L)))
+    val m = len - k + 1 // gram count
+    val hashes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      hashes(j) = XXH64.hashUnsafeBytes(bytes, off + j * 2L, k * 2, 42L)
+      j += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    if (m <= w) {
+      // one window: its (rightmost) minimum is the whole sketch
+      var best = 0
+      var i = 1
+      while (i < m) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
+      seen.add(hashes(best))
+    } else {
+      // monotonic deque sliding-window minimum, O(m); `>=` eviction
+      // keeps the RIGHTMOST minimal gram per window (winnowing's
+      // tie-break, needed for the shared-substring guarantee)
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail) holds candidate indices
+      var i = 0
+      while (i < m) {
+        while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(hashes(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+}
+
 /** jaccard_sorted(a, b): exact Jaccard similarity of two SORTED distinct
   * long arrays — one linear merge, no hash sets, codegen'd. The
   * verification kernel for LSH candidates.
@@ -428,6 +516,8 @@ object TextHashFunctions {
     bridge.toColumn(ShingleHashes(bridge.toExpression(text), n))
   def jaccardSorted(a: Column, b: Column): Column =
     bridge.toColumn(JaccardSorted(bridge.toExpression(a), bridge.toExpression(b)))
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    bridge.toColumn(WinnowFingerprint(bridge.toExpression(text), k, w))
   def simhash64(shingles: Column): Column =
     bridge.toColumn(SimHash64(bridge.toExpression(shingles)))
   def simhash64FromHashes(hashes: Column): Column =

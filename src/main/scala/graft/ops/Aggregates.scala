@@ -49,7 +49,16 @@ object Aggregates {
   def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
     df.orderBy(ordering: _*).limit(k)
 
-  /** Per-group top-k via ranked window — shuffle on the group key only. */
+  /** Per-group top-k via ranked window — shuffle on the group key only.
+    * This is ALREADY two-phase physically: Catalyst's
+    * InsertWindowGroupLimit plants a `WindowGroupLimit(Partial)` before
+    * the exchange (each map task keeps ≤ k rows per group — the
+    * partial/final split the reference hand-writes for aggregation,
+    * q4112_hj.c:119-121 + 256-263) and a `Final` pass after it, so only
+    * ≤ k·partitions rows per group ever shuffle. No hand-rolled salting
+    * needed; the remaining scale lever is input parallelism (the partial
+    * sort runs per input partition).
+    */
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column], k: Int,
       ordering: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window

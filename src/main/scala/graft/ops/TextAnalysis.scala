@@ -92,6 +92,16 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(text, wsRun, " ")))
 
+  /** Winnowing (rolling-hash) fingerprint sketch of the normalized text
+    * — [[graft.functions.WinnowFingerprint]]: XXH64 over each character
+    * k-gram, sliding-window-w minima kept. Two documents sharing any
+    * normalized substring of ≥ w+k-1 chars share a fingerprint; the
+    * sketch is ~2/(w+1) of the gram count, so all-pairs overlap joins
+    * run on a fraction of [[graft.ops.Dedup.shingleHashes]]'s bytes.
+    */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.TextHashFunctions.winnowFingerprint(text, k, w)
+
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

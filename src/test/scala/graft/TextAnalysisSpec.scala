@@ -52,6 +52,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f1 === f2)
   }
 
+  test("winnow fingerprints: shared-substring guarantee, sketch compression") {
+    val k = 5; val w = 4
+    def sketch(s: String): Seq[Long] =
+      one[scala.collection.Seq[Long]](TextAnalysis.winnowFingerprint(lit(s), k, w)).toSeq
+    val shared = "a genuinely shared span of text" // >> w+k-1 chars
+    val s1 = sketch(s"left prefix $shared and one tail")
+    val s2 = sketch(s"другой префикс $shared totally different end")
+    // winnowing guarantee: any shared normalized substring of >= w+k-1
+    // chars leaves at least one common fingerprint
+    assert(s1.toSet.intersect(s2.toSet).nonEmpty)
+    // sorted distinct
+    assert(s1 === s1.distinct.sorted)
+    // compression: sketch is a strict subset of the full gram set
+    val full = one[scala.collection.Seq[Long]](
+      graft.functions.TextHashFunctions.shingleHashes(lit(shared * 10), k)).toSeq
+    val win = sketch(shared * 10)
+    assert(win.size < full.size)
+    assert(win.toSet.subsetOf(full.toSet))
+    // short text: single fingerprint of the whole string
+    assert(sketch("ab").size === 1)
+  }
+
   test("profile computes every column in one pass over real testdata") {
     val docs = Engine.table(spark, sfDir, "documents")
     val prof = TextAnalysis.profile(docs, "text")
