@@ -277,6 +277,10 @@ object SparkEntry {
           col("event_type"), col("n_events"))),
     "events_sessionize" -> ((s, dir) =>
       streaming.Events.sessionizeBatch(Engine.eventsTable(s, dir), gapMs = 30 * 60 * 1000L)),
+    // stream-stream interval join, batch execution of the same plan
+    "events_stream_join" -> ((s, dir) =>
+      streaming.Events.clickPurchaseJoin(Engine.eventsTable(s, dir),
+        withinMs = 10 * 60 * 1000L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,6 +505,19 @@ object SparkEntry {
           |     unnest([cast(floor(epoch(ts) / 300) * 300 as bigint),
           |             cast(floor(epoch(ts) / 300) * 300 - 300 as bigint)]) AS t(ws)
           |GROUP BY 1, 2""".stripMargin,
+      // Spark compares at µs resolution (ns parquet timestamps are
+      // floored to µs on ingest), so the oracle floors epoch_ns the
+      // same way before comparing
+      "events_stream_join" ->
+        """SELECT c.event_id AS click_id, c.user_id AS user_id,
+          |       epoch_ns(c.ts) // 1000000 AS click_ms,
+          |       p.event_id AS purchase_id,
+          |       epoch_ns(p.ts) // 1000000 AS purchase_ms
+          |FROM events c JOIN events p
+          |  ON p.user_id = c.user_id
+          | AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+          | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 600000000""".stripMargin,
       "events_sessionize" ->
         """WITH e AS (
           |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,

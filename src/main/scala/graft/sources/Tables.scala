@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Source/sink helpers (SURVEY §2.1 generalized).
   *
@@ -38,4 +39,44 @@ object Tables {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** CSV source with an EXPLICIT schema — at corpus scale schema
+    * inference is a full extra pass over the data, so it is opt-in only
+    * (`inferSchema = true` for ad-hoc exploration).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType = null,
+      header: Boolean = true, inferSchema: Boolean = false): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    val withSchema =
+      if (schema != null) r.schema(schema)
+      else r.option("inferSchema", inferSchema.toString)
+    withSchema.csv(path)
+  }
+
+  /** JSON-lines source, explicit schema for the same reason: without one
+    * Spark samples the whole input to infer, and corrupt rows land in
+    * `_corrupt_record` instead of failing the pipeline.
+    */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType = null): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).json(path)
+  }
+
+  /** Hive-style partitioned parquet: one directory per `partitionCols`
+    * value combination, so per-partition predicates prune whole
+    * directories at planning time (zero I/O for untouched partitions) —
+    * the standard 100 TB table layout (partition by date/tenant, bucket
+    * by join key within).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** JSON-lines sink (interchange with non-columnar consumers). */
+  def writeJsonLines(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
 }

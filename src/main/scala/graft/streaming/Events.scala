@@ -121,6 +121,52 @@ object Events {
       .drop("session_seq")
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within `withinMs` AFTER the click. Both sides carry
+    * watermarks and the join condition bounds event time on both sides,
+    * so Spark can evict join state as the watermark advances — state is
+    * O(events within one watermark+interval span), the requirement for
+    * an unbounded 100 TB/day stream. The same plan runs in batch (the
+    * watermark is a no-op there), which is the oracle-checkable form.
+    */
+  def clickPurchaseJoin(
+      events: DataFrame,
+      withinMs: Long = 10 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      col("c_user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMs MILLISECONDS"),
+      "inner")
+      .select(col("click_id"), col("c_user_id").as("user_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        col("purchase_id"), unix_millis(col("purchase_ts")).as("purchase_ms"))
+  }
+
+  /** Streaming exact dedup: first occurrence per content key wins, later
+    * duplicates dropped. `dropDuplicatesWithinWatermark` bounds the
+    * dedup state by the watermark horizon (an unbounded-state global
+    * dropDuplicates is the non-answer at stream scale): duplicates
+    * separated by more than the watermark delay may both survive — the
+    * standard at-scale trade. Batch callers should use
+    * [[graft.ops.Dedup.exact]] (global, deterministic keep).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Open a streaming read of an events parquet path with the same
     * schema as the batch table. The testdata ships single-file parquet;
     * FileStreamSource needs `basePath` to be the enclosing directory in

@@ -104,6 +104,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join equals the batch execution of the same plan") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val B = 86400000L
+    val data = Seq(
+      (1L, ts(B), 7L, "click"),
+      (2L, ts(B + 1000L), 7L, "purchase"),      // within 10 min of click 1
+      (3L, ts(B + 700000L), 7L, "purchase"),     // beyond 10 min — no match
+      (4L, ts(B + 5000L), 8L, "purchase"),       // other user — no match
+      (5L, ts(B + 600000L), 7L, "purchase"))     // exactly at the bound — match
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    val query = Events.clickPurchaseJoin(toDf(stream.toDF()))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(data: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = Events.clickPurchaseJoin(toDf(data.toDF()))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._4) === Set(2L, 5L))
+    } finally query.stop()
+  }
+
+  test("streaming dedup keeps the first occurrence per key within the watermark") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val B = 86400000L
+    val query = Events.dedupStream(
+      stream.toDF().toDF("event_id", "ts", "content_hash"), Seq("content_hash"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(B), "aaa"), (2L, ts(B + 1000L), "aaa"), (3L, ts(B + 2000L), "bbb"))
+      query.processAllAvailable()
+      // duplicate in a later batch, still within the watermark horizon
+      stream.addData((4L, ts(B + 3000L), "aaa"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSet
+      assert(ids === Set(1L, 3L))
+    } finally query.stop()
+  }
+
   test("readStream over events parquet produces the batch row count") {
     val streamed = Events.readStream(spark, sfDir)
     assert(streamed.isStreaming)

@@ -42,4 +42,37 @@ class TablesSpec extends SparkSpec {
       assert(joined.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("partitioned parquet write prunes untouched partitions at planning time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = Seq((1L, "2026-01-01", 10.0), (2L, "2026-01-02", 20.0),
+      (3L, "2026-01-02", 30.0)).toDF("id", "dt", "v")
+    Tables.writePartitioned(df, dir, Seq("dt"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    val pruned = back.filter(col("dt") === "2026-01-02")
+    // partition pruning: only the dt=2026-01-02 directory is scanned
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pruned.count() === 2)
+    assert(!scan.contains("2026-01-01"), s"expected pruned scan:\n$scan")
+  }
+
+  test("csv and json-lines round-trip with explicit schemas") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    df.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val csvBack = Tables.readCsv(spark, csvDir, schema)
+    assert(csvBack.schema === schema)
+    assert(csvBack.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Tables.writeJsonLines(df, jsonDir)
+    val jsonBack = Tables.readJsonLines(spark, jsonDir, schema)
+    assert(jsonBack.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
 }
