@@ -108,6 +108,28 @@ object SparkEntry {
       Joins.rangeJoin(li, col("l_quantity"), buckets, col("lo"), col("hi"))
         .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_rows"))
     }),
+    // the two-large-sides form of join_range: equi-join on overlap
+    // buckets + residual filter instead of a broadcast BNLJ
+    "join_range_band" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val buckets = t(s, dir, "region")
+        .select(col("r_regionkey"),
+          (col("r_regionkey") * 10).cast("double").as("lo"),
+          ((col("r_regionkey") + 1) * 10).cast("double").as("hi"))
+      Joins.bandRangeJoin(li, col("l_quantity"), buckets, col("lo"), col("hi"),
+        bucketWidth = 7)
+        .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_band_rows"))
+    }),
+    // explicit salting for stable known skew (AQE skew-join is the
+    // runtime fallback); result identical to the plain join
+    "join_skew_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), floor(col("l_quantity")).as("qty"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      Joins.saltedSkewJoin(li, su, col("l_suppkey"), col("s_suppkey"), saltBuckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    }),
 
     // ------------------------------------------------ aggregation library (§2.4)
     "agg_rollup" -> ((s, dir) =>
@@ -143,6 +165,32 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           floor(col("l_quantity")).as("qty"))
         .withColumn("running_qty", sum(col("qty")).over(w))
+    }),
+    // pivot: per-returnflag quantity sums fanned across linestatus cols
+    "agg_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity")).as("qty"))
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("qty")))),
+    // exact interpolated percentiles (percentile_cont semantics)
+    "agg_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), floor(col("l_quantity")).as("qty"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(qty, 0.25)").as("p25"),
+          expr("percentile(qty, 0.5)").as("p50"),
+          expr("percentile(qty, 0.95)").as("p95"))),
+    // set operations: customers with orders ∩ BUILDING segment,
+    // minus negative-balance accounts
+    "set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val negative = t(s, dir, "customer")
+        .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      o.intersect(building).except(negative)
     }),
     "distinct_exact" -> ((s, dir) =>
       Aggregates.distinctExact(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
@@ -281,6 +329,16 @@ object SparkEntry {
     "events_stream_join" -> ((s, dir) =>
       streaming.Events.clickPurchaseJoin(Engine.eventsTable(s, dir),
         withinMs = 10 * 60 * 1000L)),
+    // lead/lag analytics: per-user inter-event gap
+    "events_lag_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      Engine.eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+        .withColumn("delta_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .withColumn("delta_ms", coalesce(col("delta_ms"), lit(-1L)))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,6 +401,16 @@ object SparkEntry {
           |FROM lineitem JOIN region
           |  ON l_quantity >= r_regionkey * 10 AND l_quantity < (r_regionkey + 1) * 10
           |GROUP BY r_regionkey""".stripMargin,
+      "join_range_band" ->
+        """SELECT r_regionkey, count(*) AS n_band_rows
+          |FROM lineitem JOIN region
+          |  ON l_quantity >= r_regionkey * 10 AND l_quantity < (r_regionkey + 1) * 10
+          |GROUP BY r_regionkey""".stripMargin,
+      "join_skew_salted" ->
+        """SELECT s_nationkey, count(*) AS n_rows,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY s_nationkey""".stripMargin,
 
       "agg_rollup" ->
         """SELECT l_returnflag, l_linestatus,
@@ -375,6 +443,32 @@ object SparkEntry {
       "distinct_exact" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "agg_pivot" ->
+        """SELECT l_returnflag,
+          |       sum(cast(floor(l_quantity) as bigint))
+          |         FILTER (l_linestatus = 'F')::BIGINT AS "F",
+          |       sum(cast(floor(l_quantity) as bigint))
+          |         FILTER (l_linestatus = 'O')::BIGINT AS "O"
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "agg_percentiles" ->
+        """SELECT l_returnflag,
+          |       quantile_cont(floor(l_quantity), 0.25) AS p25,
+          |       quantile_cont(floor(l_quantity), 0.5) AS p50,
+          |       quantile_cont(floor(l_quantity), 0.95) AS p95
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "set_ops" ->
+        """(SELECT o_custkey FROM orders
+          | INTERSECT
+          | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          |EXCEPT
+          |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+      "events_lag_delta" ->
+        """SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms,
+          |       coalesce(epoch_ns(ts) // 1000000
+          |         - lag(epoch_ns(ts) // 1000000) OVER (
+          |             PARTITION BY user_id
+          |             ORDER BY epoch_ns(ts) // 1000000, event_id), -1) AS delta_ms
+          |FROM events""".stripMargin,
 
       "dedup_exact" ->
         """SELECT md5(lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g'))) AS content_hash,

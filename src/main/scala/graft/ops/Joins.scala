@@ -107,6 +107,27 @@ object Joins {
         rightCols.map(c => col(s"__m_$c").as(c)): _*)
   }
 
+  /** Salted equi-join for a skew-dominated fact side. AQE's skew-join
+    * split is the first answer; this is the explicit form for when the
+    * skew is stable and known (the reference's heavy-hitter configs,
+    * q4112.h:39-41): the fact side gets a per-row salt in [0, buckets),
+    * the dim side is replicated once per salt value, and the join key
+    * becomes (key, salt) — a hot key's rows spread over `buckets`
+    * reducers instead of one. Dim-side cost: |dim|·buckets rows, so use
+    * it with genuinely small dims. Result identical to the plain join.
+    */
+  def saltedSkewJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column,
+      saltBuckets: Int = 16): DataFrame = {
+    val sf = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val sd = dim.withColumn("__dsalt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    sf.join(sd, factKey === dimKey && col("__salt") === col("__dsalt"), "inner")
+      .drop("__salt", "__dsalt")
+  }
+
   /** Band (bucketized) range join for two LARGE sides: both sides emit
     * one row per covered bucket of width `bucketWidth`, the join becomes
     * an equi-join on the bucket id (shuffle, not cross product), and the

@@ -72,4 +72,19 @@ class JoinsSpec extends SparkSpec {
     assert(viaBand.toSeq === viaBroadcast.toSeq)
     assert(viaBroadcast.nonEmpty)
   }
+
+  test("salted skew join equals the plain join on skewed data") {
+    // 90% of fact rows hit one hot key — the reference's hh_probability shape
+    val fact = (0L until 1000L)
+      .map(i => (if (i % 10 == 0) i % 7 else 3L, i)).toDF("fk", "payload")
+    val dim = (0L until 7L).map(k => (k, s"dim_$k")).toDF("dk", "name")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Joins.saltedSkewJoin(fact, dim, col("fk"), col("dk"), saltBuckets = 4)
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+    assert(plain("dim_3") > 800L)
+  }
 }
