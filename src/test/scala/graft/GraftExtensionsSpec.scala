@@ -17,12 +17,15 @@ class GraftExtensionsSpec extends SparkSpec {
         |                 shingle_hashes('zyxwvuts', 3)) AS j_diff,
         |  simhash64_from_hashes(shingle_hashes('hello world', 3)) AS sh,
         |  size(minhash_from_hashes(shingle_hashes('hello world', 3), 16)) AS mh_len,
-        |  size(shingle_set('abcdef', 3)) AS n_shingles
+        |  size(shingle_set('abcdef', 3)) AS n_shingles,
+        |  jaccard_sorted(winnow_fingerprint('shared middle section here', 5, 4),
+        |                 winnow_fingerprint('shared middle section here', 5, 4)) AS j_win
         |""".stripMargin).collect().head
     assert(row.getAs[Double]("j_same") === 1.0)
     assert(row.getAs[Double]("j_diff") === 0.0)
     assert(row.getAs[Int]("mh_len") === 16)
     assert(row.getAs[Int]("n_shingles") === 4)
+    assert(row.getAs[Double]("j_win") === 1.0)
   }
 
   test("vector kernels in SQL") {
