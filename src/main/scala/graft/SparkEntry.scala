@@ -120,6 +120,32 @@ object SparkEntry {
         bucketWidth = 7)
         .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_band_rows"))
     }),
+    // full outer: per-nation deep-negative-balance customer vs supplier
+    // counts — both sides produce orphan nations, exercising both null
+    // directions
+    "join_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") < -500)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").filter(col("s_acctbal") < -500)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+    // runtime-filter pattern as an explicit operator: bloom over the
+    // filtered dim keys prunes the fact scan before the join; the exact
+    // join removes bloom false positives, so the result is identical
+    "join_bloom_prefilter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), floor(col("l_quantity")).as("qty"))
+      val dim = t(s, dir, "supplier").filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Joins.bloomPrefilteredJoin(li, dim, col("l_suppkey"), col("s_suppkey"),
+        expectedDimRows = 100000)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    }),
     // explicit salting for stable known skew (AQE skew-join is the
     // runtime fallback); result identical to the plain join
     "join_skew_salted" -> ((s, dir) => {
@@ -166,6 +192,12 @@ object SparkEntry {
           floor(col("l_quantity")).as("qty"))
         .withColumn("running_qty", sum(col("qty")).over(w))
     }),
+    // cube: all grouping-set combinations of (returnflag, linestatus)
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))),
     // pivot: per-returnflag quantity sums fanned across linestatus cols
     "agg_pivot" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -216,6 +248,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
         n = 5, threshold = 0.7)),
+    // exact all-pairs baseline for the LSH form below (ids only — see
+    // Dedup.embeddingPairsExact on why the cosine value stays out of
+    // the hash-exact gate)
+    "dedup_embedding_exact" -> ((s, dir) =>
+      Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.25)),
     "dedup_embedding" -> ((s, dir) =>
       // testdata embeddings are random (pairwise cosine ≲ 0.5), so the
       // demo threshold is low; real near-dup pipelines use ~0.95
@@ -262,6 +300,16 @@ object SparkEntry {
     }),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+    // corpus vocabulary: top terms by document frequency
+    "text_topterms" -> ((s, dir) =>
+      TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 30)),
+    // deterministic content-hash train/valid/test split (stable across
+    // runs, partitionings, and engines — md5-derived bucket)
+    "sample_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(t(s, dir, "documents"), col("doc_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))),
 
     // ------------------------------------------------ similarity search
     "sim_topk_brute" -> ((s, dir) => {
@@ -329,6 +377,22 @@ object SparkEntry {
     "events_stream_join" -> ((s, dir) =>
       streaming.Events.clickPurchaseJoin(Engine.eventsTable(s, dir),
         withinMs = 10 * 60 * 1000L)),
+    // funnel: per user with a click, the first purchase at or after the
+    // first click (-1 = never converted); ms granularity on both the
+    // query and the oracle
+    "events_funnel" -> ((s, dir) => {
+      val e = Engine.eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("first_click_ms"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(clicks, Seq("user_id"))
+        .filter(col("ts_ms") >= col("first_click_ms"))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("first_purchase_ms"))
+      clicks.join(conv, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_click_ms"),
+          coalesce(col("first_purchase_ms"), lit(-1L)).as("first_purchase_ms"))
+    }),
     // lead/lag analytics: per-user inter-event gap
     "events_lag_delta" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -412,11 +476,31 @@ object SparkEntry {
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |GROUP BY s_nationkey""".stripMargin,
 
+      "join_full_outer" ->
+        """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+          |           FROM customer WHERE c_acctbal < -500 GROUP BY 1),
+          |     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+          |           FROM supplier WHERE s_acctbal < -500 GROUP BY 1)
+          |SELECT coalesce(c.nk, s.nk) AS nationkey,
+          |       coalesce(n_cust, 0) AS n_cust,
+          |       coalesce(n_supp, 0) AS n_supp
+          |FROM c FULL JOIN s ON c.nk = s.nk""".stripMargin,
+      "join_bloom_prefilter" ->
+        """SELECT s_nationkey, count(*) AS n_rows,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE s_nationkey < 5
+          |GROUP BY s_nationkey""".stripMargin,
       "agg_rollup" ->
         """SELECT l_returnflag, l_linestatus,
           |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty,
           |       count(*) AS cnt
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "agg_cube" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty,
+          |       count(*) AS cnt
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
       "agg_salted_skew" ->
         """SELECT l_suppkey AS k,
           |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_value,
@@ -470,10 +554,32 @@ object SparkEntry {
           |             ORDER BY epoch_ns(ts) // 1000000, event_id), -1) AS delta_ms
           |FROM events""".stripMargin,
 
+      // ms granularity on both comparands (unix_millis / epoch_ms)
+      "events_funnel" ->
+        """WITH c AS (SELECT user_id, min(epoch_ms(ts)) AS first_click_ms
+          |           FROM events WHERE event_type = 'click' GROUP BY 1),
+          |     p AS (SELECT c.user_id, min(epoch_ms(e.ts)) AS first_purchase_ms
+          |           FROM c JOIN events e
+          |             ON e.user_id = c.user_id AND e.event_type = 'purchase'
+          |            AND epoch_ms(e.ts) >= c.first_click_ms
+          |           GROUP BY 1)
+          |SELECT c.user_id, c.first_click_ms,
+          |       coalesce(p.first_purchase_ms, -1) AS first_purchase_ms
+          |FROM c LEFT JOIN p ON p.user_id = c.user_id""".stripMargin,
+
       "dedup_exact" ->
         """SELECT md5(lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g'))) AS content_hash,
           |       min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
+
+      // pairs only — the cosine VALUE differs between engines in its
+      // last ulps (float vs double accumulation); the pair SET is
+      // stable: min |cos − 0.25| on this data ≈ 8e-6 vs ~1e-7 noise
+      "dedup_embedding_exact" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          |                             b.embedding::DOUBLE[]) >= 0.25""".stripMargin,
 
       "dedup_ngram" ->
         """WITH d AS (
@@ -587,6 +693,32 @@ object SparkEntry {
           |       len(regexp_extract_all(text, '\p{N}'))::BIGINT AS n_digits,
           |       md5(lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g'))) AS fingerprint
           |FROM documents""".stripMargin,
+
+      // same explicit whitespace class as the Spark split; ASCII
+      // lowercasing agrees between engines (and the corpus is ASCII)
+      "text_topterms" ->
+        """SELECT term, count(*) AS n_occurrences,
+          |       count(DISTINCT doc_id) AS doc_freq
+          |FROM (SELECT doc_id,
+          |        unnest(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+')) AS term
+          |      FROM documents)
+          |WHERE term <> ''
+          |GROUP BY term
+          |ORDER BY doc_freq DESC, n_occurrences DESC, term ASC
+          |LIMIT 30""".stripMargin,
+
+      // identical md5-derived bucket on both sides: first 8 hex chars of
+      // md5(doc_id) as an unsigned int, mod 100
+      "sample_split" ->
+        """WITH d AS (SELECT text,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          |  FROM documents)
+          |SELECT CASE WHEN b < 80 THEN 'train'
+          |            WHEN b < 90 THEN 'valid'
+          |            ELSE 'test' END AS split,
+          |       count(*) AS n_docs,
+          |       cast(sum(length(text)) as bigint) AS n_chars
+          |FROM d GROUP BY 1""".stripMargin,
 
       "events_window_agg" ->
         """SELECT cast(floor(epoch(ts) / 300) * 300 as bigint) AS window_start_s,

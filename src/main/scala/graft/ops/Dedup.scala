@@ -172,6 +172,29 @@ object Dedup {
     * with `planes` pseudo-random hyperplanes —
     * [[graft.functions.HyperplaneSignature]] — banded into two chunks).
     */
+  /** Exact all-pairs variant of [[embeddingPairs]]: every (id_a, id_b)
+    * with cosine ≥ threshold, no LSH screen — O(n²) dot products, the
+    * oracle/verifier path (the LSH form is the corpus-scale path, same
+    * relationship as [[ngramJaccardPairs]] to [[minhashPairs]]). Emits
+    * ids only: the cosine value itself is accumulation-order-sensitive
+    * in its last ulps, the pair set is stable for any threshold with
+    * margin (sf0.01 data: min |cos − 0.25| ≈ 8e-6 vs ~1e-7 float noise).
+    */
+  def embeddingPairsExact(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(parallelism(emb))
+    val a = vecs.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = vecs.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   def embeddingPairs(
       emb: DataFrame,
       idCol: String,

@@ -128,6 +128,37 @@ object Joins {
       .drop("__salt", "__dsalt")
   }
 
+  /** Bloom-prefiltered equi-join: build a bloom filter over the dim-side
+    * keys, drop fact rows that cannot match BEFORE the join, then run
+    * the exact join (which also removes the bloom's false positives —
+    * the result is identical to the plain join).
+    *
+    * This is Catalyst's own runtime-filter pattern
+    * (`InjectRuntimeFilter` wraps keys in xxhash64 and plants a
+    * BloomFilterAggregate/BloomFilterMightContain pair) exposed as an
+    * explicit operator for when the filter should cross a stage Catalyst
+    * can't see through — e.g. pruning a 100 TB fact scan down to the
+    * ~selectivity of a filtered dim before a shuffle join. The bloom is
+    * O(bits) driver-side (like a broadcast variable), never O(|dim|).
+    */
+  def bloomPrefilteredJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column,
+      expectedDimRows: Long,
+      joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    val bloomAgg = bridge.toColumn(
+      new BloomFilterAggregate(bridge.toExpression(xxhash64(dimKey)), expectedDimRows)
+        .toAggregateExpression())
+    val bloomBytes = dim.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = bridge.toColumn(BloomFilterMightContain(
+      bridge.toExpression(lit(bloomBytes)),
+      bridge.toExpression(xxhash64(factKey))))
+    fact.filter(mightContain).join(dim, factKey === dimKey, joinType)
+  }
+
   /** Band (bucketized) range join for two LARGE sides: both sides emit
     * one row per covered bucket of width `bucketWidth`, the join becomes
     * an equi-join on the bucket id (shuffle, not cross product), and the

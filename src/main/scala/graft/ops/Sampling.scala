@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-addressed sampling — the train/valid/test
+  * splitter of a training-data pipeline.
+  *
+  * A `sample(fraction)` is nondeterministic across runs and engines; a
+  * pipeline that re-runs incrementally at 100 TB needs every row's split
+  * to be a pure function of its id, so the assignment is stable under
+  * retries, re-partitioning, and engine changes. The split key is an
+  * md5-derived bucket in [0, 100): narrow (one hash per row), shuffles
+  * nothing, and reproducible in any engine with md5 (the DuckDB oracle
+  * recomputes it exactly).
+  *
+  * The reference has no sampling surface (SURVEY.md §2.5); this is part
+  * of the beyond-reference pipeline layer.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the row id: first 8 hex chars of
+    * md5(id) as an unsigned int, mod buckets.
+    */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Adds a `split` column: "train" for bucket < trainPct, "valid" for
+    * the next validPct buckets, "test" for the rest.
+    */
+  def deterministicSplit(df: DataFrame, id: Column,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val b = hashBucket(id)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Deterministic fraction-style filter: keeps rows whose bucket falls
+    * below `pct` — same contract as `df.sample`, minus the randomness.
+    */
+  def deterministicSample(df: DataFrame, id: Column, pct: Int): DataFrame =
+    df.filter(hashBucket(id) < pct)
+}

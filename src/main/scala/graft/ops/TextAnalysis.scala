@@ -102,6 +102,29 @@ object TextAnalysis {
   def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
     graft.functions.TextHashFunctions.winnowFingerprint(text, k, w)
 
+  /** Corpus vocabulary: top-k terms by document frequency (then total
+    * occurrences, then term — a total order, so the cut is
+    * deterministic). Tokenization is the portable whitespace split used
+    * by the fingerprints; lowercasing first makes "The"/"the" one term.
+    *
+    * Scale shape: explode → two-level aggregate. The per-(term, doc)
+    * distinct collapse happens map-side before any shuffle, the term
+    * aggregate shuffles one slim row per distinct (term, doc), and the
+    * global top-k is a TakeOrdered — no full sort of the vocabulary.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), wsRun)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+      .groupBy(col("term"))
+      .agg(sum(col("n_in_doc")).as("n_occurrences"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("n_occurrences").desc, col("term").asc)
+      .limit(k)
+
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
