@@ -206,6 +206,58 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("qty")))),
+    // explicit grouping sets (distinct from rollup/cube): per-flag,
+    // per-status, and grand-total rows in one aggregate
+    "agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       cast(grouping(l_returnflag) as bigint) AS g_flag,
+          |       cast(grouping(l_linestatus) as bigint) AS g_status,
+          |       sum(floor(l_quantity)) AS sum_qty, count(*) AS cnt
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+    // unpivot/melt: wide metric columns to long (metric, value) rows
+    "agg_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).as("qty"),
+          floor(col("l_extendedprice")).as("extprice"),
+          floor(col("l_tax") * 100).as("tax_pct"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("extprice"), col("tax_pct")), "metric", "value")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))),
+    // ntile + percent_rank over a total order (qty, orderkey, linenumber
+    // — tie-free, so both window functions are deterministic)
+    "window_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).as("qty"))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .groupBy(col("l_returnflag"), col("tile"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"),
+          min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"),
+          max(col("pr")).as("max_pr"))
+    }),
+    // event-time RANGE frame: per event, activity in the trailing 10 min
+    // (peers at equal ts_ms are all included — frame is tie-insensitive)
+    "window_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-600000L, 0L)
+      Engine.eventsTable(s, dir)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          floor(col("value") * 1000).cast("long").as("value_milli"))
+        .withColumn("n_prev_10m", count(lit(1)).over(w))
+        .withColumn("sum_value_milli_10m", sum(col("value_milli")).over(w))
+        .drop("value_milli")
+    }),
     // exact interpolated percentiles (percentile_cont semantics)
     "agg_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -311,6 +363,92 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("n_chars"))),
 
+    // stratified deterministic sample: per-stratum keep percentage
+    // (downsample the boilerplate strata, keep the rare ones)
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Engine.eventsTable(s, dir), col("event_id"),
+        col("event_type"),
+        Map("view" -> 10, "click" -> 75, "purchase" -> 100), defaultPct = 50)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))),
+
+    // ------------------------------------------------ scalar function surface
+    // JSON: extract a typed field from a JSON string column, aggregate it
+    "func_json" -> ((s, dir) =>
+      Engine.eventsTable(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+    // date/time: truncation, field extraction, epoch conversion
+    "func_datetime" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start_s"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          floor(col("o_totalprice")).as("price"))
+        .groupBy(col("yr"), col("mo"), col("month_start_s"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("sum_price"),
+          min(col("dom")).as("min_dom"), max(col("dom")).as("max_dom"))),
+    // strings: case, substring, search, replace, concat, pad, LIKE
+    "func_string" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          instr(col("p_name"), "o").cast("long").as("o_pos"),
+          regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          when(col("p_name").like("%ring%"), 1L).otherwise(0L).as("has_ring"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"))),
+    // arrays: per-group collect + numeric sort, rendered as a canonical
+    // string (engine-portable array comparison)
+    "func_array" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          concat_ws(",", array_sort(collect_list(col("s_suppkey"))).cast("array<string>"))
+            .as("supp_keys"))),
+
+    // ------------------------------------------------ composite analytics
+    // TPC-H Q1 shape: scan-side date filter, multi-aggregate pricing
+    // summary, integer-safe arithmetic (per-row floor before sum)
+    "tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-06-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(floor(col("l_quantity"))).as("sum_qty"),
+          sum(floor(col("l_extendedprice"))).as("sum_base_price"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          expr("sum(floor(l_quantity)) div count(*)").as("avg_qty"))),
+    // TPC-H Q3 shape: 3-way join, filtered fact + dims, grouped revenue,
+    // deterministic global top-10
+    "tpch_q3" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          // NTZ → TZ cast interprets in the session tz (UTC), matching
+          // the oracle's epoch_ms on the naive timestamp
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate_ms"))
+        .agg(sum(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     // ------------------------------------------------ similarity search
     "sim_topk_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -324,6 +462,13 @@ object SparkEntry {
         e.filter(col("vec_id") <= 5), "vec_id", "embedding",
         k = 5, nCentroids = 8, nProbe = 3)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
+    // exact fixed-radius neighbors (ids only — see Similarity.rangeSearch
+    // on why the cosine value stays out of the hash-exact gate)
+    "sim_range_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.rangeSearch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding", threshold = 0.2)
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -393,6 +538,13 @@ object SparkEntry {
         .select(col("user_id"), col("first_click_ms"),
           coalesce(col("first_purchase_ms"), lit(-1L)).as("first_purchase_ms"))
     }),
+    // stream-static join (batch execution of the same plan): enrich
+    // events against a broadcast dimension, aggregate per category
+    "events_enrich_static" -> ((s, dir) =>
+      streaming.Events.enrichWithTypeDim(Engine.eventsTable(s, dir))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_events"), sum(col("weight")).as("sum_weight"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))),
     // lead/lag analytics: per-user inter-event gap
     "events_lag_delta" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -540,6 +692,45 @@ object SparkEntry {
           |       quantile_cont(floor(l_quantity), 0.5) AS p50,
           |       quantile_cont(floor(l_quantity), 0.95) AS p95
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "agg_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       cast(grouping(l_returnflag) as bigint) AS g_flag,
+          |       cast(grouping(l_linestatus) as bigint) AS g_status,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty,
+          |       count(*) AS cnt
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+      "agg_unpivot" ->
+        """SELECT l_returnflag, metric,
+          |       cast(sum(v) as bigint) AS sum_value, count(*) AS cnt
+          |FROM (
+          |  SELECT l_returnflag, 'qty' AS metric,
+          |         cast(floor(l_quantity) as bigint) AS v FROM lineitem
+          |  UNION ALL SELECT l_returnflag, 'extprice',
+          |         cast(floor(l_extendedprice) as bigint) FROM lineitem
+          |  UNION ALL SELECT l_returnflag, 'tax_pct',
+          |         cast(floor(l_tax * 100) as bigint) FROM lineitem)
+          |GROUP BY l_returnflag, metric""".stripMargin,
+      "window_ntile" ->
+        """WITH r AS (
+          |  SELECT l_returnflag, cast(floor(l_quantity) as bigint) AS qty,
+          |         ntile(4) OVER w AS tile, percent_rank() OVER w AS pr
+          |  FROM lineitem
+          |  WINDOW w AS (PARTITION BY l_returnflag
+          |               ORDER BY cast(floor(l_quantity) as bigint),
+          |                        l_orderkey, l_linenumber))
+          |SELECT l_returnflag, cast(tile as bigint) AS tile, count(*) AS cnt,
+          |       cast(sum(qty) as bigint) AS sum_qty,
+          |       min(qty) AS min_qty, max(qty) AS max_qty, max(pr) AS max_pr
+          |FROM r GROUP BY 1, 2""".stripMargin,
+      "window_range_frame" ->
+        """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+          |       count(*) OVER w AS n_prev_10m,
+          |       cast(sum(cast(floor(value * 1000) as bigint)) OVER w as bigint)
+          |         AS sum_value_milli_10m
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
       "set_ops" ->
         """(SELECT o_custkey FROM orders
           | INTERSECT
@@ -643,6 +834,101 @@ object SparkEntry {
           |       WHEN es >= it THEN 'es'
           |       ELSE 'it' END AS lang_pred
           |FROM c""".stripMargin,
+
+      // same md5-derived bucket as sample_split, per-stratum percentage
+      "sample_stratified" ->
+        """WITH d AS (SELECT event_type,
+          |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          |  FROM events)
+          |SELECT event_type, count(*) AS n_kept
+          |FROM d
+          |WHERE b < CASE event_type WHEN 'view' THEN 10 WHEN 'click' THEN 75
+          |                          WHEN 'purchase' THEN 100 ELSE 50 END
+          |GROUP BY event_type""".stripMargin,
+
+      "func_json" ->
+        """SELECT event_type, count(*) AS n,
+          |       cast(sum(k) as bigint) AS sum_k,
+          |       min(k) AS min_k, max(k) AS max_k
+          |FROM (SELECT event_type,
+          |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |      FROM events)
+          |GROUP BY event_type""".stripMargin,
+      "func_datetime" ->
+        """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+          |       epoch_ms(date_trunc('month', o_orderdate)) // 1000 AS month_start_s,
+          |       count(*) AS n_orders,
+          |       cast(sum(cast(floor(o_totalprice) as bigint)) as bigint) AS sum_price,
+          |       min(day(o_orderdate)) AS min_dom, max(day(o_orderdate)) AS max_dom
+          |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+      "func_string" ->
+        """SELECT p_partkey,
+          |       upper(p_brand) AS brand_u,
+          |       lower(p_type) AS type_l,
+          |       substr(p_name, 1, 8) AS name_prefix,
+          |       length(p_name) AS name_len,
+          |       strpos(p_name, 'o') AS o_pos,
+          |       replace(p_type, ' ', '_') AS type_snake,
+          |       concat_ws('|', p_brand, p_type) AS brand_type,
+          |       CASE WHEN p_name LIKE '%ring%' THEN 1 ELSE 0 END AS has_ring,
+          |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad
+          |FROM part""".stripMargin,
+      "func_array" ->
+        """SELECT s_nationkey, count(*) AS n_supp,
+          |       string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey)
+          |         AS supp_keys
+          |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
+      "tpch_q1" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty,
+          |       cast(sum(cast(floor(l_extendedprice) as bigint)) as bigint) AS sum_base_price,
+          |       cast(sum(cast(floor(l_extendedprice * (1 - l_discount)) as bigint)) as bigint)
+          |         AS sum_disc_price,
+          |       count(*) AS count_order,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) // count(*) as bigint) AS avg_qty
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-06-01'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "tpch_q3" ->
+        """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+          |       cast(sum(cast(floor(l_extendedprice * (1 - l_discount)) as bigint)) as bigint)
+          |         AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND l_shipdate > TIMESTAMP '1997-01-01'
+          |GROUP BY 1, 2
+          |ORDER BY revenue DESC, l_orderkey ASC
+          |LIMIT 10""".stripMargin,
+
+      "events_enrich_static" ->
+        """WITH e AS (SELECT *,
+          |    CASE event_type WHEN 'click' THEN 'engagement'
+          |                    WHEN 'view' THEN 'engagement'
+          |                    WHEN 'purchase' THEN 'revenue'
+          |                    WHEN 'signup' THEN 'growth'
+          |                    WHEN 'error' THEN 'ops'
+          |                    ELSE 'unknown' END AS category,
+          |    CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 10
+          |                    WHEN 'signup' THEN 5 ELSE 0 END AS weight
+          |  FROM events)
+          |SELECT category, count(*) AS n_events,
+          |       cast(sum(weight) as bigint) AS sum_weight,
+          |       cast(sum(cast(floor(value * 1000) as bigint)) as bigint) AS sum_value_milli
+          |FROM e GROUP BY category""".stripMargin,
+
+      // ids only, like dedup_embedding_exact: min |cos − 0.2| ≈ 2.5e-4
+      // at sf0.01 — far above cross-engine float accumulation noise
+      "sim_range_search" ->
+        """SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id
+          |FROM embeddings c
+          |JOIN (SELECT * FROM embeddings WHERE vec_id <= 5) p
+          |  ON c.vec_id <> p.vec_id
+          |WHERE list_cosine_similarity(c.embedding::DOUBLE[],
+          |                             p.embedding::DOUBLE[]) >= 0.2""".stripMargin,
 
       // rank-only output: double-precision cosine ordering agrees across
       // engines unless two cosines differ by < 1e-15 (distinct random

@@ -42,4 +42,18 @@ object Sampling {
     */
   def deterministicSample(df: DataFrame, id: Column, pct: Int): DataFrame =
     df.filter(hashBucket(id) < pct)
+
+  /** Stratified deterministic sample: a per-stratum keep percentage
+    * (`sampleBy`, minus the randomness). Rebalancing skewed training
+    * mixes (downsample boilerplate strata, keep rare ones whole) is a
+    * per-row filter — no shuffle, no state, and re-runs keep identical
+    * rows.
+    */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      pctByStratum: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(id) < pct)
+  }
 }

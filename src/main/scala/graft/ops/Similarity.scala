@@ -73,4 +73,25 @@ object Similarity {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Exact radius search: every (probe, corpus) pair with cosine ≥
+    * `threshold`, excluding self-matches. The fixed-radius complement of
+    * [[bruteForceTopK]] — same broadcast-probes shape, but the output is
+    * ALL qualifying neighbors (unbounded per probe), so the shuffle-free
+    * single corpus pass matters even more. Emits ids only: the cosine
+    * value is accumulation-order-sensitive in its last ulps, the pair
+    * set is stable whenever the threshold has margin (testdata: min
+    * |cos − 0.2| ≈ 2.5e-4 at sf0.01).
+    */
+  def rangeSearch(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    val p = probes.select(col(probeId).as("probe_id"), col(probeVec).as("pv"))
+    c.crossJoin(broadcast(p))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .filter(VectorFunctions.cosineSimilarity(col("cv"), col("pv")) >= threshold)
+      .select(col("probe_id"), col("corpus_id"))
+  }
 }

@@ -167,6 +167,37 @@ object Events {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** The static dimension used by [[enrichWithTypeDim]] — in a real
+    * pipeline this is a catalog table re-read per micro-batch; here a
+    * literal lookup so the oracle can recompute it as a CASE expression.
+    */
+  def eventTypeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("click", "engagement", 1L),
+      ("view", "engagement", 0L),
+      ("purchase", "revenue", 10L),
+      ("signup", "growth", 5L),
+      ("error", "ops", 0L))
+      .toDF("event_type", "category", "weight")
+  }
+
+  /** Stream-static join: enrich an (unbounded) event stream against a
+    * small static dimension. The static side is broadcast — each
+    * micro-batch joins map-side with NO streaming state at all (unlike
+    * stream-stream joins there is nothing to watermark: the static side
+    * is re-read per batch, the stream side needs no buffering). The
+    * identical plan runs in batch, which is the oracle-checked form.
+    */
+  def enrichWithTypeDim(events: DataFrame): DataFrame = {
+    val dim = broadcast(eventTypeDim(events.sparkSession))
+    events.join(dim, Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("category"), lit("unknown")).as("category"),
+        coalesce(col("weight"), lit(0L)).as("weight"),
+        col("value"))
+  }
+
   /** Open a streaming read of an events parquet path with the same
     * schema as the batch table. The testdata ships single-file parquet;
     * FileStreamSource needs `basePath` to be the enclosing directory in

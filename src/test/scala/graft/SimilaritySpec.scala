@@ -68,4 +68,19 @@ class SimilaritySpec extends SparkSpec {
       .select("corpus_id").as[Long].collect()
     assert(got.headOption === Some(7L))
   }
+
+  test("range search returns exactly the pairs with cosine >= threshold") {
+    val threshold = 0.3
+    val got = Similarity.rangeSearch(corpus, "id", "v", probes, "id", "v", threshold)
+      .as[(Long, Long)].collect().toSet
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    val ps = probes.as[(Long, Array[Float])].collect()
+    val want = (for {
+      (pid, pv) <- ps
+      (cid, cv) <- rows
+      if cid != pid && cosine(cv, pv) >= threshold
+    } yield (pid, cid)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }

@@ -151,6 +151,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrich equals the batch execution of the same plan") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val B = 86400000L
+    val data = Seq(
+      (1L, ts(B), "click", 2.0),
+      (2L, ts(B + 1000L), "purchase", 5.0),
+      (3L, ts(B + 2000L), "mystery", 1.0)) // unmatched → category "unknown"
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "event_type", "value")
+    val query = Events.enrichWithTypeDim(toDf(stream.toDF()))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(data: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select($"event_id", $"category", $"weight")
+        .as[(Long, String, Long)].collect().toSet
+      val batch = Events.enrichWithTypeDim(toDf(data.toDF()))
+        .select($"event_id", $"category", $"weight")
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        (1L, "engagement", 1L), (2L, "revenue", 10L), (3L, "unknown", 0L)))
+    } finally query.stop()
+  }
+
   test("readStream over events parquet produces the batch row count") {
     val streamed = Events.readStream(spark, sfDir)
     assert(streamed.isStreaming)
