@@ -1,35 +1,12 @@
 package graft
-
-import org.apache.spark.sql.SparkSession
-
-/** Plan inspection + micro-timing for one named query:
-  * `runMain graft.Explain <queryName> [sfDir] [reps]` — prints the
-  * formatted physical plan, then times `reps` runs. The loop the
-  * "explain and iterate until it's the plan you'd want" workflow runs on.
-  */
+/** Dev tool: print the final (post-AQE) physical plan of a named query. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).explain("formatted")
-    (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[explain] run $r: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
-    }
+    val spark = Engine.session(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.01")
+    df.collect()
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

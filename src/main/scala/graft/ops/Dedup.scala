@@ -86,7 +86,7 @@ object Dedup {
     // shingle-hash array is computed once, not re-inlined by projection
     // collapse; all-numeric payload (8 B/shingle, no strings anywhere)
     val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
-      .repartition(parallelism(docs))
+      .repartition(parallelism(docs), col("id"))
     val sig = sh.select(col("id"),
       TextHashFunctions.minhashFromHashes(col("sh"), numHashes).as("sig"))
     // slim banded rows: (id, band, bucket) only — no payload in the shuffle
@@ -124,7 +124,7 @@ object Dedup {
       n: Int = 5,
       maxHamming: Int = 3): DataFrame = {
     val sig = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
-      .repartition(parallelism(docs))
+      .repartition(parallelism(docs), col("id"))
       .select(col("id"), TextHashFunctions.simhash64FromHashes(col("sh")).as("sig"))
     val chunked = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
@@ -155,7 +155,7 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val prep = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
-      .repartition(parallelism(docs))
+      .repartition(parallelism(docs), col("id"))
     val a = prep.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = prep.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b)
@@ -186,7 +186,7 @@ object Dedup {
       vecCol: String,
       threshold: Double): DataFrame = {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(parallelism(emb))
+      .repartition(parallelism(emb), col("id"))
     val a = vecs.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = vecs.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b)
@@ -202,7 +202,7 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 16): DataFrame = {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(parallelism(emb))
+      .repartition(parallelism(emb), col("id"))
     val sig = vecs.select(col("id"),
       graft.functions.VectorLshFunctions.hyperplaneSignature(col("v"), planes).as("sig"))
     // band the signature into two halves: hamming-tolerant candidates,
