@@ -24,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -32,6 +32,10 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native kernels as SQL functions + the Jaccard length-filter rule;
+    // register() (not builder.withExtensions) so a getOrCreate that
+    // returns an ALREADY-built session still gets both
+    GraftExtensions.register(spark)
     spark
   }
 

@@ -29,6 +29,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
 
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")

@@ -18,10 +18,12 @@ import graft.functions._
   * `SELECT jaccard_sorted(shingle_hashes(a.text, 5), shingle_hashes(b.text, 5))`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.JaccardLengthFilter)
+  }
 }
 
 object GraftExtensions {
@@ -78,10 +80,18 @@ object GraftExtensions {
       info("fm_count_distinct", "fm_count_distinct(v) - Flajolet-Martin/PCSA distinct estimate"),
       (es: Seq[Expression]) => FlajoletMartin(es.head).toAggregateExpression()))
 
-  /** Imperative registration into a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration into a live session: functions into the
+    * registry, the optimizer rule via `experimental.extraOptimizations`
+    * (a live session's rule batches can't be extended any other way).
+    * Idempotent — safe to call on every `getOrCreate`.
+    */
+  def register(spark: SparkSession): Unit = {
     entries.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.JaccardLengthFilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JaccardLengthFilter
+  }
 }

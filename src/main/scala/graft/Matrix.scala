@@ -71,6 +71,7 @@ object Matrix {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
 
     val out = new java.io.PrintWriter(new java.io.FileWriter(outCsv, true))
     try {

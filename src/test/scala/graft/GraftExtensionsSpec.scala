@@ -58,4 +58,35 @@ class GraftExtensionsSpec extends SparkSpec {
     // we only assert the injection call path is well-formed
     succeed
   }
+
+  test("Jaccard length-filter rule plants size guards and preserves results") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // length-skewed pairs: guard must prune (1 vs 100 elems) without
+    // changing the qualifying set
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee"),
+      (2L, "aaaa bbbb cccc dddd eeef"),
+      (3L, "zz"),
+      (4L, "aaaa bbbb cccc dddd eeee")).toDF("id", "text")
+    val prep = docs.select(col("id"),
+      graft.functions.TextHashFunctions.shingleHashes(col("text"), 4).as("sh"))
+    val a = prep.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = prep.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val joined = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.TextHashFunctions
+        .jaccardSorted(col("sh_a"), col("sh_b")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("size("), s"no length guard in:\n$optimized")
+    // guard is sound: identical + near-identical pairs survive, the
+    // short doc is pruned
+    assert(joined.as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // idempotent under the fixpoint: exactly one guard pair (2 size()
+    // refs per inequality) — a non-idempotent rule would stack more
+    val nGuards = "size\\(".r.findAllIn(optimized).size
+    assert(nGuards === 4, s"expected 4 size() refs, got $nGuards in:\n$optimized")
+  }
 }
