@@ -79,4 +79,15 @@ object Tables {
   def writeJsonLines(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC source/sink — the other columnar interchange format (Hive
+    * ecosystems). Same pushdown/pruning contract as parquet: predicates
+    * and column selection reach the stripe reader.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }

@@ -179,6 +179,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental run processes the delta once, then nothing on re-run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val ckpt = s"$dir/ckpt"
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run(): Unit =
+      Events.runIncremental(Events.readStream(spark, sfDir), ckpt) { (df, id) =>
+        batches += ((id, df.count()))
+      }
+    run()
+    val total = batches.map(_._2).sum
+    assert(total === Engine.table(spark, sfDir, "events").count())
+    // second invocation from the same checkpoint: no new files → no rows
+    val before = batches.size
+    run()
+    assert(batches.drop(before).map(_._2).sum === 0L)
+  }
+
   test("readStream over events parquet produces the batch row count") {
     val streamed = Events.readStream(spark, sfDir)
     assert(streamed.isStreaming)

@@ -58,6 +58,21 @@ class TablesSpec extends SparkSpec {
     assert(!scan.contains("2026-01-01"), s"expected pruned scan:\n$scan")
   }
 
+  test("orc round-trips with predicate pushdown in the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Engine.table(spark, sfDir, "supplier")
+    graft.sources.Tables.writeOrc(src, s"$dir/supplier")
+    val back = graft.sources.Tables.readOrc(spark, s"$dir/supplier")
+    assert(back.count() === src.count())
+    val filtered = back.filter(org.apache.spark.sql.functions.col("s_nationkey") === 3)
+      .select("s_suppkey")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("s_nationkey"),
+      s"no pushed filter in:\n$scan")
+    assert(filtered.count() ===
+      src.filter(org.apache.spark.sql.functions.col("s_nationkey") === 3).count())
+  }
+
   test("csv and json-lines round-trip with explicit schemas") {
     import org.apache.spark.sql.types._
     import spark.implicits._
