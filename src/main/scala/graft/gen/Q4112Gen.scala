@@ -115,4 +115,29 @@ object Q4112Gen {
     }
     if (count == 0L) None else Some(sum / count)
   }
+
+  /** Distributed oracles for scales where a driver-side collect is no
+    * longer reasonable: same integer arithmetic as the collections
+    * oracles, computed through the RDD API — a different join and
+    * aggregation machinery than the Catalyst/codegen plan under test, so
+    * the cross-check stays independent while both sides scale.
+    */
+  def oraclePart1Rdd(items: Dataset[Item], orders: Dataset[Order]): Option[Long] = {
+    val ip = items.rdd.map(i => (i.id, i.price))
+    val op = orders.rdd.map(o => (o.itemId, o.quantity))
+    val sc = op.join(ip).map { case (_, (q, p)) => (p * q, 1L) }
+      .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    if (sc._2 == 0L) None else Some(sc._1 / sc._2)
+  }
+
+  def oracleFullRdd(items: Dataset[Item], orders: Dataset[Order]): Option[Long] = {
+    val ip = items.rdd.map(i => (i.id, i.price))
+    val op = orders.rdd.map(o => (o.itemId, (o.storeId, o.quantity)))
+    val perGroup = op.join(ip)
+      .map { case (_, ((store, q), p)) => (store, (p * q, 1L)) }
+      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+      .map { case (_, (s, c)) => (s / c, 1L) }
+      .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    if (perGroup._2 == 0L) None else Some(perGroup._1 / perGroup._2)
+  }
 }
