@@ -300,6 +300,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
         n = 5, threshold = 0.7)),
+    // near-dup clusters: pairwise evidence → connected components →
+    // per-cluster stats (the "keep one per cluster" decision input)
+    "dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
+        n = 5, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+    }),
     // exact all-pairs baseline for the LSH form below (ids only — see
     // Dedup.embeddingPairsExact on why the cosine value stays out of
     // the hash-exact gate)
@@ -537,6 +547,27 @@ object SparkEntry {
       clicks.join(conv, Seq("user_id"), "left")
         .select(col("user_id"), col("first_click_ms"),
           coalesce(col("first_purchase_ms"), lit(-1L)).as("first_purchase_ms"))
+    }),
+    // retention cohorts: per signup day, users who returned within
+    // 1 day / 7 days (integer day buckets, ms arithmetic both sides)
+    "events_retention" -> ((s, dir) => {
+      val e = Engine.eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val day = 86400000L
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("signup_ms"))
+      val ret = e.join(signups, Seq("user_id"))
+        .filter(col("ts_ms") > col("signup_ms"))
+        .groupBy(col("user_id"), col("signup_ms"))
+        .agg(max(when(col("ts_ms") <= col("signup_ms") + day, 1L).otherwise(0L)).as("r1"),
+          max(when(col("ts_ms") <= col("signup_ms") + 7 * day, 1L).otherwise(0L)).as("r7"))
+      signups.join(ret, Seq("user_id", "signup_ms"), "left")
+        .select(expr(s"signup_ms div $day").as("cohort_day"),
+          coalesce(col("r1"), lit(0L)).as("r1"),
+          coalesce(col("r7"), lit(0L)).as("r7"))
+        .groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_signups"),
+          sum(col("r1")).as("n_d1"), sum(col("r7")).as("n_d7"))
     }),
     // stream-static join (batch execution of the same plan): enrich
     // events against a broadcast dimension, aggregate per category
@@ -787,6 +818,46 @@ object SparkEntry {
           |FROM g a JOIN g b ON a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
           |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+      // transitive closure over the SAME pair set the Spark side builds
+      // (dedup_ngram semantics at n=5, t=0.5, doc_id < 500); cluster_id =
+      // min id per component on both sides
+      "dedup_cluster" ->
+        """WITH RECURSIVE
+          |dd AS (SELECT doc_id, lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t
+          |       FROM documents WHERE doc_id < 500),
+          |g AS (SELECT doc_id,
+          |        CASE WHEN length(t) < 5 THEN [t]
+          |             ELSE list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) END AS sh
+          |      FROM dd),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+          |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+          |reach(s, d) AS (SELECT s, d FROM e
+          |                UNION
+          |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+          |labels AS (SELECT s AS node, least(s, min(d)) AS cluster_id
+          |           FROM reach GROUP BY s)
+          |SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
+          |FROM labels GROUP BY cluster_id""".stripMargin,
+
+      "events_retention" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+          |s AS (SELECT user_id, min(ts_ms) AS signup_ms FROM e
+          |      WHERE event_type = 'signup' GROUP BY 1),
+          |r AS (SELECT s.user_id, s.signup_ms,
+          |        max(CASE WHEN e.ts_ms <= s.signup_ms + 86400000 THEN 1 ELSE 0 END) AS r1,
+          |        max(CASE WHEN e.ts_ms <= s.signup_ms + 604800000 THEN 1 ELSE 0 END) AS r7
+          |      FROM s JOIN e ON e.user_id = s.user_id AND e.ts_ms > s.signup_ms
+          |      GROUP BY 1, 2)
+          |SELECT s.signup_ms // 86400000 AS cohort_day,
+          |       count(*) AS n_signups,
+          |       cast(sum(coalesce(r1, 0)) as bigint) AS n_d1,
+          |       cast(sum(coalesce(r7, 0)) as bigint) AS n_d7
+          |FROM s LEFT JOIN r ON r.user_id = s.user_id
+          |GROUP BY 1""".stripMargin,
 
       "text_subwords" ->
         """SELECT doc_id,

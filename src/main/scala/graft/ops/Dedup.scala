@@ -195,6 +195,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  // --------------------------------------------- near-dup cluster closure
+
+  /** Connected components over an undirected near-dup pair list —
+    * iterative min-label propagation, the step that turns pairwise
+    * near-dup evidence into "keep one doc per cluster".
+    *
+    * Each node starts labeled with its own id; every round each node
+    * takes the min of its label and its neighbors' labels; converged
+    * when a round changes nothing. Rounds ≤ cluster diameter — near-dup
+    * clusters are shallow (a dup of a dup of X is usually also a direct
+    * dup of X), so this terminates in a handful of distributed
+    * hash-join/aggregate rounds with NO driver-side graph. Each round
+    * shuffles one slim (node, label) row per edge endpoint; at 100 TB
+    * the labels table is a fraction of the corpus (only docs that appear
+    * in a pair). `maxIter` bounds pathological chains; the iterative
+    * driver loop is the standard Spark shape for fixpoint algorithms
+    * (each iteration is fully distributed, only the converged? bit comes
+    * back to the driver).
+    *
+    * Output: (node, cluster_id) with cluster_id = min id in the
+    * component — deterministic for any edge order or partitioning.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min neighbor label per node, then min with own label
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy(col("node")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   def embeddingPairs(
       emb: DataFrame,
       idCol: String,

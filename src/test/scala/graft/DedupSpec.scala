@@ -74,6 +74,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"identical vectors not found: $pairs")
   }
 
+  test("connected components label every near-dup cluster by its min id") {
+    // two clusters + a 5-node chain (forces multiple propagation rounds)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),                       // {1,2,3}
+      (10L, 11L),                               // {10,11}
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)) // chain {20..24}
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
   test("shingles: short text degrades to whole-string shingle") {
     val got = docs.sparkSession.range(1)
       .select(Dedup.shingles(lit("ab"), n = 5).as("sh"))
