@@ -365,6 +365,33 @@ object SparkEntry {
     // corpus vocabulary: top terms by document frequency
     "text_topterms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 30)),
+    // PII scrub: redaction counts + hash of the scrubbed text (proves
+    // the replacement itself matches, not just the counts)
+    "text_pii_scrub" -> ((s, dir) => {
+      val (nEmail, nPhone) = TextAnalysis.piiCounts(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        nEmail.as("n_emails"), nPhone.as("n_phones"),
+        md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_hash"))
+    }),
+    // boilerplate: word 8-grams recurring across >= 2 distinct docs
+    // (MassiveText-style repeated-n-gram cleaning signal)
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.repeatedPhrases(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2, k = 20)),
+    // context-window packing: fixed-char chunks with overlap
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+        size = 400, overlap = 100)),
+    // data-quality assertions as a query: per event_type null/range/
+    // duplicate-id counters — the pipeline gate that runs before training
+    "events_dq" -> ((s, dir) =>
+      Engine.eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+          sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_neg_value"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("n_dup_ids"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
     // deterministic content-hash train/valid/test split (stable across
     // runs, partitionings, and engines — md5-derived bucket)
     "sample_split" -> ((s, dir) =>
@@ -1050,6 +1077,54 @@ object SparkEntry {
           |       len(regexp_extract_all(text, '\p{N}'))::BIGINT AS n_digits,
           |       md5(lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g'))) AS fingerprint
           |FROM documents""".stripMargin,
+
+      // identical RE2-safe patterns both sides; 'g' flag = Spark's
+      // replace-all default; scrubbed_hash proves replacement parity
+      "text_pii_scrub" ->
+        """SELECT doc_id,
+          |  len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+          |  len(regexp_extract_all(text,
+          |    '\+?[0-9][0-9()\- ]{6,}[0-9]'))::BIGINT AS n_phones,
+          |  md5(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_hash
+          |FROM documents""".stripMargin,
+
+      // word 8-grams over the same portable ws split; w[i:i+7] is the
+      // 8-element inclusive slice, range is stop-exclusive
+      "text_boilerplate" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+          |                x -> x <> '') AS w
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |        unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS gram
+          |      FROM t WHERE len(w) >= 8),
+          |f AS (SELECT gram, doc_id, count(*) AS n_in_doc FROM g GROUP BY 1, 2),
+          |a AS (SELECT gram, count(*) AS n_docs,
+          |             cast(sum(n_in_doc) as bigint) AS n_total
+          |      FROM f GROUP BY 1)
+          |SELECT gram, n_docs, n_total FROM a WHERE n_docs >= 2
+          |ORDER BY n_docs DESC, n_total DESC, gram ASC LIMIT 20""".stripMargin,
+
+      // starts 1, 1+stride, … ≤ length on both sides (Spark sequence is
+      // stop-inclusive; DuckDB range is stop-exclusive, hence length+1)
+      "text_chunks" ->
+        """SELECT doc_id, start,
+          |       length(substr(text, start::INT, 400))::BIGINT AS chunk_len,
+          |       md5(substr(text, start::INT, 400)) AS chunk_hash
+          |FROM (SELECT doc_id, text,
+          |        unnest(range(1, length(text) + 1, 300)) AS start
+          |      FROM documents)""".stripMargin,
+
+      "events_dq" ->
+        """SELECT event_type, count(*) AS n_rows,
+          |       cast(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_props,
+          |       cast(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) as bigint) AS n_neg_value,
+          |       count(*) - count(DISTINCT event_id) AS n_dup_ids,
+          |       min(value) AS min_value, max(value) AS max_value
+          |FROM events GROUP BY event_type""".stripMargin,
 
       // same explicit whitespace class as the Spark split; ASCII
       // lowercasing agrees between engines (and the corpus is ASCII)

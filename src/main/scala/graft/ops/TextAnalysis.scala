@@ -135,4 +135,74 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprintMd5(t))
   }
+
+  // -------------------------------------------------- pipeline cleaning
+
+  /** RE2-safe patterns (no backrefs/lookaround), so the SAME regex runs
+    * in Spark (java.util.regex) and the DuckDB oracle (RE2) with
+    * identical matches.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing: redact emails/phones with typed placeholders — the
+    * standard pre-training cleanup pass. Pure scan-side regexp_replace
+    * (codegen'd, no shuffle); count the redactions alongside so the
+    * pipeline can monitor PII rates per source.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(emailPattern)).cast("long"),
+      regexp_count(text, lit(phonePattern)).cast("long"))
+
+  /** Boilerplate detection: word n-grams recurring across ≥ `minDocs`
+    * DISTINCT documents — the repeated-n-gram heuristic of
+    * MassiveText/Gopher-style cleaning (C4 uses lines; this corpus has
+    * no line structure, token windows generalize). Two-level aggregate:
+    * per-(gram, doc) collapse map-side, then per-gram — the shuffle
+    * carries one slim row per distinct (gram, doc). Deterministic top-k
+    * under the (n_docs, n_total, gram) total order.
+    */
+  def repeatedPhrases(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2, k: Int = 20): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), wsRun), x => x =!= "").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => array_join(slice(col("w"), i, lit(n)), " "))).as("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_in_doc")).as("n_total"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_total").desc, col("gram").asc)
+      .limit(k)
+
+  /** Fixed-size character chunking with overlap — the context-window
+    * packing step. One `sequence` + `explode` per doc (starts 1,
+    * 1+stride, … ≤ length), substring per chunk; no shuffle, output
+    * rows carry (doc, start, chunk) so downstream tokenization stays
+    * embarrassingly parallel. `size` > `overlap` required.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 400, overlap: Int = 100): DataFrame = {
+    require(size > overlap, "chunk size must exceed overlap")
+    val stride = size - overlap
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")), lit(stride))).as("start"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        length(substring_index_safe(col("t"), col("start"), size)).cast("long").as("chunk_len"),
+        md5(substring_index_safe(col("t"), col("start"), size)).as("chunk_hash"))
+  }
+
+  /** `substring` with a column start (the builtin takes literal ints). */
+  private def substring_index_safe(t: Column, start: Column, len: Int): Column =
+    t.substr(start, lit(len))
 }

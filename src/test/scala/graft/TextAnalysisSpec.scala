@@ -74,6 +74,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sketch("ab").size === 1)
   }
 
+  test("PII scrub redacts planted emails and phones, counts them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com or +1 (555) 123-4567 today"),
+      (2L, "two mails a@b.io c.d+x@e-f.org, no phone"),
+      (3L, "clean text with nothing to redact")).toDF("doc_id", "text")
+    val (ne, np) = TextAnalysis.piiCounts(col("text"))
+    val got = docs.select(col("doc_id"), ne.as("e"), np.as("p"),
+      TextAnalysis.scrubPii(col("text")).as("s"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === 1L && got(0)._3 === 1L)
+    assert(got(0)._4 === "contact <EMAIL> or <PHONE> today")
+    assert(got(1)._2 === 2L && got(1)._3 === 0L)
+    assert(got(2)._2 === 0L && got(2)._3 === 0L)
+    assert(got(2)._4 === "clean text with nothing to redact")
+  }
+
+  test("chunking covers every character with the configured overlap") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 1000), (2L, "y" * 50)).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", size = 400, overlap = 100)
+      .select("doc_id", "start", "chunk_len")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    // doc 1: starts 1, 301, 601, 901 — lens 400, 400, 400, 100
+    assert(got(1L).sortBy(_._2).map(r => (r._2, r._3)).toSeq ===
+      Seq((1L, 400L), (301L, 400L), (601L, 400L), (901L, 100L)))
+    // short doc: one partial chunk
+    assert(got(2L).toSeq === Seq((2L, 1L, 50L)))
+    // coverage: last chunk reaches the end
+    assert(got(1L).map(r => r._2 + r._3 - 1).max === 1000L)
+  }
+
+  test("repeated n-grams surface cross-document boilerplate only") {
+    import spark.implicits._
+    val boiler = "please subscribe to our newsletter for weekly updates"  // 8 words
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"epsilon zeta eta theta $boiler"),
+      (3L, "iota kappa lambda mu nu xi omicron pi rho")).toDF("doc_id", "text")
+    val got = TextAnalysis.repeatedPhrases(docs, "doc_id", "text",
+      n = 8, minDocs = 2, k = 10)
+      .select("gram", "n_docs").as[(String, Long)].collect()
+    assert(got.toSeq === Seq((boiler, 2L)))
+  }
+
   test("profile computes every column in one pass over real testdata") {
     val docs = Engine.table(spark, sfDir, "documents")
     val prof = TextAnalysis.profile(docs, "text")
