@@ -99,6 +99,22 @@ object SparkEntry {
         rightCols = Seq("purchase_id"))
         .withColumn("purchase_id", coalesce(col("purchase_id"), lit(-1L)))
     }),
+    // forward as-of with tolerance: next purchase within 1h of each click
+    "join_asof_fwd" -> ((s, dir) => {
+      val e = Engine.eventsTable(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_millis(col("ts")).as("click_ms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      Joins.asof(clicks, purchases,
+        keyCols = Seq("user_id"), leftTime = "click_ms", rightTime = "p_ms",
+        leftCols = Seq("click_id", "user_id", "click_ms"),
+        rightCols = Seq("purchase_id"),
+        direction = "forward", tolerance = 3600000L)
+        .withColumn("purchase_id", coalesce(col("purchase_id"), lit(-1L)))
+    }),
     "join_range" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val buckets = t(s, dir, "region")
@@ -257,6 +273,33 @@ object SparkEntry {
         .withColumn("n_prev_10m", count(lit(1)).over(w))
         .withColumn("sum_value_milli_10m", sum(col("value_milli")).over(w))
         .drop("value_milli")
+    }),
+    // first/last/nth over an explicit full frame (constants per
+    // partition under the total order → 3 distinct rows)
+    "window_firstlast" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).as("qty"))
+        .select(col("l_returnflag"),
+          first(col("qty")).over(w).as("first_qty"),
+          last(col("qty")).over(w).as("last_qty"),
+          nth_value(col("qty"), 3).over(w).as("third_qty"))
+        .distinct()
+    }),
+    // the full reference query through the SQL surface (parser →
+    // Catalyst → same physical plan family as the Dataset form)
+    "q4112_sql" -> ((s, dir) => {
+      partItems(s, dir).createOrReplaceTempView("sql_items")
+      liOrders(s, dir).createOrReplaceTempView("sql_orders")
+      s.sql(
+        """SELECT sum(g_avg) DIV count(*) AS avg_avg_value
+          |FROM (SELECT sum(price * quantity) DIV count(*) AS g_avg
+          |      FROM sql_orders JOIN sql_items ON l_partkey = p_partkey
+          |      GROUP BY l_suppkey)""".stripMargin)
     }),
     // exact interpolated percentiles (percentile_cont semantics)
     "agg_percentiles" -> ((s, dir) =>
@@ -670,6 +713,21 @@ object SparkEntry {
           |       coalesce(max(p.purchase_id), -1) AS purchase_id
           |FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.p_ms = m.best_ms
           |GROUP BY 1, 2, 3""".stripMargin,
+      // forward direction, 1h tolerance; ties at equal p_ms break to the
+      // max purchase_id, matching Joins.asof's deterministic tie-break
+      "join_asof_fwd" ->
+        """WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+          |           FROM events WHERE event_type = 'click'),
+          |     p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+          |           FROM events WHERE event_type = 'purchase'),
+          |     m AS (SELECT c.click_id, c.user_id, c.click_ms, min(p.p_ms) AS best_ms
+          |           FROM c LEFT JOIN p ON p.user_id = c.user_id
+          |             AND p.p_ms >= c.click_ms AND p.p_ms - c.click_ms <= 3600000
+          |           GROUP BY 1, 2, 3)
+          |SELECT m.click_id, m.user_id, m.click_ms,
+          |       coalesce(max(p.purchase_id), -1) AS purchase_id
+          |FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.p_ms = m.best_ms
+          |GROUP BY 1, 2, 3""".stripMargin,
       "join_range" ->
         """SELECT r_regionkey, count(*) AS n_rows
           |FROM lineitem JOIN region
@@ -744,6 +802,24 @@ object SparkEntry {
           |       sum(cast(floor(l_quantity) as bigint))
           |         FILTER (l_linestatus = 'O')::BIGINT AS "O"
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "window_firstlast" ->
+        """SELECT DISTINCT l_returnflag,
+          |       first_value(qty) OVER w AS first_qty,
+          |       last_value(qty) OVER w AS last_qty,
+          |       nth_value(qty, 3) OVER w AS third_qty
+          |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+          |             cast(floor(l_quantity) as bigint) AS qty FROM lineitem)
+          |WINDOW w AS (PARTITION BY l_returnflag
+          |             ORDER BY qty, l_orderkey, l_linenumber
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+      "q4112_sql" ->
+        """WITH g AS (
+          |  SELECT l_suppkey,
+          |         cast(sum(cast(floor(p_retailprice) as bigint) * cast(floor(l_quantity) as bigint))
+          |              // count(*) as bigint) AS g_avg
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  GROUP BY l_suppkey)
+          |SELECT cast(sum(g_avg) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
       "agg_percentiles" ->
         """SELECT l_returnflag,
           |       quantile_cont(floor(l_quantity), 0.25) AS p25,

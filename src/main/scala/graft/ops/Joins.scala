@@ -66,45 +66,61 @@ object Joins {
       lo: Column, hi: Column): DataFrame =
     left.join(broadcast(right), leftKey >= lo && leftKey < hi, "inner")
 
-  /** As-of join: for each left row, the single latest right row with
-    * `rightTime <= leftTime` within the same key (LEFT-join semantics —
-    * unmatched left rows keep NULL right columns).
+  /** As-of join: for each left row, the single nearest right row at or
+    * before (`direction = "backward"`, default) or at or after
+    * (`"forward"`) the left time, within the same key (LEFT-join
+    * semantics — unmatched left rows keep NULL right columns). An
+    * optional `tolerance` (same units as the time columns) voids matches
+    * further than that from the left time.
     *
     * Implementation is the scalable sort-based form, NOT a range join:
-    * tag both sides, union, and carry the most recent right payload
-    * forward with a `last(_, ignoreNulls)` running window — one shuffle
-    * on the key, no |left|×|right| candidate blow-up, works at any time
-    * density. Right rows sort before left rows at equal timestamps, so
-    * the match is inclusive; ties among right rows at the same timestamp
-    * break deterministically to the lexicographically greatest
-    * `rightCols` payload. Right payload columns must be non-null to
-    * count as a match, and output names must not clash with left's.
+    * tag both sides, union, and carry the nearest right payload
+    * along the time order with a `last(_, ignoreNulls)` running window —
+    * one shuffle on the key, no |left|×|right| candidate blow-up, works
+    * at any time density. Right rows sort before left rows at equal
+    * timestamps, so the match is inclusive; ties among right rows at the
+    * same timestamp break deterministically to the lexicographically
+    * greatest `rightCols` payload. Right payload columns must be
+    * non-null to count as a match, and output names must not clash with
+    * left's.
     */
   def asof(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String],
       leftTime: String, rightTime: String,
-      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+      leftCols: Seq[String], rightCols: Seq[String],
+      direction: String = "backward",
+      tolerance: Long = -1L): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     import org.apache.spark.sql.expressions.Window
+    val backward = direction == "backward"
     val ls = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("__t"), lit(0).as("__side")) ++
         leftCols.map(c => col(c).as(s"__l_$c")): _*)
     val rs = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(1).as("__side")) ++
+        Seq(col(rightTime).as("__t"), lit(1).as("__side"),
+          col(rightTime).as("__rt")) ++
         rightCols.map(c => col(c).as(s"__r_$c")): _*)
     val u = ls.unionByName(rs, allowMissingColumns = true)
+    val tOrd = if (backward) col("__t").asc else col("__t").desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc +: col("__side").desc +:
+      .orderBy(tOrd +: col("__side").desc +:
         rightCols.map(c => col(s"__r_$c").asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    val filled = ("__rt" +: rightCols.map(c => s"__r_$c")).foldLeft(u) { (df, c) =>
+      df.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w))
     }
+    val withinTol =
+      if (tolerance < 0L) lit(true)
+      else if (backward) col("__t") - col("__m___rt") <= tolerance
+      else col("__m___rt") - col("__t") <= tolerance
     filled.filter(col("__side") === 0)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
-        rightCols.map(c => col(s"__m_$c").as(c)): _*)
+        rightCols.map(c =>
+          when(withinTol, col(s"__m___r_$c")).otherwise(lit(null)).as(c)): _*)
   }
 
   /** Salted equi-join for a skew-dominated fact side. AQE's skew-join

@@ -61,6 +61,38 @@ class JoinsSpec extends SparkSpec {
     assert(got === Map(1L -> -1L, 2L -> 100L, 3L -> 101L, 4L -> 102L, 5L -> -1L, 6L -> -1L))
   }
 
+  test("forward asof picks the earliest right row at or after, tolerance voids far matches") {
+    val quotes = Seq(
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 15L, 200L))
+      .toDF("k", "qt", "qid")
+    val trades = Seq(
+      (1L, 5L, 1L),   // next quote at 10 → 100
+      (1L, 20L, 2L),  // == quote ts → inclusive 101
+      (1L, 25L, 3L),  // next at 30 → 102
+      (1L, 99L, 4L),  // nothing after → null
+      (2L, 16L, 5L))  // key-2 quote is before → null
+      .toDF("k", "tt", "tid")
+    def run(tol: Long) = Joins.asof(trades, quotes,
+      keyCols = Seq("k"), leftTime = "tt", rightTime = "qt",
+      leftCols = Seq("tid"), rightCols = Seq("qid"),
+      direction = "forward", tolerance = tol)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(run(-1L) === Map(1L -> 100L, 2L -> 101L, 3L -> 102L, 4L -> -1L, 5L -> -1L))
+    // tolerance 4: trade 1 (gap 5) and trade 3 (gap 5) now void
+    assert(run(4L) === Map(1L -> -1L, 2L -> 101L, 3L -> -1L, 4L -> -1L, 5L -> -1L))
+  }
+
+  test("backward asof with tolerance voids stale matches only") {
+    val quotes = Seq((1L, 10L, 100L)).toDF("k", "qt", "qid")
+    val trades = Seq((1L, 12L, 1L), (1L, 99L, 2L)).toDF("k", "tt", "tid")
+    val got = Joins.asof(trades, quotes,
+      keyCols = Seq("k"), leftTime = "tt", rightTime = "qt",
+      leftCols = Seq("tid"), rightCols = Seq("qid"), tolerance = 5L)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 100L, 2L -> -1L))
+  }
+
   test("band range join equals broadcast range join") {
     val points = (0L until 200L).map(i => (i, i % 97)).toDF("pid", "v")
     val ranges = Seq((0L, 0L, 10L), (1L, 5L, 25L), (2L, 90L, 97L), (3L, 40L, 41L))
