@@ -353,6 +353,19 @@ object SparkEntry {
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
     }),
+    // end-to-end dedup application: drop every cluster member except the
+    // min-id representative, report the surviving corpus size
+    "dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(length(col("text")).cast("long")).as("n_chars_kept"))
+    }),
     // exact all-pairs baseline for the LSH form below (ids only — see
     // Dedup.embeddingPairsExact on why the cosine value stays out of
     // the hash-exact gate)
@@ -598,6 +611,15 @@ object SparkEntry {
           col("event_type"), col("n_events"))),
     "events_sessionize" -> ((s, dir) =>
       streaming.Events.sessionizeBatch(Engine.eventsTable(s, dir), gapMs = 30 * 60 * 1000L)),
+    // Spark's NATIVE session_window operator (streaming-capable gap
+    // sessionization as a groupBy key; batch execution is the oracle
+    // path). end = last event + gap by definition.
+    "events_session_window" -> ((s, dir) =>
+      Engine.eventsTable(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+          unix_millis(col("w.end")).as("session_end_ms"), col("n_events"))),
     // stream-stream interval join, batch execution of the same plan
     "events_stream_join" -> ((s, dir) =>
       streaming.Events.clickPurchaseJoin(Engine.eventsTable(s, dir),
@@ -921,6 +943,32 @@ object SparkEntry {
           |FROM g a JOIN g b ON a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
           |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+      // same closure as dedup_cluster; losers = non-representative
+      // members, kept corpus = everything else
+      "dedup_keep" ->
+        """WITH RECURSIVE
+          |dd AS (SELECT doc_id, lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t
+          |       FROM documents WHERE doc_id < 500),
+          |g AS (SELECT doc_id,
+          |        CASE WHEN length(t) < 5 THEN [t]
+          |             ELSE list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) END AS sh
+          |      FROM dd),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+          |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+          |reach(s, d) AS (SELECT s, d FROM e
+          |                UNION
+          |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+          |labels AS (SELECT s AS node, least(s, min(d)) AS cluster_id
+          |           FROM reach GROUP BY s)
+          |SELECT count(*) AS n_docs_kept,
+          |       cast(sum(length(text)) as bigint) AS n_chars_kept
+          |FROM documents
+          |WHERE doc_id < 500
+          |  AND doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)""".stripMargin,
 
       // transitive closure over the SAME pair set the Spark side builds
       // (dedup_ngram semantics at n=5, t=0.5, doc_id < 500); cluster_id =
@@ -1252,6 +1300,27 @@ object SparkEntry {
           | AND c.event_type = 'click' AND p.event_type = 'purchase'
           | AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
           | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 600000000""".stripMargin,
+      // session_window boundary: an event exactly gap after the previous
+      // MERGES into the session (inclusive overlap; pinned by a spec) —
+      // same > split as events_sessionize, end = last event + gap
+      "events_session_window" ->
+        """WITH e AS (
+          |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,
+          |         lag(cast(epoch_ms(ts) as bigint)) OVER (
+          |           PARTITION BY user_id ORDER BY ts) AS prev_ms
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, ts_ms,
+          |         sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+          |                  THEN 1 ELSE 0 END) OVER (
+          |           PARTITION BY user_id ORDER BY ts_ms
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          |  FROM e)
+          |SELECT user_id, min(ts_ms) AS session_start_ms,
+          |       max(ts_ms) + 1800000 AS session_end_ms,
+          |       count(*) AS n_events
+          |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
       "events_sessionize" ->
         """WITH e AS (
           |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,

@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window boundary: exact-gap event MERGES into the session") {
+    import org.apache.spark.sql.functions._
+    val gap = 1800000L
+    val B = 86400000L
+    val df = Seq(
+      (1L, new java.sql.Timestamp(B)),
+      (1L, new java.sql.Timestamp(B + gap)),      // exactly gap later
+      (1L, new java.sql.Timestamp(B + gap + 1000L)))
+      .toDF("user_id", "ts")
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("s"), col("n").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // windows [t, t+gap] merge INCLUSIVELY: the exact-gap event joins
+    // the first session — same > split as sessionizeBatch (pins the
+    // oracle SQL's split condition)
+    assert(sessions === Array((B, 3L)))
+  }
+
   test("batch sessionize agrees with an independently computed expectation") {
     val events = Seq(
       (1L, 0L), (1L, 30000L), (1L, 100000L), // user1: [0,30000](2), [100000](1)
