@@ -13,8 +13,11 @@ Test / fork := true
 run / fork := true
 // pass the forked process's stdout through UNPREFIXED: the bench/verify
 // harness greps stdout for a bare JSON line, and sbt's default logger
-// prefixes every line with [info], which breaks line-oriented parsers
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// prefixes every line with [info], which breaks line-oriented parsers.
+// BENCH_r01.json came back "parsed": null because the bare `run /` scope
+// did not apply to `runMain` — scope it explicitly to both tasks.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,8 +32,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // force full materialization of every operator in the plan: a bare
+    // df.count() lets Catalyst prune the final Project (map-only kernels
+    // like text_pii_scrub would be timed as a parquet-footer read), the
+    // noop sink pulls every row through the executed plan instead
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // warm-up: pay one-time codegen/classloading + parquet footer reads
-    try SparkEntry.queries("q4112_part1")(spark, sfDir).count()
+    try exec(SparkEntry.queries("q4112_part1")(spark, sfDir))
     catch { case _: Throwable => () }
 
     // best-of-2 per query, like the reference's best-of-5 CSV convention
@@ -44,7 +51,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once: Double =
-        try time { fn(spark, sfDir).count(); () }
+        try time { exec(fn(spark, sfDir)) }
         catch {
           case e: Throwable =>
             errors.getOrElseUpdate(name,

@@ -14,8 +14,9 @@ import org.apache.spark.sql.SparkSession
   * `inner,isel,ivmax,outer,osel,ovmax,groups,hh,hhp,threads,repeat,ns`
   * (same column order as q4112_main.c:128-131).
   *
-  * `runMain graft.Matrix [outCsv] [scale]` — scale shrinks the reference
-  * matrices (outer=1e9 → 1e9·scale); default 1e-3 mirrors FIXTURES.md.
+  * `runMain graft.Matrix [outCsv] [scale] [part] [reps]` — scale shrinks
+  * the reference matrices (outer=1e9 → 1e9·scale); default 1e-3 mirrors
+  * FIXTURES.md. `part` = 1 | 2 | all (default all); `reps` defaults to 3.
   */
 object Matrix {
 
@@ -60,7 +61,8 @@ object Matrix {
   def main(args: Array[String]): Unit = {
     val outCsv = if (args.length > 0) args(0) else "matrix_results.csv"
     val scale = if (args.length > 1) args(1).toDouble else 1e-3
-    val reps = 3
+    val partFilter = if (args.length > 2) args(2) else "all"
+    val reps = if (args.length > 3) args(3).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -69,13 +71,18 @@ object Matrix {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the generated columns are near-unique longs: the cache's
+      // DictionaryEncoding stats pass (boxed HashMap.put per value) costs
+      // more than the whole query at 1e9 rows — store raw columnar
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
     val out = new java.io.PrintWriter(new java.io.FileWriter(outCsv, true))
     try {
-      for ((cfg, part) <- part1Matrix(scale).map((_, 1)) ++ part2Matrix(scale).map((_, 2))) {
+      val all = part1Matrix(scale).map((_, 1)) ++ part2Matrix(scale).map((_, 2))
+      for ((cfg, part) <- all if partFilter == "all" || partFilter == part.toString) {
         // materialize inputs BEFORE timing — the reference times
         // q4112_run over already-filled arrays (q4112_main.c:101-119,
         // SURVEY §2.5), so the timed section here is also engine-only
@@ -90,8 +97,8 @@ object Matrix {
             if (part == 1) Q4112Gen.oraclePart1(items.collect().toSeq, orders.collect().toSeq)
             else Q4112Gen.oracleFull(items.collect().toSeq, orders.collect().toSeq)
           } else {
-            if (part == 1) Q4112Gen.oraclePart1Rdd(items, orders)
-            else Q4112Gen.oracleFullRdd(items, orders)
+            if (part == 1) Q4112Gen.oraclePart1Rdd(orders, cfg)
+            else Q4112Gen.oracleFullRdd(orders, cfg)
           }
         for (rep <- 1 to reps) {
           val t0 = System.nanoTime()

@@ -136,6 +136,22 @@ object SparkEntry {
         bucketWidth = 7)
         .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_band_rows"))
     }),
+    // fuzzy (edit-distance) self-join with two-level blocking: equi-join
+    // on brand (hash-partitionable — the only shuffle), then a length
+    // band prunes before the O(len²) levenshtein runs as a post-filter
+    "fuzzy_join_lev" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("id_a"), col("p_brand").as("brand"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_brand").as("brand"),
+        col("p_name").as("name_b"))
+      a.join(b, Seq("brand"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+          levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("lev_dist"))
+    }),
     // full outer: per-nation deep-negative-balance customer vs supplier
     // counts — both sides produce orphan nations, exercising both null
     // directions
@@ -327,6 +343,23 @@ object SparkEntry {
     // A5 pragmatic default: HLL++ — rows-only check
     "distinct_hll" -> ((s, dir) =>
       Aggregates.distinctHll(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
+    // heavy hitters via sketch-prune + exact verify: a Count-Min sketch
+    // (one treeAggregate pass, no shuffle) filters the fact table down
+    // to candidate-key rows BEFORE the exact group-by, so the shuffle
+    // carries only heavy keys. CMS only over-counts, so the candidate
+    // set is a superset and the HAVING-checked output is EXACT — the
+    // oracle is a plain GROUP BY/HAVING
+    "hh_cms_exact" -> ((s, dir) => {
+      val threshold = 45L
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      val cms = li.stat.countMinSketch("l_partkey", 5, 1 << 16, 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val isCandidate = udf((k: Long) => bc.value.estimateCount(k) >= threshold)
+      li.filter(isCandidate(col("l_partkey")))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") >= threshold)
+    }),
 
     // ------------------------------------------------ dedup family
     "dedup_exact" -> ((s, dir) =>
@@ -541,6 +574,39 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+    // TPC-H Q6 shape: tight selective scan + ungrouped sum — the
+    // pushdown showcase (all three predicates reach the parquet reader)
+    "tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount")))
+          .as("revenue"))),
+    // TPC-H Q5 shape: 6-table star join — fact joined to two dim chains
+    // that must agree on nation; dims broadcast, fact never shuffled
+    // until the final group-by
+    "tpch_q5" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue"))
+    }),
 
     // ------------------------------------------------ similarity search
     "sim_topk_brute" -> ((s, dir) => {
@@ -677,6 +743,38 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
         .withColumn("delta_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
         .withColumn("delta_ms", coalesce(col("delta_ms"), lit(-1L)))
+    }),
+    // time-series gap fill: per-user daily series densified with
+    // sequence+explode between each user's own min/max day, missing
+    // days zero-filled — generator rows stay proportional to the span,
+    // never a global cross join
+    "ts_gapfill" -> ((s, dir) => {
+      val days = Engine.eventsTable(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val spans = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      spans
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+        .join(days, Seq("user_id", "day"), "left")
+        .select(col("user_id"), unix_millis(col("day")).as("day_ms"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+    // rank-statistics window functions (percent_rank/cume_dist share
+    // one sort with dense_rank — a single Window physical node)
+    "window_rank_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("bal_cents"), col("s_suppkey"))
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          floor(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+        .select(col("s_suppkey"), col("s_nationkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          dense_rank().over(w).cast("long").as("drank"))
     }),
   )
 
@@ -1125,6 +1223,63 @@ object SparkEntry {
           |GROUP BY 1, 2
           |ORDER BY revenue DESC, l_orderkey ASC
           |LIMIT 10""".stripMargin,
+      "tpch_q6" ->
+        """SELECT cast(sum(cast(floor(l_extendedprice * l_discount) as bigint)) as bigint)
+          |         AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin,
+      "tpch_q5" ->
+        """SELECT n_name,
+          |       cast(sum(cast(floor(l_extendedprice * (1 - l_discount)) as bigint)) as bigint)
+          |         AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name""".stripMargin,
+      // exact by construction: the CMS prune only removes keys below
+      // threshold (over-count-only sketch), so plain GROUP BY/HAVING is
+      // the full semantics
+      "hh_cms_exact" ->
+        """SELECT l_partkey, count(*) AS n_rows
+          |FROM lineitem
+          |GROUP BY l_partkey
+          |HAVING count(*) >= 45""".stripMargin,
+      "fuzzy_join_lev" ->
+        """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+          |       cast(levenshtein(a.p_name, b.p_name) as bigint) AS lev_dist
+          |FROM part a
+          |JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+          |  AND levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+      "ts_gapfill" ->
+        """WITH d AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events
+          |  FROM events GROUP BY 1, 2),
+          |s AS (
+          |  SELECT user_id,
+          |         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+          |  FROM d GROUP BY user_id)
+          |SELECT s.user_id, epoch_ms(s.day) AS day_ms,
+          |       cast(coalesce(d.n_events, 0) as bigint) AS n_events
+          |FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+      "window_rank_stats" ->
+        """SELECT s_suppkey, s_nationkey,
+          |       percent_rank() OVER w AS pct_rank,
+          |       cume_dist() OVER w AS cume,
+          |       cast(dense_rank() OVER w as bigint) AS drank
+          |FROM (SELECT s_suppkey, s_nationkey,
+          |             cast(floor(s_acctbal * 100) as bigint) AS bal_cents
+          |      FROM supplier)
+          |WINDOW w AS (PARTITION BY s_nationkey ORDER BY bal_cents, s_suppkey)""".stripMargin,
 
       "events_enrich_static" ->
         """WITH e AS (SELECT *,

@@ -121,21 +121,49 @@ object Q4112Gen {
     * oracles, computed through the RDD API — a different join and
     * aggregation machinery than the Catalyst/codegen plan under test, so
     * the cross-check stays independent while both sides scale.
+    *
+    * The items side is NOT joined: `items.id` is contiguous 1..inner and
+    * `price` is a pure function of (seed, id), so the oracle resolves
+    * prices with the generator's own closed form (`priceOf`) — the same
+    * move as the reference, whose generator returns the expected answer
+    * it computed while emitting the data (q4112.h:41, q4112_main.c:127).
+    * An RDD shuffle join of the 1e9-row probe side against a 100-row
+    * build side was the 1e9-scale bottleneck; what stays under
+    * independent re-test is the engine's join+agg machinery vs a plain
+    * scan-fold / reduceByKey.
     */
-  def oraclePart1Rdd(items: Dataset[Item], orders: Dataset[Order]): Option[Long] = {
-    val ip = items.rdd.map(i => (i.id, i.price))
-    val op = orders.rdd.map(o => (o.itemId, o.quantity))
-    val sc = op.join(ip).map { case (_, (q, p)) => (p * q, 1L) }
+  private[graft] def priceOf(cfg: GenConfig, id: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashLong(id, XXH64.hashLong(cfg.seed, 42L))
+    val m = cfg.innerValMax + 1L
+    ((h % m) + m) % m // pmod, matching the generator's column expression
+  }
+
+  def oraclePart1Rdd(orders: Dataset[Order], cfg: GenConfig): Option[Long] = {
+    val inner = cfg.innerTuples
+    val sc = orders.rdd
+      .mapPartitions { it =>
+        var sum = 0L; var count = 0L
+        it.foreach { o =>
+          if (o.itemId <= inner) { // non-matching FKs are > innerTuples
+            sum += priceOf(cfg, o.itemId) * o.quantity; count += 1L
+          }
+        }
+        Iterator.single((sum, count))
+      }
       .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
     if (sc._2 == 0L) None else Some(sc._1 / sc._2)
   }
 
-  def oracleFullRdd(items: Dataset[Item], orders: Dataset[Order]): Option[Long] = {
-    val ip = items.rdd.map(i => (i.id, i.price))
-    val op = orders.rdd.map(o => (o.itemId, (o.storeId, o.quantity)))
-    val perGroup = op.join(ip)
-      .map { case (_, ((store, q), p)) => (store, (p * q, 1L)) }
-      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+  def oracleFullRdd(orders: Dataset[Order], cfg: GenConfig): Option[Long] = {
+    val inner = cfg.innerTuples
+    val perGroup = orders.rdd
+      .flatMap { o =>
+        if (o.itemId <= inner)
+          Some((o.storeId, (priceOf(cfg, o.itemId) * o.quantity, 1L)))
+        else None
+      }
+      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2)) // map-side combine
       .map { case (_, (s, c)) => (s / c, 1L) }
       .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
     if (perGroup._2 == 0L) None else Some(perGroup._1 / perGroup._2)

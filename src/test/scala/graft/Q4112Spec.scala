@@ -86,4 +86,22 @@ class Q4112Spec extends SparkSpec {
     val hhShare = orders.count(_.storeId <= 10).toDouble / orders.size
     assert(hhShare > 0.8 && hhShare < 0.98, s"hh share $hhShare")
   }
+
+  test("priceOf closed form equals the generator's column expression") {
+    val cfg = GenConfig(1000, 1.0, 99999, 5000, 1.0, 99999, 0, 0, 0.0, seed = 4112)
+    val items = Q4112Gen.items(spark, cfg).collect()
+    assert(items.forall(i => i.price === Q4112Gen.priceOf(cfg, i.id)))
+  }
+
+  test("distributed oracles agree with the collections oracles") {
+    val cfg = GenConfig(200, 0.7, 999, 20000, 0.8, 999, 50, 5, 0.6, seed = 7)
+    val items = Q4112Gen.items(spark, cfg)
+    val orders = Q4112Gen.orders(spark, cfg)
+    val itemSeq = items.collect().toSeq
+    val orderSeq = orders.collect().toSeq
+    assert(Q4112Gen.oraclePart1Rdd(orders, cfg) ===
+      Q4112Gen.oraclePart1(itemSeq, orderSeq))
+    assert(Q4112Gen.oracleFullRdd(orders, cfg) ===
+      Q4112Gen.oracleFull(itemSeq, orderSeq))
+  }
 }

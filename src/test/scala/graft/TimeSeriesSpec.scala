@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the time-series / sketch-prune / fuzzy-join round-2 query
+  * semantics (the oracle gate re-checks them against DuckDB at sf0.01;
+  * these pin the semantics on constructed edge-case frames).
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap-fill densifies each key's own span and zero-fills gaps") {
+    val day = 86400000L
+    val events = Seq(
+      (1L, 0L * day), (1L, 0L * day), (1L, 3L * day), // user1: 4-day span, 2 gaps
+      (2L, 5L * day))                                 // user2: single day
+      .toDF("user_id", "ms")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("day"))
+    val daily = events.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spans = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val filled = spans
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), unix_millis(col("day")).as("day_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n"))
+      .as[(Long, Long, Long)].collect().sorted
+    assert(filled === Array(
+      (1L, 0L, 2L), (1L, day, 0L), (1L, 2 * day, 0L), (1L, 3 * day, 1L),
+      (2L, 5 * day, 1L)))
+  }
+
+  test("CMS prune keeps a superset of the exact heavy hitters") {
+    // key i appears i times: exact HHs at threshold 40 are keys 40..49
+    val rows = (1L to 49L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("k")
+    val cms = rows.stat.countMinSketch("k", 5, 1 << 16, 42)
+    val candidates = (1L to 49L).filter(cms.estimateCount(_) >= 40L)
+    assert((40L to 49L).forall(candidates.contains), "CMS must never under-count")
+    val exact = rows.filter(col("k").isin(candidates: _*))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 40).as[(Long, Long)].collect().sorted
+    assert(exact === (40L to 49L).map(k => (k, k)).toArray)
+  }
+
+  test("levenshtein blocking filters never drop a within-threshold pair") {
+    val parts = Seq((1L, "b", "blue bolt"), (2L, "b", "blue belt"),
+      (3L, "b", "red gear"), (4L, "c", "blue bolt")) // 4: right name, other brand
+      .toDF("id", "brand", "name")
+    val a = parts.select(col("id").as("id_a"), col("brand"), col("name").as("name_a"))
+    val b = parts.select(col("id").as("id_b"), col("brand"), col("name").as("name_b"))
+    val got = a.join(b, Seq("brand"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+        levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().sorted
+    // only (1,2) qualifies: same brand, distance 1; (1,4) blocked by brand
+    assert(got === Array((1L, 2L)))
+  }
+}
