@@ -63,6 +63,13 @@ object Matrix {
     val scale = if (args.length > 1) args(1).toDouble else 1e-3
     val partFilter = if (args.length > 2) args(2) else "all"
     val reps = if (args.length > 3) args(3).toInt else 3
+    val innerMin = if (args.length > 4) args(4).toLong else 0L
+    // optional comma-separated 1-based config indices (within the part's
+    // matrix order) — lets a long 1e9-scale session run a representative
+    // subset per invocation
+    val idxFilter: Option[Set[Int]] =
+      if (args.length > 5 && args(5).nonEmpty) Some(args(5).split(",").map(_.toInt).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -79,10 +86,27 @@ object Matrix {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val out = new java.io.PrintWriter(new java.io.FileWriter(outCsv, true))
+    // autoflush: a multi-hour 1e9-scale session must not lose completed
+    // rows if the process is killed mid-matrix
+    val out = new java.io.PrintWriter(new java.io.FileWriter(outCsv, true), true)
     try {
-      val all = part1Matrix(scale).map((_, 1)) ++ part2Matrix(scale).map((_, 2))
-      for ((cfg, part) <- all if partFilter == "all" || partFilter == part.toString) {
+      val all = part1Matrix(scale).zipWithIndex.map { case (c, i) => (c, 1, i + 1) } ++
+        part2Matrix(scale).zipWithIndex.map { case (c, i) => (c, 2, i + 1) }
+      for ((cfg, part, idx) <- all
+           if (partFilter == "all" || partFilter == part.toString) &&
+             cfg.innerTuples >= innerMin &&
+             idxFilter.forall(_.contains(idx))) {
+        // broadcast hash at every inner size — measured on this box at
+        // outer=1e9: shuffled hash (J4's parallel partitioned build)
+        // costs 287-744 s because the 1e9-row probe side must shuffle
+        // through local disk, while broadcasting even a 1e8-row build
+        // side (single-threaded driver build + zero probe movement) runs
+        // in ~104 s. Sort-merge is never right for this query: sorting
+        // the probe costs more than the whole hash join. On a real
+        // multi-node cluster the crossover returns (broadcast ships the
+        // build side per executor; bucketed co-location — Tables.
+        // writeBucketed — removes the probe shuffle instead).
+        val strategy = Q4112.BroadcastHash
         // materialize inputs BEFORE timing — the reference times
         // q4112_run over already-filled arrays (q4112_main.c:101-119,
         // SURVEY §2.5), so the timed section here is also engine-only
@@ -104,10 +128,12 @@ object Matrix {
           val t0 = System.nanoTime()
           val result =
             if (part == 1)
-              Q4112.part1(items.toDF(), orders.toDF(), "id", "itemId", "price", "quantity")
+              Q4112.part1(items.toDF(), orders.toDF(), "id", "itemId", "price", "quantity",
+                strategy)
                 .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
             else
-              Q4112.part2(items.toDF(), orders.toDF(), "id", "itemId", "price", "quantity", "storeId")
+              Q4112.part2(items.toDF(), orders.toDF(), "id", "itemId", "price", "quantity",
+                "storeId", strategy)
                 .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
           val ns = System.nanoTime() - t0
           assert(result == oracle,

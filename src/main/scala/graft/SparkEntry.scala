@@ -306,6 +306,29 @@ object SparkEntry {
           nth_value(col("qty"), 3).over(w).as("third_qty"))
         .distinct()
     }),
+    // SQL subquery machinery: CTE + EXISTS (→ semi join) + scalar
+    // subquery (→ one-row broadcast), all through the parser
+    "sql_subqueries" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """WITH big AS (SELECT o_custkey, count(*) AS n_orders
+          |             FROM sq_orders GROUP BY o_custkey)
+          |SELECT c.c_custkey, b.n_orders
+          |FROM sq_customer c JOIN big b ON c.c_custkey = b.o_custkey
+          |WHERE EXISTS (
+          |  SELECT 1 FROM sq_orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_totalprice * 2 > (SELECT max(o_totalprice) FROM sq_orders))""".stripMargin)
+    }),
+    // fixed-width integer histogram (group on a computed bucket key —
+    // single shuffle, min/max/count per bucket)
+    "agg_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(floor(col("l_quantity")).cast("long").as("q"))
+        .groupBy(expr("q div 5").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("q")).as("min_q"),
+          max(col("q")).as("max_q"))),
     // the full reference query through the SQL surface (parser →
     // Catalyst → same physical plan family as the Dataset form)
     "q4112_sql" -> ((s, dir) => {
@@ -398,6 +421,18 @@ object SparkEntry {
       docs.join(losers, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(length(col("text")).cast("long")).as("n_chars_kept"))
+    }),
+    // fixed-point integer PageRank over the supplier–part bipartite
+    // co-occurrence graph (near-dup clusters are cliques, where PageRank
+    // is constant by symmetry — this graph has real degree variance).
+    // Deterministic integer arithmetic → oracle-checked against a
+    // 10-round unrolled SQL power iteration; part nodes offset by 1e6
+    "graph_pagerank" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = b.select(col("sk").as("id_a"), (col("pk") + 1000000L).as("id_b"))
+      Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10)
     }),
     // exact all-pairs baseline for the LSH form below (ids only — see
     // Dedup.embeddingPairsExact on why the cosine value stays out of
@@ -794,7 +829,42 @@ object SparkEntry {
         |            // count(*) as bigint) AS avg_value
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY l_suppkey""".stripMargin
+    // graph_pagerank: aggregation is illegal in a recursive CTE term, so
+    // the 10 fixed-point power-iteration rounds are unrolled as chained
+    // CTEs over the supplier–part bipartite edge set
+    val prEdges =
+      """b AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT sk AS s, 1000000 + pk AS d FROM b
+        |      UNION SELECT 1000000 + pk, sk FROM b),
+        |deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        |it0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS score FROM deg)""".stripMargin
+    val prIters = (1 to 10).map { i =>
+      s"""it$i AS (SELECT n.node,
+         |  CAST(150000 + (85 * coalesce(x.insum, 0)) // 100 AS BIGINT) AS score
+         |  FROM (SELECT s AS node FROM deg) n LEFT JOIN (
+         |    SELECT e.d AS node, CAST(sum(i.score // dg.deg) AS BIGINT) AS insum
+         |    FROM e JOIN it${i - 1} i ON e.s = i.node JOIN deg dg ON e.s = dg.s
+         |    GROUP BY e.d) x ON n.node = x.node)""".stripMargin
+    }.mkString(",\n")
+    val prSql =
+      s"WITH $prEdges,\n$prIters\nSELECT node, score AS pagerank FROM it10"
     Map(
+      "graph_pagerank" -> prSql,
+      "sql_subqueries" ->
+        """WITH big AS (SELECT o_custkey, count(*) AS n_orders
+          |             FROM orders GROUP BY o_custkey)
+          |SELECT c.c_custkey, b.n_orders
+          |FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+          |WHERE EXISTS (
+          |  SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_totalprice * 2 > (SELECT max(o_totalprice) FROM orders))""".stripMargin,
+      "agg_histogram" ->
+        """SELECT cast(floor(l_quantity) as bigint) // 5 AS bucket, count(*) AS n,
+          |       min(cast(floor(l_quantity) as bigint)) AS min_q,
+          |       max(cast(floor(l_quantity) as bigint)) AS max_q
+          |FROM lineitem
+          |GROUP BY 1""".stripMargin,
       "q4112_part1" -> p1.format("avg_value"),
       "q4112_part1_shuffle_hash" -> p1.format("avg_value_sh"),
       "q4112_part1_sort_merge" -> p1.format("avg_value_sm"),

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pairwise-similarity edge lists (the output shape
+  * of the dedup family). Beyond-reference capability: the reference has
+  * no graph operators (SURVEY.md §2.5); these follow the same iterative
+  * distributed-fixpoint shape as [[Dedup.connectedComponents]].
+  */
+object Graph {
+
+  /** PageRank in 64-bit fixed-point integer arithmetic — every score is
+    * `score_float * scale` rounded down, all updates are integer
+    * multiply/floor-divide, so the result is bit-deterministic for any
+    * partitioning, join order, or summation order (float PageRank is
+    * not: cross-row double sums reorder under shuffle). Determinism is
+    * what makes the operator ORACLE-CHECKABLE; the cost is ≤1/scale
+    * absolute error per damping step, irrelevant for ranking.
+    *
+    * Standard damped formulation on the symmetrized edge list:
+    * `score'(d) = 0.15·scale + 0.85 · Σ_{s→d} score(s) div deg(s)`,
+    * `iterations` fixed rounds (power iteration; convergence for ranking
+    * typically <10 rounds on shallow similarity graphs).
+    *
+    * Each round is one hash-join (edges ⋈ scores, shuffles slim
+    * (node, long) rows) plus one aggregation — the distributed Pregel
+    * shape; nothing graph-sized ever reaches the driver.
+    *
+    * Output: (node, pagerank: Long).
+    */
+  def pageRankFixedPoint(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      iterations: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    // symmetric edges: every node has out-degree = in-degree ≥ 1, so
+    // there is no dangling mass and deg doubles as the node list
+    val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val base = scale * 15L / 100L
+    var scores = degrees.select(col("src").as("node"), lit(scale).as("score"))
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(scores, edges("src") === scores("node"))
+        .join(degrees, Seq("src"))
+        .select(col("dst").as("node"), expr("score div deg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("insum"))
+      scores = degrees.select(col("src").as("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("score"))
+    }
+    // edges/degrees stay cached: the returned plan references them once
+    // per iteration, and the caller's single action executes that plan
+    // after this method returns (unpersisting here would recompute the
+    // pair generation `iterations` times)
+    scores.withColumnRenamed("score", "pagerank")
+  }
+}

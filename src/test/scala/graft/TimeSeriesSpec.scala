@@ -44,6 +44,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(exact === (40L to 49L).map(k => (k, k)).toArray)
   }
 
+  test("fixed-point PageRank: star center outranks leaves, mass is conserved") {
+    import graft.ops.Graph
+    // star: 1 is the hub of 2,3,4 (symmetrized internally)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val scores = Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(scores.size === 4)
+    assert(Seq(2L, 3L, 4L).forall(l => scores(1L) > scores(l)),
+      s"hub must outrank leaves: $scores")
+    assert(scores(2L) === scores(3L) && scores(3L) === scores(4L))
+    // integer truncation only loses mass: total ≤ 4·scale, close to it
+    val total = scores.values.sum
+    assert(total <= 4000000L && total > 3900000L, s"total $total")
+    // deterministic: a second evaluation is bit-identical
+    val again = Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(again === scores)
+  }
+
   test("levenshtein blocking filters never drop a within-threshold pair") {
     val parts = Seq((1L, "b", "blue bolt"), (2L, "b", "blue belt"),
       (3L, "b", "red gear"), (4L, "c", "blue bolt")) // 4: right name, other brand
