@@ -82,6 +82,9 @@ object Matrix {
       // DictionaryEncoding stats pass (boxed HashMap.put per value) costs
       // more than the whole query at 1e9 rows — store raw columnar
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // the dense-key array build collects ~16 B/key of primitive
+      // chunks — 1.6 GB at inner=1e8, over the 1 GiB default cap
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
@@ -96,17 +99,16 @@ object Matrix {
            if (partFilter == "all" || partFilter == part.toString) &&
              cfg.innerTuples >= innerMin &&
              idxFilter.forall(_.contains(idx))) {
-        // broadcast hash at every inner size — measured on this box at
-        // outer=1e9: shuffled hash (J4's parallel partitioned build)
-        // costs 287-744 s because the 1e9-row probe side must shuffle
-        // through local disk, while broadcasting even a 1e8-row build
-        // side (single-threaded driver build + zero probe movement) runs
-        // in ~104 s. Sort-merge is never right for this query: sorting
-        // the probe costs more than the whole hash join. On a real
-        // multi-node cluster the crossover returns (broadcast ships the
-        // build side per executor; bucketed co-location — Tables.
-        // writeBucketed — removes the probe shuffle instead).
-        val strategy = Q4112.BroadcastHash
+        // measured on this box at outer=1e9: shuffled hash (J4's
+        // parallel partitioned build) costs 287-744 s because the
+        // 1e9-row probe side must shuffle through local disk; broadcast
+        // hash runs a 1e8-row build side in ~104-229 s (single-threaded
+        // driver build + hash-miss-heavy probe); the dense-key array
+        // probe (items.id is contiguous — q4112.h:14) beats both, like
+        // the reference's own layout-aware tuning. Sort-merge is never
+        // right for this query. On a multi-node cluster bucketed
+        // co-location (Tables.writeBucketed) replaces the probe shuffle.
+        val dense = cfg.innerTuples > 10000000L
         // materialize inputs BEFORE timing — the reference times
         // q4112_run over already-filled arrays (q4112_main.c:101-119,
         // SURVEY §2.5), so the timed section here is also engine-only
@@ -127,14 +129,21 @@ object Matrix {
         for (rep <- 1 to reps) {
           val t0 = System.nanoTime()
           val result =
-            if (part == 1)
-              Q4112.part1(items.toDF(), orders.toDF(), "id", "itemId", "price", "quantity",
-                strategy)
-                .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-            else
-              Q4112.part2(items.toDF(), orders.toDF(), "id", "itemId", "price", "quantity",
-                "storeId", strategy)
-                .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+            if (part == 1) {
+              val df =
+                if (dense) Q4112.part1Dense(items.toDF(), orders.toDF(),
+                  "id", "itemId", "price", "quantity")
+                else Q4112.part1(items.toDF(), orders.toDF(),
+                  "id", "itemId", "price", "quantity", Q4112.BroadcastHash)
+              df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+            } else {
+              val df =
+                if (dense) Q4112.part2Dense(items.toDF(), orders.toDF(),
+                  "id", "itemId", "price", "quantity", "storeId")
+                else Q4112.part2(items.toDF(), orders.toDF(),
+                  "id", "itemId", "price", "quantity", "storeId", Q4112.BroadcastHash)
+              df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+            }
           val ns = System.nanoTime() - t0
           assert(result == oracle,
             s"result $result != oracle $oracle for $cfg") // q4112_main.c:127
@@ -145,8 +154,14 @@ object Matrix {
             cpus, rep, ns).mkString(","))
           System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s ok")
         }
-        items.unpersist(blocking = false)
-        orders.unpersist(blocking = false)
+        // blocking + an explicit GC: a 1e9-scale session caches ~26 GB
+        // per config and builds multi-GB broadcast relations per rep;
+        // async unpersist let dead blocks overlap the next config's
+        // cache and the JVM died with SparkExitCode.OOM (56). The GC
+        // also lets ContextCleaner reap unreferenced broadcasts.
+        items.unpersist(blocking = true)
+        orders.unpersist(blocking = true)
+        System.gc()
       }
     } finally out.close()
     spark.stop()

@@ -51,6 +51,12 @@ object SparkEntry {
       Q4112.part1(partItems(s, dir), liOrders(s, dir),
         "p_partkey", "l_partkey", "price", "quantity", Q4112.SortMerge)
         .withColumnRenamed("avg_value", "avg_value_sm")),
+    // dense-key array probe ("perfect hash join"): the join collapses to
+    // a codegen'd bounds-check + array index per probe row
+    "q4112_part1_dense" -> ((s, dir) =>
+      Q4112.part1Dense(partItems(s, dir), liOrders(s, dir),
+        "p_partkey", "l_partkey", "price", "quantity")
+        .withColumnRenamed("avg_value", "avg_value_dense")),
     // A2 + A4 first level: per-group integer AVG
     "q4112_grouped" -> ((s, dir) =>
       Q4112.grouped(partItems(s, dir), liOrders(s, dir),
@@ -868,6 +874,7 @@ object SparkEntry {
       "q4112_part1" -> p1.format("avg_value"),
       "q4112_part1_shuffle_hash" -> p1.format("avg_value_sh"),
       "q4112_part1_sort_merge" -> p1.format("avg_value_sm"),
+      "q4112_part1_dense" -> p1.format("avg_value_dense"),
       "q4112_grouped" -> groupedCte,
       "q4112_part2" ->
         s"""WITH g AS ($groupedCte)

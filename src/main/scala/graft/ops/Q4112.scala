@@ -58,6 +58,80 @@ object Q4112 {
     orders.join(hinted, orders(orderKey) === hinted(itemKey), "inner")
   }
 
+  /** Build the broadcast value array for the dense-key probe path.
+    * Requires the build side's keys to form a contiguous integer domain
+    * (verified; throws otherwise) — the shape of every dimension table
+    * with a surrogate key, and of the reference's items.id (q4112.h:14).
+    */
+  def denseValuesArray(
+      items: DataFrame,
+      itemKey: String,
+      valueCol: String): (org.apache.spark.broadcast.Broadcast[Array[Long]], Long) = {
+    val s = items.agg(min(col(itemKey)), max(col(itemKey)), count(lit(1))).head()
+    val (mn, mx, n) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    require(mx - mn + 1L == n,
+      s"dense-key path requires a contiguous domain: [$mn,$mx] holds $n keys")
+    require(n <= Int.MaxValue, s"domain too large for one array: $n")
+    // pack (key, value) into primitive arrays per partition in parallel,
+    // so the driver receives ~16 bytes/row with no per-row boxing
+    val chunks = items.select(col(itemKey), col(valueCol)).rdd.mapPartitions { it =>
+      val ks = new scala.collection.mutable.ArrayBuilder.ofLong
+      val vs = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r => ks += r.getLong(0); vs += r.getLong(1) }
+      Iterator.single((ks.result(), vs.result()))
+    }.collect()
+    val arr = new Array[Long](n.toInt)
+    chunks.foreach { case (ks, vs) =>
+      var i = 0
+      while (i < ks.length) { arr((ks(i) - mn).toInt) = vs(i); i += 1 }
+    }
+    (items.sparkSession.sparkContext.broadcast(arr), mn)
+  }
+
+  /** Part 1 via the dense-key array probe ([[graft.functions.DenseArrayLookup]]):
+    * the "perfect hash join" plan a hand-tuner would write for a dense
+    * dimension — no hash, no probe chain, the whole join is one codegen'd
+    * bounds-check + array index per probe row.
+    */
+  def part1Dense(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String): DataFrame = {
+    val (bc, mn) = denseValuesArray(items, itemKey, priceCol)
+    orders
+      .select(graft.functions.DenseLookup(bc, mn)(col(orderKey)).as("price"),
+        col(quantityCol).as("q"))
+      .where(col("price").isNotNull) // inner-join drop semantics
+      .agg(sum(col("price") * col("q")).as("s"), count(lit(1)).as("c"))
+      .select(expr("s div c").as("avg_value"))
+  }
+
+  /** Part 2 via the dense-key array probe: lookup + filter + two-level
+    * integer aggregation, no join operator in the plan at all.
+    */
+  def part2Dense(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String,
+      groupCol: String): DataFrame = {
+    val (bc, mn) = denseValuesArray(items, itemKey, priceCol)
+    orders
+      .select(graft.functions.DenseLookup(bc, mn)(col(orderKey)).as("price"),
+        col(quantityCol).as("q"), col(groupCol))
+      .where(col("price").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(col("price") * col("q")).as("s"), count(lit(1)).as("c"))
+      .select(expr("s div c").as("avg_value"))
+      .agg(sum(col("avg_value")).as("ss"), count(lit(1)).as("cc"))
+      .select(expr("ss div cc").as("avg_avg_value"))
+  }
+
   /** Part 1: SELECT avg(price * quantity) — single integer average
     * (q4112_hj_1.c:49-77). Output column: `avg_value` (Long).
     */

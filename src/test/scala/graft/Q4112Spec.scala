@@ -87,6 +87,31 @@ class Q4112Spec extends SparkSpec {
     assert(hhShare > 0.8 && hhShare < 0.98, s"hh share $hhShare")
   }
 
+  test("dense-key array probe equals the hash-join plan (part1 and part2)") {
+    val cfg = GenConfig(500, 0.8, 999, 20000, 0.7, 999, 40, 4, 0.5, seed = 11)
+    val items = Q4112Gen.items(spark, cfg).toDF()
+    val orders = Q4112Gen.orders(spark, cfg).toDF()
+    val hash1 = Q4112.part1(items, orders, "id", "itemId", "price", "quantity")
+      .collect().head.getLong(0)
+    val dense1 = Q4112.part1Dense(items, orders, "id", "itemId", "price", "quantity")
+      .collect().head.getLong(0)
+    assert(dense1 === hash1)
+    val hash2 = Q4112.part2(items, orders, "id", "itemId", "price", "quantity", "storeId")
+      .collect().head.getLong(0)
+    val dense2 = Q4112.part2Dense(items, orders, "id", "itemId", "price", "quantity", "storeId")
+      .collect().head.getLong(0)
+    assert(dense2 === hash2)
+  }
+
+  test("dense-key path rejects a non-contiguous domain") {
+    import spark.implicits._
+    val holey = Seq((1L, 10L), (2L, 20L), (4L, 40L)).toDF("id", "price")
+    val orders = Seq((1L, 1L, 1L)).toDF("itemId", "storeId", "quantity")
+    assertThrows[IllegalArgumentException] {
+      Q4112.part1Dense(holey, orders, "id", "itemId", "price", "quantity")
+    }
+  }
+
   test("priceOf closed form equals the generator's column expression") {
     val cfg = GenConfig(1000, 1.0, 99999, 5000, 1.0, 99999, 0, 0, 0.0, seed = 4112)
     val items = Q4112Gen.items(spark, cfg).collect()
