@@ -153,10 +153,15 @@ object SparkEntry {
         col("p_name").as("name_b"))
       a.join(b, Seq("brand"))
         .filter(col("id_a") < col("id_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
-          levenshtein(col("name_a"), col("name_b")) <= 3)
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long").as("lev_dist"))
+          // |len diff| lower-bounds the edit distance, so the band must
+          // be ≤ the lev threshold or distance-3 pairs would be dropped
+          abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+        // thresholded levenshtein: banded DP + early exit, returns -1
+        // above the cutoff (and the exact distance at or below it)
+        .withColumn("lev_dist",
+          levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+        .filter(col("lev_dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("lev_dist"))
     }),
     // full outer: per-nation deep-negative-balance customer vs supplier
     // counts — both sides produce orphan nations, exercising both null
@@ -1335,7 +1340,7 @@ object SparkEntry {
           |       cast(levenshtein(a.p_name, b.p_name) as bigint) AS lev_dist
           |FROM part a
           |JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-          |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+          |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
           |  AND levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
       "ts_gapfill" ->
         """WITH d AS (

@@ -71,8 +71,8 @@ class TimeSeriesSpec extends SparkSpec {
     val b = parts.select(col("id").as("id_b"), col("brand"), col("name").as("name_b"))
     val got = a.join(b, Seq("brand"))
       .filter(col("id_a") < col("id_b") &&
-        abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
-        levenshtein(col("name_a"), col("name_b")) <= 3)
+        abs(length(col("name_a")) - length(col("name_b"))) <= 3 &&
+        levenshtein(col("name_a"), col("name_b"), 3) >= 0)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().sorted
     // only (1,2) qualifies: same brand, distance 1; (1,4) blocked by brand
     assert(got === Array((1L, 2L)))
