@@ -43,19 +43,30 @@ object Graph {
     // there is no dangling mass and deg doubles as the node list
     val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     val base = scale * 15L / 100L
-    var scores = degrees.select(col("src").as("node"), lit(scale).as("score"))
-    for (_ <- 1 to iterations) {
-      val contribs = edges
-        .join(scores, edges("src") === scores("node"))
-        .join(degrees, Seq("src"))
+    // join degrees into the edge list ONCE: per-iteration work is then a
+    // single equi-join + aggregation over slim (src, dst, deg) rows
+    val edgesDeg = edges.join(degrees, Seq("src")).cache()
+    val nodes = degrees.select(col("src").as("node")).cache()
+    var scores = nodes.select(col("node"), lit(scale).as("score"))
+    for (i <- 1 to iterations) {
+      val contribs = edgesDeg
+        .join(scores, edgesDeg("src") === scores("node"))
         .select(col("dst").as("node"), expr("score div deg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("insum"))
-      scores = degrees.select(col("src").as("node"))
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
             expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("score"))
+      // materialize each round: a 10-deep lazy join tree makes Catalyst
+      // re-analyze/replan the whole prefix per stage (measured: most of
+      // the query's wall clock at sf0.1); per-round caching keeps each
+      // plan two joins deep and the cached table is one slim row/node
+      val prev = scores
+      scores = next.cache()
+      scores.count()
+      if (i > 1) prev.unpersist(blocking = false)
     }
     // edges/degrees stay cached: the returned plan references them once
     // per iteration, and the caller's single action executes that plan
