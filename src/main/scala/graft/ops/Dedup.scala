@@ -222,13 +222,19 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // eager localCheckpoint rather than a cache()/unpersist chain: a
+    // non-cascading unpersist of round i-1 makes the CacheManager discard
+    // round i's dependent cached data too, so later rounds recompute the
+    // whole chain (see Graph.pageRankFixedPoint — measured there). The
+    // checkpoint also detaches the returned labels from the edge lineage,
+    // so nothing is recomputed when the caller finally acts on the result.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -240,15 +246,13 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist(blocking = false)
     labels.withColumnRenamed("label", "cluster_id")
   }
 
