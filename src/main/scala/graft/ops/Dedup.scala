@@ -232,26 +232,33 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // min neighbor label per node, then min with own label
-      val neighborMin = edges
-        .join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-        .groupBy(col("node")).agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    // size per-round shuffles to the edge count: an iterative loop pays
+    // per-round task-scheduling costs that AQE's per-stage coalescing
+    // doesn't remove (see Graph.iterPartitions); at cluster scale the
+    // cap is the session's configured parallelism and this is a no-op
+    var labels: DataFrame = null
+    Graph.withShufflePartitions(edges, Graph.iterPartitions(edges, edges.count())) {
+      labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // min neighbor label per node, then min with own label
+        val neighborMin = edges
+          .join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+          .groupBy(col("node")).agg(min(col("label")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+          .filter(col("label") =!= col("old")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
     }
     labels.withColumnRenamed("label", "cluster_id")
   }

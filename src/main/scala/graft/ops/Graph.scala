@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Shuffle partitions for an iterative fixpoint loop, sized to the
+    * edge count (~200k slim rows per reduce task) and capped at the
+    * session's configured parallelism. AQE coalesces tiny shuffles
+    * per-stage, but an iterative loop pays per-ROUND fixed costs (task
+    * scheduling, stage setup) that only plan-time sizing removes:
+    * 10 rounds × 32-task stages on a 1.2M-edge graph is scheduling
+    * overhead, not compute. At cluster scale `rows/200k` exceeds the
+    * configured partitions and this is a no-op.
+    */
+  private[ops] def iterPartitions(df: DataFrame, rows: Long): Int = {
+    val conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(conf, math.ceil(rows / 200000.0).toInt))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`. Safe for eager loop bodies (every round materializes via
+    * localCheckpoint before the conf is restored).
+    */
+  private[ops] def withShufflePartitions[T](
+      df: DataFrame, n: Int)(body: => T): T = {
+    val conf = df.sparkSession.conf
+    val old = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** PageRank in 64-bit fixed-point integer arithmetic — every score is
     * `score_float * scale` rounded down, all updates are integer
     * multiply/floor-divide, so the result is bit-deterministic for any
@@ -39,38 +65,43 @@ object Graph {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .cache()
-    // symmetric edges: every node has out-degree = in-degree ≥ 1, so
-    // there is no dangling mass and deg doubles as the node list
-    val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
-    val base = scale * 15L / 100L
-    // join degrees into the edge list ONCE: per-iteration work is then a
-    // single equi-join + aggregation over slim (src, dst, deg) rows
-    val edgesDeg = edges.join(degrees, Seq("src")).cache()
-    val nodes = degrees.select(col("src").as("node")).cache()
-    var scores = nodes.select(col("node"), lit(scale).as("score"))
-    for (_ <- 1 to iterations) {
-      val contribs = edgesDeg
-        .join(scores, edgesDeg("src") === scores("node"))
-        .select(col("dst").as("node"), expr("score div deg").as("contrib"))
-        .groupBy(col("node"))
-        .agg(sum(col("contrib")).as("insum"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("score"))
-      // truncate lineage every round with an eager localCheckpoint: a
-      // lazy i-deep join tree makes each stage replan the whole prefix,
-      // and a cache() chain is worse — unpersisting round i-1 makes the
-      // CacheManager invalidate round i's dependent entry (non-cascading
-      // uncache re-plans dependents and discards their data), so every
-      // round recomputes the full chain (measured: per-round wall clock
-      // DOUBLED, 1.3s → 31s by round 10 at sf0.1). The checkpointed
-      // table is one slim (node, long) row per node; superseded rounds
-      // are dropped by the ContextCleaner once unreferenced. On a real
-      // cluster use reliable checkpoint() if executor loss matters —
-      // localCheckpoint trades fault-tolerance for speed.
-      scores = next.localCheckpoint(true)
+    // materializes the edge cache and sizes the per-round shuffles
+    val nEdges = edges.count()
+    var scores: DataFrame = null
+    withShufflePartitions(edges, iterPartitions(edges, nEdges)) {
+      // symmetric edges: every node has out-degree = in-degree ≥ 1, so
+      // there is no dangling mass and deg doubles as the node list
+      val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+      val base = scale * 15L / 100L
+      // join degrees into the edge list ONCE: per-iteration work is then a
+      // single equi-join + aggregation over slim (src, dst, deg) rows
+      val edgesDeg = edges.join(degrees, Seq("src")).cache()
+      val nodes = degrees.select(col("src").as("node")).cache()
+      scores = nodes.select(col("node"), lit(scale).as("score"))
+      for (_ <- 1 to iterations) {
+        val contribs = edgesDeg
+          .join(scores, edgesDeg("src") === scores("node"))
+          .select(col("dst").as("node"), expr("score div deg").as("contrib"))
+          .groupBy(col("node"))
+          .agg(sum(col("contrib")).as("insum"))
+        val next = nodes
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("score"))
+        // truncate lineage every round with an eager localCheckpoint: a
+        // lazy i-deep join tree makes each stage replan the whole prefix,
+        // and a cache() chain is worse — unpersisting round i-1 makes the
+        // CacheManager invalidate round i's dependent entry (non-cascading
+        // uncache re-plans dependents and discards their data), so every
+        // round recomputes the full chain (measured: per-round wall clock
+        // DOUBLED, 1.3s → 31s by round 10 at sf0.1). The checkpointed
+        // table is one slim (node, long) row per node; superseded rounds
+        // are dropped by the ContextCleaner once unreferenced. On a real
+        // cluster use reliable checkpoint() if executor loss matters —
+        // localCheckpoint trades fault-tolerance for speed.
+        scores = next.localCheckpoint(true)
+      }
     }
     // edges/degrees stay cached: the returned plan references them once
     // per iteration, and the caller's single action executes that plan
