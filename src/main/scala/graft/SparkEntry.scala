@@ -373,6 +373,22 @@ object SparkEntry {
         .agg(expr("percentile(qty, 0.25)").as("p25"),
           expr("percentile(qty, 0.5)").as("p50"),
           expr("percentile(qty, 0.95)").as("p95"))),
+    // sketch quantiles: Greenwald-Khanna approx_percentile — the scale
+    // path when an exact percentile's full sort-per-group is too costly;
+    // mergeable partials, one pass, bounded error (accuracy 10000 →
+    // ±0.01%). Sketch internals aren't engine-portable, so like the
+    // FM/HLL sketches this gets a rows-only driver check; the ScalaTest
+    // spec asserts each value against the exact percentile within the
+    // sketch's rank-error bound
+    "agg_percentile_approx" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), floor(col("l_quantity")).as("qty"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(qty, array(0.25, 0.5, 0.95), 10000)").as("pcts"))
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("p25"),
+          element_at(col("pcts"), 2).as("p50"),
+          element_at(col("pcts"), 3).as("p95"))),
     // set operations: customers with orders ∩ BUILDING segment,
     // minus negative-balance accounts
     "set_ops" -> ((s, dir) => {

@@ -69,6 +69,24 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within rank-error bound of the exact percentile") {
+    // GK sketch at accuracy a has rank error <= n/a; with a=10000 and
+    // n=20000 the returned value sits within 2 ranks of the exact one
+    val n = 20000
+    val vals = (0 until n).map(i => (i.toLong * 2654435761L) % 10007L)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val approx = df.agg(
+      expr("approx_percentile(v, array(0.25, 0.5, 0.95), 10000)").as("p"))
+      .collect().head.getSeq[Long](0)
+    val sorted = vals.sorted
+    for ((q, got) <- Seq(0.25, 0.5, 0.95).zip(approx)) {
+      val rank = (q * (n - 1)).toInt
+      val lo = sorted(math.max(0, rank - 4))
+      val hi = sorted(math.min(n - 1, rank + 4))
+      assert(got >= lo && got <= hi, s"q=$q got=$got expected in [$lo,$hi]")
+    }
+  }
+
   test("HLL estimate within 3*rsd of the truth") {
     val df = (0L until 10000L).map(i => (i % 2, i % 1237)).toDF("g", "v")
     val got = Aggregates.distinctHll(df, $"g", $"v", rsd = 0.05)
