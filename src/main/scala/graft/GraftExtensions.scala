@@ -49,6 +49,9 @@ object GraftExtensions {
       info("winnow_fingerprint",
         "winnow_fingerprint(text, k, w) - winnowing (MOSS) rolling-hash document sketch"),
       (es: Seq[Expression]) => WinnowFingerprint(es.head, intArg(es(1), "k"), intArg(es(2), "w"))),
+    ("word_grams",
+      info("word_grams", "word_grams(text, n) - space-joined word n-grams of lowercased text"),
+      (es: Seq[Expression]) => WordGrams(es.head, intArg(es(1), "n"))),
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - exact Jaccard of two sorted bigint arrays"),
       (es: Seq[Expression]) => JaccardSorted(es.head, es(1))),

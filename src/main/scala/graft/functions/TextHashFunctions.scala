@@ -509,7 +509,95 @@ object MinHashFromHashes {
       i => arr.getLong(i), arr.numElements(), numHashes)
 }
 
+/** word_grams(text, n): space-joined word n-grams of the lowercased
+  * text, words split on the regex-portable whitespace class
+  * [\t\n\x0B\f\r ]. Exactly the rows of
+  * `transform(sequence(...), i -> array_join(slice(words, i, n), ' '))`
+  * over `filter(split(lower(text), ws), x -> x <> '')` — but those
+  * higher-order functions run interpreted and re-walk the word array
+  * per gram (O(words · n) expression evals plus a slice copy per
+  * position); this kernel emits every gram in one pass over the
+  * lowercased bytes. Lowercasing is the full-string
+  * UTF8String.toLowerCase — the same call `lower()` compiles to, so
+  * oracle parity is unchanged. Returns an empty array when the text has
+  * fewer than n words (explode then drops the doc, matching the
+  * `size(w) >= n` pre-filter).
+  */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram length must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WordGrams.compute($a, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordGrams = copy(child = c)
+  override def prettyName: String = "word_grams"
+}
+
+object WordGrams {
+  /** ASCII whitespace-class bytes; multibyte UTF-8 units are ≥ 0x80 so
+    * scanning raw bytes can never split inside a code point.
+    */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || (b >= '\t'.toByte && b <= '\r'.toByte)
+
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    // word spans [starts(i), ends(i))
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nWords = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (!isWs(bytes(i))) {
+        val s = i
+        while (i < bytes.length && !isWs(bytes(i))) i += 1
+        if (nWords == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nWords * 2)
+          ends = java.util.Arrays.copyOf(ends, nWords * 2)
+        }
+        starts(nWords) = s
+        ends(nWords) = i
+        nWords += 1
+      } else i += 1
+    }
+    if (nWords < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nWords - n + 1)
+    var g = 0
+    while (g <= nWords - n) {
+      var len = n - 1 // single-space joiners
+      var w = g
+      while (w < g + n) { len += ends(w) - starts(w); w += 1 }
+      val gram = new Array[Byte](len)
+      var pos = 0
+      w = g
+      while (w < g + n) {
+        if (w > g) { gram(pos) = ' '.toByte; pos += 1 }
+        val wl = ends(w) - starts(w)
+        System.arraycopy(bytes, starts(w), gram, pos, wl)
+        pos += wl
+        w += 1
+      }
+      out(g) = UTF8String.fromBytes(gram)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextHashFunctions {
+  def wordGrams(text: Column, n: Int = 8): Column =
+    bridge.toColumn(WordGrams(bridge.toExpression(text), n))
   def shingleSet(text: Column, n: Int = 5): Column =
     bridge.toColumn(ShingleSet(bridge.toExpression(text), n))
   def shingleHashes(text: Column, n: Int = 5): Column =

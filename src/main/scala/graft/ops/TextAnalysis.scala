@@ -170,11 +170,10 @@ object TextAnalysis {
       n: Int = 8, minDocs: Int = 2, k: Int = 20): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        filter(split(lower(col(textCol)), wsRun), x => x =!= "").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("w")) - (n - 1)),
-          i => array_join(slice(col("w"), i, lit(n)), " "))).as("gram"))
+        // native one-pass kernel; the declarative form
+        // (filter(split(lower)) → transform(sequence, array_join(slice)))
+        // runs interpreted per gram — see WordGrams scaladoc
+        explode(graft.functions.TextHashFunctions.wordGrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("gram"))

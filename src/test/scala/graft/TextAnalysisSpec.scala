@@ -119,6 +119,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq((boiler, 2L)))
   }
 
+  test("word_grams kernel equals the declarative HOF form on real testdata") {
+    import graft.functions.TextHashFunctions
+    val wsRun = "[\\t\\n\\x0B\\f\\r ]+"
+    val n = 8
+    val docs = Engine.table(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id"), col("text"))
+      .union(Seq(
+        (100000L, ""), (100001L, "   "), (100002L, "only three words"),
+        (100003L, "  LeAdInG and\ttrailing   whitespace mixed CASE words here ok  "),
+        (100004L, "a b c d e f g h"),
+        (100005L, "aé世 b c d e f g h i")).toDF("doc_id", "text"))
+    val kernel = docs.select(col("doc_id"),
+      explode(TextHashFunctions.wordGrams(col("text"), n)).as("gram"))
+    val hof = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), wsRun), x => x =!= "").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => array_join(slice(col("w"), i, lit(n)), " "))).as("gram"))
+    val a = kernel.groupBy("doc_id", "gram").count().as[(Long, String, Long)]
+      .collect().sorted.toSeq
+    val b = hof.groupBy("doc_id", "gram").count().as[(Long, String, Long)]
+      .collect().sorted.toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("profile computes every column in one pass over real testdata") {
     val docs = Engine.table(spark, sfDir, "documents")
     val prof = TextAnalysis.profile(docs, "text")
