@@ -76,19 +76,19 @@ object Graph {
       // join degrees into the edge list ONCE: per-iteration work is then a
       // single equi-join + aggregation over slim (src, dst, deg) rows
       val edgesDeg = edges.join(degrees, Seq("src")).cache()
-      val nodes = degrees.select(col("src").as("node")).cache()
-      scores = nodes.select(col("node"), lit(scale).as("score"))
+      scores = degrees.select(col("src").as("node"), lit(scale).as("score"))
       for (_ <- 1 to iterations) {
-        val contribs = edgesDeg
+        // the symmetrized distinct edge list gives every node in-degree
+        // ≥ 1, so the per-dst aggregate already covers the full node set
+        // — no nodes-side outer join (one fewer join+broadcast per
+        // round); dangling-node handling would need it back
+        val next = edgesDeg
           .join(scores, edgesDeg("src") === scores("node"))
           .select(col("dst").as("node"), expr("score div deg").as("contrib"))
           .groupBy(col("node"))
           .agg(sum(col("contrib")).as("insum"))
-        val next = nodes
-          .join(contribs, Seq("node"), "left")
           .select(col("node"),
-            (lit(base) +
-              expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("score"))
+            (lit(base) + expr("(85 * insum) div 100")).as("score"))
         // truncate lineage every round with an eager localCheckpoint: a
         // lazy i-deep join tree makes each stage replan the whole prefix,
         // and a cache() chain is worse — unpersisting round i-1 makes the
