@@ -154,6 +154,9 @@ object SparkEntry {
     // can't see them — without the explicit spread, a few-MB input
     // coalesces to 1-2 partitions and the CPU-bound stage runs serial
     // (measured 6.0 s → 0.6 s at sf0.1, identical 503,800-row result).
+    // Past the broadcast threshold the same plan shape degrades to a
+    // co-partitioned hash join on (brand, lbucket) — drop the hint, keep
+    // the repartition.
     "fuzzy_join_lev" -> ((s, dir) => {
       val p = t(s, dir, "part")
       val w = 4
