@@ -241,6 +241,14 @@ object Dedup {
       labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
+      // convergence probe: labels only ever decrease (least of own and
+      // neighbors'), so Σ labels strictly decreases iff any node changed
+      // — one tiny aggregate over the checkpointed round output instead
+      // of a next⋈previous join per round. decimal(38,0): a wrapped Long
+      // sum could alias across rounds at extreme node-count × id-range
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
@@ -249,14 +257,13 @@ object Dedup {
           .join(labels, edges("src") === labels("node"))
           .select(col("dst").as("node"), col("label"))
           .groupBy(col("node")).agg(min(col("label")).as("nmin"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
+        labels = labels.join(neighborMin, Seq("node"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
           .localCheckpoint(true)
-        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-          .filter(col("label") =!= col("old")).limit(1).count()
-        labels = next
-        converged = changed == 0
+        val s = labelSum(labels)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         iter += 1
       }
     }
