@@ -72,9 +72,14 @@ object Matrix {
       else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // giant-group-count configs (part-2 cfg4/18: 1e8 singleton groups)
+    // need more, smaller reduce tasks than cores: each reducer's
+    // aggregation map holds groups/partitions entries NEXT TO the 24 GB
+    // input cache, and 32 concurrent ~3M-entry maps OOM a 100 GB heap
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
