@@ -77,6 +77,12 @@ object Matrix {
     // aggregation map holds groups/partitions entries NEXT TO the 24 GB
     // input cache, and 32 concurrent ~3M-entry maps OOM a 100 GB heap
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // part-2 aggregation plan: auto (FM-adaptive, default) | partial
+    // (Catalyst's partial/final split) | bypass (pre-partition raw rows,
+    // no map-side agg) | bucketed (probe table stored clustered on the
+    // group key — exchange-free)
+    val p2Plan = sys.env.getOrElse("SPARK_GRAFT_P2_PLAN", "auto")
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "256").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -87,9 +93,15 @@ object Matrix {
       // DictionaryEncoding stats pass (boxed HashMap.put per value) costs
       // more than the whole query at 1e9 rows — store raw columnar
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
-      // the dense-key array build collects ~16 B/key of primitive
-      // chunks — 1.6 GB at inner=1e8, over the 1 GiB default cap
-      .config("spark.driver.maxResultSize", "8g")
+      // the dense-key array build collects value-only chunks for
+      // contiguous-run partitions (~8 B/key + serialization overhead —
+      // 800 MB at inner=1e8, marginal against the 1 GiB default cap);
+      // this is the same driver data path as Spark's own
+      // BroadcastExchangeExec, at half the bytes
+      .config("spark.driver.maxResultSize", "2g")
+      // broadcast payloads here are near-random long[]: lz4 shrinks them
+      // barely but costs a full compress+decompress pass per executor
+      .config("spark.broadcast.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
@@ -118,7 +130,24 @@ object Matrix {
         // q4112_run over already-filled arrays (q4112_main.c:101-119,
         // SURVEY §2.5), so the timed section here is also engine-only
         val items = Q4112Gen.items(spark, cfg).cache()
-        val orders = Q4112Gen.orders(spark, cfg).cache()
+        val orders =
+          if (part == 2 && p2Plan == "bucketed") {
+            // bucketed-layout variant: the probe table is STORED
+            // clustered on the group key (Tables.writeBucketed's layout),
+            // so the grouped aggregate needs no exchange at query time —
+            // the 100 TB answer to the singleton-group shuffle, paid once
+            // at ingest like any production fact-table layout. The write
+            // is input materialization (untimed), the same role as the
+            // reference's untimed generator fill into malloc'd arrays.
+            import org.apache.spark.sql.functions.col
+            Q4112Gen.orders(spark, cfg).toDF()
+              .repartition(buckets, col("storeId"))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .bucketBy(buckets, "storeId").format("parquet")
+              .saveAsTable("orders_bkt")
+            import spark.implicits._
+            spark.table("orders_bkt").as[graft.model.Order].cache()
+          } else Q4112Gen.orders(spark, cfg).cache()
         items.count(); orders.count()
         // independent oracle, computed once per config: collections on
         // the driver at small scale, the RDD path (still independent of
@@ -142,11 +171,24 @@ object Matrix {
                   "id", "itemId", "price", "quantity", Q4112.BroadcastHash)
               df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
             } else {
-              val df =
-                if (dense) Q4112.part2Dense(items.toDF(), orders.toDF(),
-                  "id", "itemId", "price", "quantity", "storeId")
-                else Q4112.part2(items.toDF(), orders.toDF(),
-                  "id", "itemId", "price", "quantity", "storeId", Q4112.BroadcastHash)
+              // physical-plan selection for the grouped aggregate —
+              // "auto" measures (FM ndv estimate, inside the timed
+              // section, as the reference does at q4112.c:336-377);
+              // the explicit modes exist for differential benchmarking
+              val df = p2Plan match {
+                case "auto" => Q4112.part2Adaptive(items.toDF(), orders.toDF(),
+                  "id", "itemId", "price", "quantity", "storeId", dense)
+                case "bypass" => Q4112.part2Bypass(items.toDF(), orders.toDF(),
+                  "id", "itemId", "price", "quantity", "storeId",
+                  Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense)
+                case _ => // "partial" | "bucketed": Catalyst's default
+                  // partial/final split (exchange-free over the bucketed
+                  // layout — the scan is already clustered on storeId)
+                  if (dense) Q4112.part2Dense(items.toDF(), orders.toDF(),
+                    "id", "itemId", "price", "quantity", "storeId")
+                  else Q4112.part2(items.toDF(), orders.toDF(),
+                    "id", "itemId", "price", "quantity", "storeId", Q4112.BroadcastHash)
+              }
               df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
             }
           val ns = System.nanoTime() - t0
@@ -156,7 +198,9 @@ object Matrix {
             cfg.innerTuples, cfg.innerSelectivity, cfg.innerValMax,
             cfg.outerTuples, cfg.outerSelectivity, cfg.outerValMax,
             cfg.groups, cfg.hhGroups, cfg.hhProbability,
-            cpus, rep, ns).mkString(","))
+            cpus, rep, ns,
+            if (part == 1) { if (dense) "dense" else "broadcast" } else p2Plan
+          ).mkString(","))
           System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s ok")
         }
         // blocking + an explicit GC: a 1e9-scale session caches ~26 GB
@@ -166,6 +210,8 @@ object Matrix {
         // also lets ContextCleaner reap unreferenced broadcasts.
         items.unpersist(blocking = true)
         orders.unpersist(blocking = true)
+        if (part == 2 && p2Plan == "bucketed")
+          spark.sql("DROP TABLE IF EXISTS orders_bkt") // reclaim ~24 GB/config
         System.gc()
       }
     } finally out.close()

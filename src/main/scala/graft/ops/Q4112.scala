@@ -67,25 +67,60 @@ object Q4112 {
       items: DataFrame,
       itemKey: String,
       valueCol: String): (org.apache.spark.broadcast.Broadcast[Array[Long]], Long) = {
+    val t0 = System.nanoTime()
     val s = items.agg(min(col(itemKey)), max(col(itemKey)), count(lit(1))).head()
     val (mn, mx, n) = (s.getLong(0), s.getLong(1), s.getLong(2))
     require(mx - mn + 1L == n,
       s"dense-key path requires a contiguous domain: [$mn,$mx] holds $n keys")
     require(n <= Int.MaxValue, s"domain too large for one array: $n")
-    // pack (key, value) into primitive arrays per partition in parallel,
-    // so the driver receives ~16 bytes/row with no per-row boxing
+    // pack each partition into primitive arrays; when the partition's keys
+    // are already an ascending contiguous run — true for every
+    // range-partitioned surrogate-key dim, e.g. spark.range output or a
+    // key-sorted parquet file — ship ONLY the values (8 B/key, keys
+    // reconstructed from the run start) and fill with one arraycopy.
+    // Non-contiguous partitions fall back to (keys, values) pairs. Either
+    // way the driver-side assembly is the same data path Spark's own
+    // BroadcastExchangeExec uses (executeCollect → build relation), at
+    // half the bytes on the fast path.
     val chunks = items.select(col(itemKey), col(valueCol)).rdd.mapPartitions { it =>
       val ks = new scala.collection.mutable.ArrayBuilder.ofLong
       val vs = new scala.collection.mutable.ArrayBuilder.ofLong
-      it.foreach { r => ks += r.getLong(0); vs += r.getLong(1) }
-      Iterator.single((ks.result(), vs.result()))
+      var first = Long.MinValue
+      var prev = Long.MinValue
+      var contiguous = true
+      it.foreach { r =>
+        val k = r.getLong(0)
+        if (first == Long.MinValue) first = k
+        else if (contiguous && k != prev + 1L) contiguous = false
+        prev = k
+        if (!contiguous) ks += k
+        vs += r.getLong(1)
+      }
+      val varr = vs.result()
+      if (first == Long.MinValue) Iterator.empty
+      else if (contiguous) Iterator.single((first, null: Array[Long], varr))
+      else {
+        // keys recorded only after the break — rebuild the full key array
+        val tail = ks.result()
+        val all = new Array[Long](varr.length)
+        val nContig = varr.length - tail.length
+        var i = 0
+        while (i < nContig) { all(i) = first + i; i += 1 }
+        System.arraycopy(tail, 0, all, nContig, tail.length)
+        Iterator.single((first, all, varr))
+      }
     }.collect()
     val arr = new Array[Long](n.toInt)
-    chunks.foreach { case (ks, vs) =>
-      var i = 0
-      while (i < ks.length) { arr((ks(i) - mn).toInt) = vs(i); i += 1 }
+    chunks.foreach { case (first, ks, vs) =>
+      if (ks == null) System.arraycopy(vs, 0, arr, (first - mn).toInt, vs.length)
+      else {
+        var i = 0
+        while (i < ks.length) { arr((ks(i) - mn).toInt) = vs(i); i += 1 }
+      }
     }
-    (items.sparkSession.sparkContext.broadcast(arr), mn)
+    val bc = items.sparkSession.sparkContext.broadcast(arr)
+    System.err.println(f"[dense-build] n=$n build=${(System.nanoTime() - t0) / 1e9}%.3f s")
+    (bc, mn)
   }
 
   /** Part 1 via the dense-key array probe ([[graft.functions.DenseArrayLookup]]):
@@ -130,6 +165,109 @@ object Q4112 {
       .select(expr("s div c").as("avg_value"))
       .agg(sum(col("avg_value")).as("ss"), count(lit(1)).as("cc"))
       .select(expr("ss div cc").as("avg_avg_value"))
+  }
+
+  /** The joined (group, v = price*quantity) projection, via the dense
+    * array probe when the build side is a contiguous-key dimension, else
+    * a broadcast hash join — the common front half of every part-2 plan.
+    */
+  private def groupedValues(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String,
+      groupCol: String,
+      dense: Boolean): DataFrame =
+    if (dense) {
+      val (bc, mn) = denseValuesArray(items, itemKey, priceCol)
+      orders
+        .select(graft.functions.DenseLookup(bc, mn)(col(orderKey)).as("price"),
+          col(quantityCol).as("q"), col(groupCol))
+        .where(col("price").isNotNull)
+        .select(col(groupCol), (col("price") * col("q")).as("v"))
+    } else
+      join(items, orders, itemKey, orderKey, BroadcastHash)
+        .select(col(groupCol), (col(priceCol) * col(quantityCol)).as("v"))
+
+  /** Part 2 with map-side partial aggregation BYPASSED: pre-partition the
+    * slim (group, v) rows on the group key, so the one exchange ships raw
+    * 16-byte rows and aggregation happens post-shuffle over complete
+    * groups, with a bounded (≈ groups / numPartitions)-entry map per
+    * reducer.
+    *
+    * This is the right plan when groups ≈ rows (singleton-heavy): partial
+    * aggregation collapses nothing for singleton groups yet still builds a
+    * per-task hash map of every distinct group the task sees — tens of
+    * millions of entries that overflow the aggregation memory, spill, and
+    * sort-merge, all for zero exchange savings. The reference faces the
+    * identical decision and resolves it with the same information: its FM
+    * sketch (q4112.c:336-377) estimates the group count up front, sizes
+    * the global table from it, and its thread-local pre-aggregation only
+    * pays off when groups are few enough to cache (README-2.txt:32-43).
+    * [[part2Adaptive]] reuses our A5 operator (FlajoletMartin) to make
+    * exactly that call.
+    */
+  def part2Bypass(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String,
+      groupCol: String,
+      numPartitions: Int,
+      dense: Boolean = false): DataFrame =
+    groupedValues(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, dense)
+      .repartition(numPartitions, col(groupCol))
+      .groupBy(col(groupCol))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .select(expr("s div c").as("avg_value"))
+      .agg(sum(col("avg_value")).as("ss"), count(lit(1)).as("cc"))
+      .select(expr("ss div cc").as("avg_avg_value"))
+
+  /** Reducer count for the bypass plan: ~500k groups per reducer map
+    * (a few tens of MB — L3-resident), floored at the session shuffle
+    * parallelism, capped to keep task-launch overhead sane.
+    */
+  def bypassPartitions(estGroups: Long, sessionShuffle: Int): Int =
+    math.min(4096L, math.max(sessionShuffle.toLong, estGroups / 500000L)).toInt
+
+  /** Part 2 with the physical aggregation plan chosen from a measured
+    * cardinality estimate — the reference's A5 sketch applied to its real
+    * purpose. One FM scan over the probe side estimates ndv(group); when
+    * the average group has fewer than `bypassRatio` rows, map-side partial
+    * aggregation cannot collapse enough to pay for its hash map and the
+    * plan switches to [[part2Bypass]].
+    */
+  def part2Adaptive(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String,
+      groupCol: String,
+      dense: Boolean = false,
+      bypassRatio: Long = 16L): DataFrame = {
+    val t0 = System.nanoTime()
+    val est = orders.agg(
+      graft.functions.FlajoletMartin.fmCountDistinct(col(groupCol)),
+      count(lit(1))).head()
+    val (ndv, rows) = (est.getLong(0), est.getLong(1))
+    val bypass = ndv > 0 && rows / ndv < bypassRatio
+    System.err.println(f"[part2-adaptive] rows=$rows ndv≈$ndv " +
+      f"ratio=${if (ndv > 0) rows / ndv else -1} bypass=$bypass " +
+      f"est=${(System.nanoTime() - t0) / 1e9}%.3f s")
+    if (bypass) {
+      val shuffle = items.sparkSession.sessionState.conf.numShufflePartitions
+      part2Bypass(items, orders, itemKey, orderKey, priceCol, quantityCol,
+        groupCol, bypassPartitions(ndv, shuffle), dense)
+    } else if (dense)
+      part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
+    else
+      part2(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, BroadcastHash)
   }
 
   /** Part 1: SELECT avg(price * quantity) — single integer average

@@ -103,6 +103,46 @@ class Q4112Spec extends SparkSpec {
     assert(dense2 === hash2)
   }
 
+  for ((cfg, i) <- part2Configs.zipWithIndex) {
+    test(s"part2 bypass/adaptive plans match oracle on cfg$i") {
+      val items = Q4112Gen.items(spark, cfg).collect().toSeq
+      val orders = Q4112Gen.orders(spark, cfg).collect().toSeq
+      val expected = Q4112Gen.oracleFull(items, orders)
+      def result(df: org.apache.spark.sql.DataFrame) =
+        df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      assert(result(part2Bypass(itemsDf(cfg), ordersDf(cfg),
+        "id", "itemId", "price", "quantity", "storeId", numPartitions = 7)) === expected)
+      assert(result(part2Adaptive(itemsDf(cfg), ordersDf(cfg),
+        "id", "itemId", "price", "quantity", "storeId")) === expected)
+    }
+  }
+
+  test("part2 bypass dense variant matches the hash-join plan") {
+    val cfg = GenConfig(500, 0.8, 999, 20000, 0.7, 999, 40, 4, 0.5, seed = 11)
+    val items = Q4112Gen.items(spark, cfg).toDF()
+    val orders = Q4112Gen.orders(spark, cfg).toDF()
+    val hash2 = Q4112.part2(items, orders, "id", "itemId", "price", "quantity", "storeId")
+      .collect().head.getLong(0)
+    val bypass2 = Q4112.part2Bypass(items, orders, "id", "itemId", "price", "quantity",
+      "storeId", numPartitions = 5, dense = true)
+      .collect().head.getLong(0)
+    assert(bypass2 === hash2)
+  }
+
+  test("dense build handles non-contiguous partition runs (shuffled input)") {
+    // repartition scrambles row order so partitions are NOT ascending
+    // contiguous runs — exercises the (keys, values) fallback chunks
+    val cfg = GenConfig(300, 1.0, 999, 3000, 0.9, 999, 0, 0, 0.0, seed = 41)
+    val items = Q4112Gen.items(spark, cfg).toDF()
+      .repartition(5, org.apache.spark.sql.functions.col("price"))
+    val orders = Q4112Gen.orders(spark, cfg).toDF()
+    val hash1 = Q4112.part1(Q4112Gen.items(spark, cfg).toDF(), orders,
+      "id", "itemId", "price", "quantity").collect().head.getLong(0)
+    val dense1 = Q4112.part1Dense(items, orders, "id", "itemId", "price", "quantity")
+      .collect().head.getLong(0)
+    assert(dense1 === hash1)
+  }
+
   test("dense-key path rejects a non-contiguous domain") {
     import spark.implicits._
     val holey = Seq((1L, 10L), (2L, 20L), (4L, 40L)).toDF("id", "price")
