@@ -158,7 +158,10 @@ object Matrix {
             else Q4112Gen.oracleFull(items.collect().toSeq, orders.collect().toSeq)
           } else {
             if (part == 1) Q4112Gen.oraclePart1Rdd(orders, cfg)
-            else Q4112Gen.oracleFullRdd(orders, cfg)
+            // shared-memory CAS table (the reference's own algorithm):
+            // the reduceByKey oracle OOMs at 1e8 singleton groups for
+            // the same reason any partial-agg plan does
+            else Q4112Gen.oracleFullCas(orders, cfg)
           }
         for (rep <- 1 to reps) {
           val t0 = System.nanoTime()

@@ -57,6 +57,24 @@ object SparkEntry {
       Q4112.part1Dense(partItems(s, dir), liOrders(s, dir),
         "p_partkey", "l_partkey", "price", "quantity")
         .withColumnRenamed("avg_value", "avg_value_dense")),
+    // J1/J2: the reference's nested-loop engines run THE equi-join as a
+    // nested loop (q4112_nlj.c:21-53, q4112_nlj_1.c:5-28) — every probe
+    // row scans the whole build side comparing keys. Express the same
+    // physical operator by denying Catalyst the equi-key extraction: a
+    // (<= AND >=) conjunction is semantically equality but has no
+    // extractable join key, so it plans as BroadcastNestedLoopJoin
+    // (asserted in GraftExtensionsSpec). O(n·m), so scoped to a key
+    // range that terminates at any sf — the reference likewise only
+    // runs its NLJ engines at the small configs (Makefile:7, PDF p.2).
+    "q4112_part1_nlj" -> ((s, dir) => {
+      val it = partItems(s, dir).filter(col("p_partkey") < 2000)
+      val or = liOrders(s, dir).filter(col("l_partkey") < 2000)
+      or.join(broadcast(it),
+          it("p_partkey") <= or("l_partkey") && it("p_partkey") >= or("l_partkey"),
+          "inner")
+        .agg(sum(col("price") * col("quantity")).as("s"), count(lit(1)).as("c"))
+        .select(expr("s div c").as("avg_value_nlj"))
+    }),
     // A2 + A4 first level: per-group integer AVG
     "q4112_grouped" -> ((s, dir) =>
       Q4112.grouped(partItems(s, dir), liOrders(s, dir),
@@ -383,15 +401,22 @@ object SparkEntry {
     // FM/HLL sketches this gets a rows-only driver check; the ScalaTest
     // spec asserts each value against the exact percentile within the
     // sketch's rank-error bound
+    // upgraded from rows-only to a CHECKED INVARIANT: emits the exact
+    // percentiles plus a boolean asserting every sketch value is within
+    // ±1 of exact (accuracy 10000 → rank error ≤ N·1e-4, far below one
+    // value step on this data); oracle recomputes exact and expects true
     "agg_percentile_approx" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), floor(col("l_quantity")).as("qty"))
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(qty, array(0.25, 0.5, 0.95), 10000)").as("pcts"))
-        .select(col("l_returnflag"),
-          element_at(col("pcts"), 1).as("p25"),
-          element_at(col("pcts"), 2).as("p50"),
-          element_at(col("pcts"), 3).as("p95"))),
+        .agg(expr("approx_percentile(qty, array(0.25, 0.5, 0.95), 10000)").as("pcts"),
+          expr("percentile(qty, 0.25)").as("p25"),
+          expr("percentile(qty, 0.5)").as("p50"),
+          expr("percentile(qty, 0.95)").as("p95"))
+        .select(col("l_returnflag"), col("p25"), col("p50"), col("p95"),
+          (abs(element_at(col("pcts"), 1) - col("p25")) <= 1.0 &&
+            abs(element_at(col("pcts"), 2) - col("p50")) <= 1.0 &&
+            abs(element_at(col("pcts"), 3) - col("p95")) <= 1.0).as("approx_ok"))),
     // set operations: customers with orders ∩ BUILDING segment,
     // minus negative-balance accounts
     "set_ops" -> ((s, dir) => {
@@ -404,12 +429,40 @@ object SparkEntry {
     }),
     "distinct_exact" -> ((s, dir) =>
       Aggregates.distinctExact(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
-    // A5: FM/PCSA estimator (reference-faithful) — rows-only check
-    "distinct_fm" -> ((s, dir) =>
-      Aggregates.distinctFm(t(s, dir, "lineitem"), col("l_partkey"))),
-    // A5 pragmatic default: HLL++ — rows-only check
+    // A5: FM/PCSA estimator (reference-faithful), upgraded from a
+    // rows-only check to a CHECKED INVARIANT: the query emits the exact
+    // ndv plus a boolean asserting the FM output honours its sizing
+    // contract — the oracle recomputes the exact ndv and expects `true`,
+    // so a broken sketch (wrong PHI, bad merge, dropped partitions)
+    // fails the hash gate. Two deliberate properties shape the bound:
+    // the output is ROUNDED UP TO A POWER OF TWO (q4112.c:356-371 — the
+    // reference sizes a hash table from it), so it sits up to 2× above
+    // the raw estimate; and the sketch is sized to the data (2^8
+    // partitions, rsd ≈ 5%, accurate from ~4k ndv — the 2^12 default is
+    // sized for the 1e8+-group matrix configs). Raw-estimate error ±30%
+    // and 2× quantization compose to the gate exact/2 ≤ fm ≤ 4·exact;
+    // unit/property tests cover raw tightness elsewhere. The counted key
+    // (l_orderkey*10 + l_linenumber) is injective (l_linenumber ∈ 1..7),
+    // so ndv = |lineitem|.
+    "distinct_fm" -> ((s, dir) => {
+      val k = (col("l_orderkey") * 10 + col("l_linenumber")).as("k")
+      t(s, dir, "lineitem").select(k)
+        .agg(countDistinct(col("k")).as("n_distinct_rowkey"),
+          graft.functions.FlajoletMartin.fmCountDistinct(col("k"), logPartitions = 8).as("fm"))
+        .select(col("n_distinct_rowkey"),
+          (col("fm") >= col("n_distinct_rowkey") / 2 &&
+            col("fm") <= col("n_distinct_rowkey") * 4).as("fm_ok"))
+    }),
+    // A5 pragmatic default: HLL++, same invariant upgrade — exact ndv per
+    // group plus a boolean gating the estimate within 3·rsd (rsd = 5%)
     "distinct_hll" -> ((s, dir) =>
-      Aggregates.distinctHll(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_distinct"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("hll"))
+        .select(col("l_returnflag"), col("n_distinct"),
+          (abs(col("hll") - col("n_distinct"))
+            <= col("n_distinct") * 0.15).as("hll_ok"))),
     // heavy hitters via sketch-prune + exact verify: a Count-Min sketch
     // (one treeAggregate pass, no shuffle) filters the fact table down
     // to candidate-key rows BEFORE the exact group-by, so the shuffle
@@ -421,8 +474,9 @@ object SparkEntry {
       val li = t(s, dir, "lineitem").select(col("l_partkey"))
       val cms = li.stat.countMinSketch("l_partkey", 5, 1 << 16, 42)
       val bc = s.sparkContext.broadcast(cms)
-      val isCandidate = udf((k: Long) => bc.value.estimateCount(k) >= threshold)
-      li.filter(isCandidate(col("l_partkey")))
+      // codegen'd sketch probe (CmsMightBeHeavy) — not a UDF, so the
+      // candidate filter stays fused in the scan's codegen stage
+      li.filter(graft.functions.CmsLookup.mightBeHeavy(bc, threshold)(col("l_partkey")))
         .groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_rows"))
         .filter(col("n_rows") >= threshold)
@@ -431,10 +485,16 @@ object SparkEntry {
     // ------------------------------------------------ dedup family
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    // upgraded from rows-only to a FULL oracle gate: verified LSH output
+    // is provably ⊆ the exact-Jaccard pair set (candidates are re-checked
+    // with exact Jaccard), and at 32 bands × 2 rows the miss probability
+    // of a threshold pair is (1−j²)^32 ≤ 1e-4, so on this corpus the LSH
+    // result EQUALS the exact all-pairs result and the oracle is the
+    // same all-pairs 5-gram Jaccard SQL as dedup_ngram's — recall is a
+    // banding knob, spent here for recall 1, at corpus scale for cost
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 5, numHashes = 64, bands = 16, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+        n = 5, numHashes = 64, bands = 32, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, maxHamming = 3)),
     "dedup_ngram" -> ((s, dir) =>
@@ -701,6 +761,33 @@ object SparkEntry {
         k = 5, nCentroids = 8, nProbe = 3)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
     }),
+    // ANN quality as a GATED metric: recall@5 of the IVF probe path
+    // against the brute-force exact top-k on the same probes, asserted
+    // above the stated floor. The floor is the SCANNED FRACTION,
+    // nProbe/nCentroids = 3/8: on this corpus (uniform-random vectors —
+    // the worst case for any clustering index) an index that routed
+    // probes to ARBITRARY buckets would land recall ≈ 0.375, so
+    // exceeding it proves the coarse quantizer concentrates true
+    // neighbors into the probed buckets (measured ≈ 0.47-0.6 across
+    // sfs; near 1.0 on clustered real-embedding corpora, SimilaritySpec).
+    // The oracle expects (k, recall_floor, true): broken bucketing or
+    // routing drops recall to ≤ the floor and fails the hash gate.
+    "sim_recall_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") <= 5)
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("corpus_id"))
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("probe_id"), col("corpus_id"))
+      val hits = brute.join(ivf, Seq("probe_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val denom = brute.agg(count(lit(1)).as("n_brute"))
+      hits.crossJoin(denom)
+        .select(lit(5L).as("k"), lit(0.375).as("recall_floor"),
+          (col("n_hit") > col("n_brute") * 0.375).as("recall_ok"))
+    }),
     // exact fixed-radius neighbors (ids only — see Similarity.rangeSearch
     // on why the cosine value stays out of the hash-exact gate)
     "sim_range_search" -> ((s, dir) => {
@@ -913,6 +1000,11 @@ object SparkEntry {
       "q4112_part1_shuffle_hash" -> p1.format("avg_value_sh"),
       "q4112_part1_sort_merge" -> p1.format("avg_value_sm"),
       "q4112_part1_dense" -> p1.format("avg_value_dense"),
+      "q4112_part1_nlj" ->
+        """SELECT cast(sum(cast(floor(p_retailprice) as bigint) * cast(floor(l_quantity) as bigint))
+          |        // count(*) as bigint) AS avg_value_nlj
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_partkey < 2000 AND l_partkey < 2000""".stripMargin,
       "q4112_grouped" -> groupedCte,
       "q4112_part2" ->
         s"""WITH g AS ($groupedCte)
@@ -1030,6 +1122,29 @@ object SparkEntry {
       "distinct_exact" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      // sketch-invariant gates: the oracle recomputes the exact ndv and
+      // expects the within-tolerance boolean to be true — a broken
+      // estimator fails the hash compare
+      "distinct_fm" ->
+        """SELECT count(DISTINCT l_orderkey * 10 + l_linenumber) AS n_distinct_rowkey,
+          |       true AS fm_ok
+          |FROM lineitem""".stripMargin,
+      "distinct_hll" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct,
+          |       true AS hll_ok
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "agg_percentile_approx" ->
+        """SELECT l_returnflag,
+          |       quantile_cont(floor(l_quantity), 0.25) AS p25,
+          |       quantile_cont(floor(l_quantity), 0.5) AS p50,
+          |       quantile_cont(floor(l_quantity), 0.95) AS p95,
+          |       true AS approx_ok
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      // gated ANN quality metric: constant shape, but recall_ok is
+      // computed from the IVF-vs-brute join — a recall drop below the
+      // stated floor flips it to false and fails the gate
+      "sim_recall_ivf" ->
+        "SELECT CAST(5 AS BIGINT) AS k, 0.375 AS recall_floor, true AS recall_ok",
       "agg_pivot" ->
         """SELECT l_returnflag,
           |       sum(cast(floor(l_quantity) as bigint))
@@ -1141,6 +1256,26 @@ object SparkEntry {
           |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
           |                             b.embedding::DOUBLE[]) >= 0.25""".stripMargin,
 
+      // exact all-pairs Jaccard over the FULL corpus: valid as the LSH
+      // oracle because (a) minhashPairs re-verifies candidates with
+      // exact Jaccard → output ⊆ this set, (b) 32×2 banding misses a
+      // j ≥ 0.5 pair with prob (1−j²)^32 ≤ 1e-4 → equality on this
+      // corpus (deterministic seeded hashes; verified at sf0.001/0.01/0.1)
+      "dedup_minhash" ->
+        """WITH d AS (
+          |  SELECT doc_id, lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |         CASE WHEN length(t) < 5 THEN [t]
+          |              ELSE list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) END AS sh
+          |  FROM d)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          |FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
       "dedup_ngram" ->
         """WITH d AS (
           |  SELECT doc_id, lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t

@@ -155,6 +155,60 @@ object Q4112Gen {
     if (sc._2 == 0L) None else Some(sc._1 / sc._2)
   }
 
+  /** Giant-group oracle for LOCAL mode: the reference's own algorithm —
+    * a shared-memory CAS aggregation table (q4112.c:169-201) — run
+    * across the one JVM's task threads. One scan of the cached probe
+    * rows, no shuffle, no per-task maps: at 1e8 groups the RDD
+    * `reduceByKey` oracle OOMs exactly like any partial-aggregation
+    * plan (each task's combine map holds ~groups/π distinct entries),
+    * while two AtomicLongArrays cost a flat 16 B/group. Only valid on
+    * `local[*]` (task closures share the driver's statics) — which is
+    * where the 1e9-row matrix runs; it is still engine-independent:
+    * no Catalyst plan, prices resolved by the generator closed form.
+    */
+  def oracleFullCas(orders: Dataset[Order], cfg: GenConfig): Option[Long] = {
+    require(cfg.groups > 0 && cfg.groups < Int.MaxValue.toLong, s"CAS oracle needs int-indexable groups")
+    require(orders.sparkSession.sparkContext.isLocal, "CAS oracle is local-mode-only")
+    val inner = cfg.innerTuples
+    val n = cfg.groups.toInt + 1
+    // task closures are serialized per task even on local[*], so a
+    // captured array would be copied, not shared — the tasks reach the
+    // one shared table through the static object field instead
+    CasTable.synchronized {
+      CasTable.sums = new java.util.concurrent.atomic.AtomicLongArray(n)
+      CasTable.counts = new java.util.concurrent.atomic.AtomicLongArray(n)
+      val cfgB = cfg
+      orders.foreachPartition { (it: Iterator[Order]) =>
+        val s = CasTable.sums
+        val c = CasTable.counts
+        it.foreach { o =>
+          if (o.itemId <= inner) {
+            val g = o.storeId.toInt
+            s.addAndGet(g, priceOf(cfgB, o.itemId) * o.quantity)
+            c.incrementAndGet(g)
+          }
+        }
+      }
+      var sumAvg = 0L
+      var nGroups = 0L
+      var g = 0
+      while (g < n) {
+        val c = CasTable.counts.get(g)
+        if (c > 0L) { sumAvg += CasTable.sums.get(g) / c; nGroups += 1L }
+        g += 1
+      }
+      CasTable.sums = null
+      CasTable.counts = null
+      if (nGroups == 0L) None else Some(sumAvg / nGroups)
+    }
+  }
+
+  /** Shared-JVM aggregation table for [[oracleFullCas]] (local mode). */
+  private[graft] object CasTable {
+    @volatile var sums: java.util.concurrent.atomic.AtomicLongArray = _
+    @volatile var counts: java.util.concurrent.atomic.AtomicLongArray = _
+  }
+
   def oracleFullRdd(orders: Dataset[Order], cfg: GenConfig): Option[Long] = {
     val inner = cfg.innerTuples
     val perGroup = orders.rdd

@@ -168,5 +168,7 @@ class Q4112Spec extends SparkSpec {
       Q4112Gen.oraclePart1(itemSeq, orderSeq))
     assert(Q4112Gen.oracleFullRdd(orders, cfg) ===
       Q4112Gen.oracleFull(itemSeq, orderSeq))
+    assert(Q4112Gen.oracleFullCas(orders, cfg) ===
+      Q4112Gen.oracleFull(itemSeq, orderSeq))
   }
 }

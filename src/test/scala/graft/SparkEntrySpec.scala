@@ -19,4 +19,70 @@ class SparkEntrySpec extends SparkSpec {
       assert(fn(spark, sfDir).count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("q4112_part1_nlj plans as BroadcastNestedLoopJoin and matches the hash join") {
+    val df = SparkEntry.queries("q4112_part1_nlj")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+      s"expected a nested-loop join (reference J1/J2), got:\n$physical")
+    // same query through the hash-join path on the same filtered inputs
+    import org.apache.spark.sql.functions._
+    val it = graft.Engine.table(spark, sfDir, "part")
+      .select(col("p_partkey"), floor(col("p_retailprice")).as("price"))
+      .filter(col("p_partkey") < 2000)
+    val or = graft.Engine.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), floor(col("l_quantity")).as("quantity"))
+      .filter(col("l_partkey") < 2000)
+    val hash = graft.ops.Q4112.part1(it, or, "p_partkey", "l_partkey",
+      "price", "quantity").collect().head.getLong(0)
+    assert(df.collect().head.getLong(0) === hash)
+  }
+
+  test("sketch-invariant gates hold: fm_ok / hll_ok / approx_ok / recall_ok all true") {
+    import org.apache.spark.sql.functions.col
+    val k = (col("l_orderkey") * 10 + col("l_linenumber")).as("k")
+    val fmDebug = graft.Engine.table(spark, sfDir, "lineitem").select(k)
+      .agg(org.apache.spark.sql.functions.countDistinct(col("k")),
+        graft.functions.FlajoletMartin.fmCountDistinct(col("k"), logPartitions = 8))
+      .head()
+    assert(SparkEntry.queries("distinct_fm")(spark, sfDir)
+      .filter(!col("fm_ok")).isEmpty,
+      s"FM outside [n/2, 4n]: exact=${fmDebug.getLong(0)} fm=${fmDebug.getLong(1)}")
+    assert(SparkEntry.queries("distinct_hll")(spark, sfDir)
+      .filter(!col("hll_ok")).isEmpty, "HLL estimate outside 3·rsd")
+    assert(SparkEntry.queries("agg_percentile_approx")(spark, sfDir)
+      .filter(!col("approx_ok")).isEmpty, "approx percentile off by > 1")
+    // the recall gate must clear its floor at EVERY test sf (the driver
+    // gates sf0.01; the others guard against data-shape sensitivity)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = graft.Engine.table(spark, d, "embeddings")
+      val pr = e.filter(col("vec_id") <= 5)
+      val bt = graft.ops.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        pr, "vec_id", "embedding", k = 5).select(col("probe_id"), col("corpus_id"))
+      val iv = graft.ops.Similarity.ivfTopK(e, "vec_id", "embedding",
+        pr, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("probe_id"), col("corpus_id"))
+      val nb = bt.count(); val nh = bt.join(iv, Seq("probe_id", "corpus_id"), "left_semi").count()
+      assert(SparkEntry.queries("sim_recall_ivf")(spark, d)
+        .filter(!col("recall_ok")).isEmpty, s"IVF recall below floor at $d: $nh/$nb")
+    }
+  }
+
+  test("hh_cms_exact keeps the sketch probe out of UDF land (codegen expression)") {
+    val df = SparkEntry.queries("hh_cms_exact")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("UDF"), s"CMS probe still a UDF:\n$physical")
+    assert(df.queryExecution.optimizedPlan.toString.contains("cms_might_be_heavy"))
+  }
+
+  test("dedup_minhash equals the exact all-pairs Jaccard set on the test corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Engine.table(spark, sfDir, "documents")
+    val lsh = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact,
+      s"LSH missed ${exact.diff(lsh)} / extra ${lsh.diff(exact)}")
+  }
 }
