@@ -227,6 +227,39 @@ object Q4112 {
       .agg(sum(col("avg_value")).as("ss"), count(lit(1)).as("cc"))
       .select(expr("ss div cc").as("avg_avg_value"))
 
+  /** [[part2Bypass]] with the exchange rows PACKED into one long:
+    * group ⋅ 2^34 + v (valid while group < 2^29 and v < 2^34 — checked
+    * against the reference value caps: v = price·quantity ≤ 99999², and
+    * the matrix tops out at 1e8 groups). Cuts the dominant cost of the
+    * singleton-group shape — the raw-row exchange through disk — from
+    * 24 B to 16 B per UnsafeRow. The groupBy keys on the unpack
+    * expression, which canonicalizes equal to the repartition
+    * expression, so the plan keeps exactly ONE exchange
+    * (PackedBypassSpec pins this).
+    */
+  def part2BypassPacked(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String,
+      groupCol: String,
+      numPartitions: Int,
+      dense: Boolean = false): DataFrame = {
+    val packed = groupedValues(items, orders, itemKey, orderKey, priceCol, quantityCol,
+      groupCol, dense)
+      .select((shiftleft(col(groupCol), 34) + col("v")).as("p"))
+    val g = shiftright(col("p"), 34)
+    packed
+      .repartition(numPartitions, g)
+      .groupBy(g.as("g"))
+      .agg(sum(col("p").bitwiseAND(lit((1L << 34) - 1))).as("s"), count(lit(1)).as("c"))
+      .select(expr("s div c").as("avg_value"))
+      .agg(sum(col("avg_value")).as("ss"), count(lit(1)).as("cc"))
+      .select(expr("ss div cc").as("avg_avg_value"))
+  }
+
   /** Reducer count for the bypass plan: ~500k groups per reducer map
     * (a few tens of MB — L3-resident), floored at the session shuffle
     * parallelism, capped to keep task-launch overhead sane.
@@ -234,12 +267,24 @@ object Q4112 {
   def bypassPartitions(estGroups: Long, sessionShuffle: Int): Int =
     math.min(4096L, math.max(sessionShuffle.toLong, estGroups / 500000L)).toInt
 
-  /** Part 2 with the physical aggregation plan chosen from a measured
-    * cardinality estimate — the reference's A5 sketch applied to its real
-    * purpose. One FM scan over the probe side estimates ndv(group); when
-    * the average group has fewer than `bypassRatio` rows, map-side partial
-    * aggregation cannot collapse enough to pay for its hash map and the
-    * plan switches to [[part2Bypass]].
+  /** Part 2 with the physical aggregation plan chosen from MEASURED
+    * statistics — the reference's A5 sketch applied to its real purpose.
+    * Two cheap inputs:
+    *
+    *  1. an FM scan estimates ndv(group) — rows/ndv below `bypassRatio`
+    *     means the average group cannot repay the partial-agg hash map;
+    *  2. a ~2M-row deterministic sample estimates the SHARED-KEY MASS
+    *     (fraction of rows whose group recurs within the sample) — ndv
+    *     alone cannot tell an all-singleton table (partial agg collapses
+    *     nothing, spills, and the exchange ships ~every row anyway) from
+    *     a skewed one with the same ndv (heavy groups collapse map-side
+    *     to one combiner entry per task; the reference leans on exactly
+    *     this via its thread-local caches, README-2.txt:32-43).
+    *
+    * Bypass fires only when both say the map is useless: few rows per
+    * group AND low shared mass. Heavy-hitter shapes keep Catalyst's
+    * partial/final split, singleton floods skip straight to the packed
+    * raw exchange.
     */
   def part2Adaptive(
       items: DataFrame,
@@ -254,16 +299,39 @@ object Q4112 {
     val t0 = System.nanoTime()
     val est = orders.agg(
       graft.functions.FlajoletMartin.fmCountDistinct(col(groupCol)),
-      count(lit(1))).head()
+      count(lit(1)), max(col(groupCol)), max(col(quantityCol))).head()
     val (ndv, rows) = (est.getLong(0), est.getLong(1))
-    val bypass = ndv > 0 && rows / ndv < bypassRatio
+    val (maxGroup, maxQty) = (est.getLong(2), est.getLong(3))
+    val ratioSaysBypass = ndv > 0 && rows / ndv < bypassRatio
+    // shared-key mass from a deterministic sample (only measured when the
+    // ndv ratio is ambiguous — it decides between bypass and partial)
+    val sharedMass = if (!ratioSaysBypass) 1.0 else {
+      val frac = math.min(1.0, 2e6 / math.max(1.0, rows.toDouble))
+      val a = orders.sample(withReplacement = false, frac, seed = 42)
+        .groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("shared"),
+          sum(col("cnt")).as("tot")).head()
+      if (a.isNullAt(1) || a.getLong(1) == 0L) 0.0
+      else a.getLong(0).toDouble / a.getLong(1)
+    }
+    val bypass = ratioSaysBypass && sharedMass < 0.4
+    // packing bound: group·2^34 + v must fit a signed long, v exact
+    val maxPrice = if (bypass) items.agg(max(col(priceCol))).head().getLong(0) else 0L
+    val packable = bypass && maxGroup > 0 && maxGroup < (1L << 29) &&
+      maxQty >= 0 && maxPrice >= 0 &&
+      maxQty <= ((1L << 34) - 1) / math.max(1L, maxPrice) // overflow-safe v bound
     System.err.println(f"[part2-adaptive] rows=$rows ndv≈$ndv " +
-      f"ratio=${if (ndv > 0) rows / ndv else -1} bypass=$bypass " +
-      f"est=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      f"ratio=${if (ndv > 0) rows / ndv else -1} sharedMass=$sharedMass%.3f " +
+      f"bypass=$bypass packable=$packable est=${(System.nanoTime() - t0) / 1e9}%.3f s")
     if (bypass) {
       val shuffle = items.sparkSession.sessionState.conf.numShufflePartitions
-      part2Bypass(items, orders, itemKey, orderKey, priceCol, quantityCol,
-        groupCol, bypassPartitions(ndv, shuffle), dense)
+      val parts = bypassPartitions(ndv, shuffle)
+      if (packable)
+        part2BypassPacked(items, orders, itemKey, orderKey, priceCol, quantityCol,
+          groupCol, parts, dense)
+      else
+        part2Bypass(items, orders, itemKey, orderKey, priceCol, quantityCol,
+          groupCol, parts, dense)
     } else if (dense)
       part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
     else
