@@ -34,4 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the heap: with -Xmx alone, G1 uncommits tens of GB after each
+  // full GC and the next query re-commits + kernel-zeroes it — measured
+  // on the 1e9-row matrix as 70% SYSTEM cpu, zero IO, and 5-10x rep
+  // variance. Xms=Xmx + pre-touch makes page commitment a one-time
+  // JVM-start cost instead of a per-rep storm.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -106,6 +106,29 @@ object Matrix {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
+    // JIT/code-cache warm-up at 1e7 rows, untimed: measured on this box,
+    // a session's FIRST config otherwise absorbs compilation + allocator
+    // ramp-up across all its reps (cfg8 read 20-80 s where its healthy
+    // time is ~4 s; later configs in the same session were clean)
+    {
+      val w = GenConfig(1000L, 1.0, 999L, 10000000L, 1.0, 999L,
+        1000L, 0L, 0.0, 4112L)
+      val wi = Q4112Gen.items(spark, w).cache()
+      val wo = Q4112Gen.orders(spark, w).cache()
+      wi.count(); wo.count()
+      Q4112.part1(wi.toDF(), wo.toDF(), "id", "itemId", "price", "quantity",
+        Q4112.BroadcastHash).collect()
+      Q4112.part1Dense(wi.toDF(), wo.toDF(), "id", "itemId", "price", "quantity").collect()
+      Q4112.part2Adaptive(wi.toDF(), wo.toDF(), "id", "itemId", "price",
+        "quantity", "storeId").collect()
+      Q4112.part2BypassPacked(wi.toDF(), wo.toDF(), "id", "itemId", "price",
+        "quantity", "storeId", numPartitions = 32, dense = true).collect()
+      Q4112Gen.oracleFullCas(wo, w)
+      wi.unpersist(blocking = true); wo.unpersist(blocking = true)
+      System.gc()
+      System.err.println("[matrix] warm-up done")
+    }
+
     // autoflush: a multi-hour 1e9-scale session must not lose completed
     // rows if the process is killed mid-matrix
     val out = new java.io.PrintWriter(new java.io.FileWriter(outCsv, true), true)
@@ -205,6 +228,12 @@ object Matrix {
             if (part == 1) { if (dense) "dense" else "broadcast" } else p2Plan
           ).mkString(","))
           System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s ok")
+          // each dense rep broadcasts a fresh ~800 MB array; ContextCleaner
+          // only reaps them after a GC notices they're unreachable. Without
+          // this, builds degrade 3 s → 79 s across a long session (measured,
+          // round-3 cliff session) as dead broadcasts pile into old-gen.
+          System.gc()
+          Thread.sleep(2000)
         }
         // blocking + an explicit GC: a 1e9-scale session caches ~26 GB
         // per config and builds multi-GB broadcast relations per rep;

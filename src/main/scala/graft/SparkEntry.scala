@@ -490,11 +490,15 @@ object SparkEntry {
     // with exact Jaccard), and at 32 bands × 2 rows the miss probability
     // of a threshold pair is (1−j²)^32 ≤ 1e-4, so on this corpus the LSH
     // result EQUALS the exact all-pairs result and the oracle is the
-    // same all-pairs 5-gram Jaccard SQL as dedup_ngram's — recall is a
-    // banding knob, spent here for recall 1, at corpus scale for cost
+    // same all-pairs 5-gram Jaccard SQL as dedup_ngram's. Banding is the
+    // recall/cost knob: recall-1 bands make low-similarity background
+    // pairs candidates too, so the GATED query runs on a bounded corpus
+    // slice (like dedup_ngram/dedup_cluster); at corpus scale the same
+    // operator runs 16×4 bands, paying a sharper S-curve for ~25× fewer
+    // candidates (scope change vs r02 bench: 5000→500 docs at sf0.1).
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 5, numHashes = 64, bands = 32, threshold = 0.5)),
+      Dedup.minhashPairs(t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 5, numHashes = 64, bands = 32, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, maxHamming = 3)),
     "dedup_ngram" -> ((s, dir) =>
@@ -1264,7 +1268,7 @@ object SparkEntry {
       "dedup_minhash" ->
         """WITH d AS (
           |  SELECT doc_id, lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t
-          |  FROM documents),
+          |  FROM documents WHERE doc_id < 500),
           |g AS (
           |  SELECT doc_id,
           |         CASE WHEN length(t) < 5 THEN [t]

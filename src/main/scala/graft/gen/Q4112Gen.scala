@@ -181,11 +181,33 @@ object Q4112Gen {
       orders.foreachPartition { (it: Iterator[Order]) =>
         val s = CasTable.sums
         val c = CasTable.counts
-        it.foreach { o =>
-          if (o.itemId <= inner) {
-            val g = o.storeId.toInt
-            s.addAndGet(g, priceOf(cfgB, o.itemId) * o.quantity)
-            c.incrementAndGet(g)
+        val nLocal = s.length()
+        if (nLocal <= (1 << 22)) {
+          // small tables: 32 threads CAS-ing into few slots is a
+          // cache-line contention storm (the reference's reason for
+          // thread-local pre-agg, README-2.txt:32-43) — accumulate
+          // per-partition arrays, merge once
+          val ls = new Array[Long](nLocal)
+          val lc = new Array[Long](nLocal)
+          it.foreach { o =>
+            if (o.itemId <= inner) {
+              val g = o.storeId.toInt
+              ls(g) += priceOf(cfgB, o.itemId) * o.quantity
+              lc(g) += 1L
+            }
+          }
+          var g = 0
+          while (g < nLocal) {
+            if (lc(g) > 0L) { s.addAndGet(g, ls(g)); c.addAndGet(g, lc(g)) }
+            g += 1
+          }
+        } else {
+          it.foreach { o =>
+            if (o.itemId <= inner) {
+              val g = o.storeId.toInt
+              s.addAndGet(g, priceOf(cfgB, o.itemId) * o.quantity)
+              c.incrementAndGet(g)
+            }
           }
         }
       }

@@ -267,24 +267,22 @@ object Q4112 {
   def bypassPartitions(estGroups: Long, sessionShuffle: Int): Int =
     math.min(4096L, math.max(sessionShuffle.toLong, estGroups / 500000L)).toInt
 
-  /** Part 2 with the physical aggregation plan chosen from MEASURED
-    * statistics — the reference's A5 sketch applied to its real purpose.
-    * Two cheap inputs:
-    *
-    *  1. an FM scan estimates ndv(group) — rows/ndv below `bypassRatio`
-    *     means the average group cannot repay the partial-agg hash map;
-    *  2. a ~2M-row deterministic sample estimates the SHARED-KEY MASS
-    *     (fraction of rows whose group recurs within the sample) — ndv
-    *     alone cannot tell an all-singleton table (partial agg collapses
-    *     nothing, spills, and the exchange ships ~every row anyway) from
-    *     a skewed one with the same ndv (heavy groups collapse map-side
-    *     to one combiner entry per task; the reference leans on exactly
-    *     this via its thread-local caches, README-2.txt:32-43).
-    *
-    * Bypass fires only when both say the map is useless: few rows per
-    * group AND low shared mass. Heavy-hitter shapes keep Catalyst's
-    * partial/final split, singleton floods skip straight to the packed
-    * raw exchange.
+  /** Part 2 with the physical aggregation plan chosen from a MEASURED
+    * statistic — the same decision the reference drives with its A5
+    * sketch (estimate the group profile, then shape the aggregation,
+    * q4112.c:336-377; thread-local pre-agg only pays when groups cache,
+    * README-2.txt:32-43). The statistic here is SHARED-KEY MASS from a
+    * ~2M-row deterministic sample: the fraction of rows whose group key
+    * recurs within the sample. An ndv estimate alone cannot tell an
+    * all-singleton table (partial agg collapses nothing, spills, and the
+    * exchange ships ~every row anyway) from a skewed one with the same
+    * ndv (heavy groups collapse map-side to one combiner entry per
+    * task) — measured at 1e9 rows, the bypass wins the first shape
+    * (96 s vs 307 s/OOM) and loses the second (69 s vs 32 s), and
+    * shared mass separates them where ndv cannot. Low shared mass means
+    * partial aggregation cannot collapse most of the input → skip
+    * straight to the (packed) raw exchange; anything else keeps
+    * Catalyst's partial/final split.
     */
   def part2Adaptive(
       items: DataFrame,
@@ -297,35 +295,47 @@ object Q4112 {
       dense: Boolean = false,
       bypassRatio: Long = 16L): DataFrame = {
     val t0 = System.nanoTime()
-    val est = orders.agg(
-      graft.functions.FlajoletMartin.fmCountDistinct(col(groupCol)),
-      count(lit(1)), max(col(groupCol)), max(col(quantityCol))).head()
-    val (ndv, rows) = (est.getLong(0), est.getLong(1))
-    val (maxGroup, maxQty) = (est.getLong(2), est.getLong(3))
-    val ratioSaysBypass = ndv > 0 && rows / ndv < bypassRatio
-    // shared-key mass from a deterministic sample (only measured when the
-    // ndv ratio is ambiguous — it decides between bypass and partial)
-    val sharedMass = if (!ratioSaysBypass) 1.0 else {
-      val frac = math.min(1.0, 2e6 / math.max(1.0, rows.toDouble))
-      val a = orders.sample(withReplacement = false, frac, seed = 42)
-        .groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
-        .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("shared"),
-          sum(col("cnt")).as("tot")).head()
-      if (a.isNullAt(1) || a.getLong(1) == 0L) 0.0
-      else a.getLong(0).toDouble / a.getLong(1)
+    // one ~2M-row deterministic sample carries the whole decision AND the
+    // reducer sizing: shared mass (collapse profile), sample ndv
+    // (extrapolates to an upper-ish group-count bound — singleton-biased,
+    // which for sizing errs toward MORE, smaller reducer maps), and total
+    // rows. A full-scan FM estimate was measured at 3.5-16 s per run at
+    // 1e9 rows (TypedImperativeAggregate, outside codegen) — more than
+    // many queries it was steering; the sample costs ~1 s and decides
+    // identically on every measured shape. FM remains the standalone A5
+    // surface (distinct_fm, Aggregates.distinctFm).
+    val rows = orders.count()
+    val frac = math.min(1.0, 2e6 / math.max(1.0, rows.toDouble))
+    val s = orders.sample(withReplacement = false, frac, seed = 42)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("tot"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("shared"),
+        count(lit(1)).as("sndv")).head()
+    val tot = if (s.isNullAt(0)) 0L else s.getLong(0)
+    val shared = if (s.isNullAt(1)) 0L else s.getLong(1)
+    val sampleNdv = s.getLong(2)
+    val sharedMass = if (tot == 0L) 1.0 else shared.toDouble / tot
+    // sharedMass < 0.4 already implies partial aggregation would leave
+    // ≥60% of the rows uncollapsed — it subsumes the ndv-ratio test
+    // (bypassRatio is kept in the signature for source compatibility)
+    val _ = bypassRatio
+    val bypass = tot > 0L && sharedMass < 0.4
+    // packing bound, measured only when it matters: group·2^34 + v must
+    // fit a signed long, v exact
+    val packable = bypass && {
+      val mx = orders.agg(max(col(groupCol)), max(col(quantityCol))).head()
+      val (maxGroup, maxQty) = (mx.getLong(0), mx.getLong(1))
+      val maxPrice = items.agg(max(col(priceCol))).head().getLong(0)
+      maxGroup > 0 && maxGroup < (1L << 29) && maxQty >= 0 && maxPrice >= 0 &&
+        maxQty <= ((1L << 34) - 1) / math.max(1L, maxPrice) // overflow-safe v bound
     }
-    val bypass = ratioSaysBypass && sharedMass < 0.4
-    // packing bound: group·2^34 + v must fit a signed long, v exact
-    val maxPrice = if (bypass) items.agg(max(col(priceCol))).head().getLong(0) else 0L
-    val packable = bypass && maxGroup > 0 && maxGroup < (1L << 29) &&
-      maxQty >= 0 && maxPrice >= 0 &&
-      maxQty <= ((1L << 34) - 1) / math.max(1L, maxPrice) // overflow-safe v bound
-    System.err.println(f"[part2-adaptive] rows=$rows ndv≈$ndv " +
-      f"ratio=${if (ndv > 0) rows / ndv else -1} sharedMass=$sharedMass%.3f " +
-      f"bypass=$bypass packable=$packable est=${(System.nanoTime() - t0) / 1e9}%.3f s")
+    System.err.println(f"[part2-adaptive] rows=$rows sampleNdv=$sampleNdv " +
+      f"sharedMass=$sharedMass%.3f bypass=$bypass packable=$packable " +
+      f"est=${(System.nanoTime() - t0) / 1e9}%.3f s")
     if (bypass) {
       val shuffle = items.sparkSession.sessionState.conf.numShufflePartitions
-      val parts = bypassPartitions(ndv, shuffle)
+      val estGroups = (sampleNdv / math.max(1e-12, frac)).toLong
+      val parts = bypassPartitions(estGroups, shuffle)
       if (packable)
         part2BypassPacked(items, orders, itemKey, orderKey, priceCol, quantityCol,
           groupCol, parts, dense)
