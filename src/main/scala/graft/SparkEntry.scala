@@ -83,6 +83,17 @@ object SparkEntry {
     "q4112_part2" -> ((s, dir) =>
       Q4112.part2(partItems(s, dir), liOrders(s, dir),
         "p_partkey", "l_partkey", "price", "quantity", "l_suppkey", Q4112.BroadcastHash)),
+    // the measured-statistics plan chooser (sampled shared-key mass →
+    // partial vs raw-exchange bypass) through the correctness gate
+    "q4112_part2_adaptive" -> ((s, dir) =>
+      Q4112.part2Adaptive(partItems(s, dir), liOrders(s, dir),
+        "p_partkey", "l_partkey", "price", "quantity", "l_suppkey")),
+    // the packed raw-exchange plan (group·2^34 + v in one long, single
+    // exchange) through the correctness gate
+    "q4112_part2_packed" -> ((s, dir) =>
+      Q4112.part2BypassPacked(partItems(s, dir), liOrders(s, dir),
+        "p_partkey", "l_partkey", "price", "quantity", "l_suppkey",
+        numPartitions = s.sparkContext.defaultParallelism)),
 
     // ------------------------------------------------ join library (§2.2 generalized)
     "join_semi" -> ((s, dir) => {
@@ -1011,6 +1022,12 @@ object SparkEntry {
           |WHERE p_partkey < 2000 AND l_partkey < 2000""".stripMargin,
       "q4112_grouped" -> groupedCte,
       "q4112_part2" ->
+        s"""WITH g AS ($groupedCte)
+           |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
+      "q4112_part2_adaptive" ->
+        s"""WITH g AS ($groupedCte)
+           |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
+      "q4112_part2_packed" ->
         s"""WITH g AS ($groupedCte)
            |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
 
