@@ -77,11 +77,23 @@ object Matrix {
     // aggregation map holds groups/partitions entries NEXT TO the 24 GB
     // input cache, and 32 concurrent ~3M-entry maps OOM a 100 GB heap
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    // part-2 aggregation plan: auto (FM-adaptive, default) | partial
+    // part-2 aggregation plan: auto (stats-adaptive, default) | partial
     // (Catalyst's partial/final split) | bypass (pre-partition raw rows,
     // no map-side agg) | bucketed (probe table stored clustered on the
-    // group key — exchange-free)
+    // group key; part2Adaptive DETECTS the layout and takes the
+    // exchange-free path — the CSV plan column records what it chose).
+    // Unknown values fail fast: a typo would otherwise run the wrong
+    // plan and write the typo into the CSV as if it were a real mode.
     val p2Plan = sys.env.getOrElse("SPARK_GRAFT_P2_PLAN", "auto")
+    require(Set("auto", "partial", "bypass", "bucketed")(p2Plan),
+      s"SPARK_GRAFT_P2_PLAN must be auto|partial|bypass|bucketed, got '$p2Plan'")
+    // part-1 join layout: auto (dense array probe / broadcast hash by
+    // build size, as before) | bucketed (BOTH tables stored bucketed +
+    // sorted on the join key — the sort-merge join then needs neither
+    // exchange nor sort nor driver-side broadcast build)
+    val p1Plan = sys.env.getOrElse("SPARK_GRAFT_P1_PLAN", "auto")
+    require(Set("auto", "bucketed")(p1Plan),
+      s"SPARK_GRAFT_P1_PLAN must be auto|bucketed, got '$p1Plan'")
     val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "256").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,13 +107,21 @@ object Matrix {
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       // the dense-key array build collects value-only chunks for
       // contiguous-run partitions (~8 B/key + serialization overhead —
-      // 800 MB at inner=1e8, marginal against the 1 GiB default cap);
-      // this is the same driver data path as Spark's own
-      // BroadcastExchangeExec, at half the bytes
-      .config("spark.driver.maxResultSize", "2g")
+      // 800 MB at inner=1e8); the cap must also fit the NON-contiguous
+      // fallback (~16 B/key + overhead ≈ 1.6+ GB at 1e8), which a
+      // shuffled dimension would hit — 2g sat right at that edge, 4g
+      // covers both paths with margin. Same driver data path as Spark's
+      // own BroadcastExchangeExec.
+      .config("spark.driver.maxResultSize", "4g")
       // broadcast payloads here are near-random long[]: lz4 shrinks them
       // barely but costs a full compress+decompress pass per executor
       .config("spark.broadcast.compress", "false")
+      // always honor a bucketed layout: the auto rule may plan a bare
+      // scan (e.g. the cache-materialization pass) as non-bucketed,
+      // which would strip the HashPartitioning/ordering the cached plan
+      // hands to every later query — the layout-detection path
+      // (Q4112.clusteredOn) and the sort-free bucketed SMJ depend on it
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
@@ -149,26 +169,59 @@ object Matrix {
         // right for this query. On a multi-node cluster bucketed
         // co-location (Tables.writeBucketed) replaces the probe shuffle.
         val dense = cfg.innerTuples > 10000000L
+        val p1Bucketed = part == 1 && p1Plan == "bucketed"
+        val p2Bucketed = part == 2 && p2Plan == "bucketed"
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        // one file per bucket (repartition on the bucket key with the
+        // same hash the bucketizer uses), so the scan reports both the
+        // HashPartitioning AND the per-bucket sort order; write cost is
+        // logged — it is the one-time ingest price the layout amortizes
+        // over every downstream grouped/joined query (SCALING.md table)
+        def writeBucketedTable(df: org.apache.spark.sql.DataFrame,
+            table: String, key: String): Unit = {
+          val t0 = System.nanoTime()
+          // a killed prior session leaves the warehouse dir without its
+          // (in-memory derby) metastore entry; Overwrite can't reclaim a
+          // location the catalog doesn't know about — clear both
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.defaultTablePath(
+              org.apache.spark.sql.catalyst.TableIdentifier(table)))
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+          df.repartition(buckets, col(key))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .bucketBy(buckets, key).sortBy(key).format("parquet")
+            .saveAsTable(table)
+          System.err.println(f"[bucketed-write] $table key=$key " +
+            f"write=${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
         // materialize inputs BEFORE timing — the reference times
         // q4112_run over already-filled arrays (q4112_main.c:101-119,
         // SURVEY §2.5), so the timed section here is also engine-only
-        val items = Q4112Gen.items(spark, cfg).cache()
+        val items =
+          if (p1Bucketed) {
+            // co-located join layout: BOTH sides bucketed + sorted on
+            // the join key — the sort-merge join needs neither exchange
+            // nor sort nor the driver-side dense/broadcast build. The
+            // write is ingest-time input materialization (untimed,
+            // logged), like the reference's untimed generator fill.
+            writeBucketedTable(Q4112Gen.items(spark, cfg).toDF(), "items_bkt", "id")
+            spark.table("items_bkt").as[graft.model.Item].cache()
+          } else Q4112Gen.items(spark, cfg).cache()
         val orders =
-          if (part == 2 && p2Plan == "bucketed") {
+          if (p1Bucketed) {
+            writeBucketedTable(Q4112Gen.orders(spark, cfg).toDF(), "orders_bkt", "itemId")
+            spark.table("orders_bkt").as[graft.model.Order].cache()
+          } else if (p2Bucketed) {
             // bucketed-layout variant: the probe table is STORED
             // clustered on the group key (Tables.writeBucketed's layout),
             // so the grouped aggregate needs no exchange at query time —
             // the 100 TB answer to the singleton-group shuffle, paid once
-            // at ingest like any production fact-table layout. The write
-            // is input materialization (untimed), the same role as the
-            // reference's untimed generator fill into malloc'd arrays.
-            import org.apache.spark.sql.functions.col
-            Q4112Gen.orders(spark, cfg).toDF()
-              .repartition(buckets, col("storeId"))
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .bucketBy(buckets, "storeId").format("parquet")
-              .saveAsTable("orders_bkt")
-            import spark.implicits._
+            // at ingest like any production fact-table layout.
+            // part2Adaptive DETECTS this layout (Q4112.clusteredOn) and
+            // takes the exchange-free path on its own.
+            writeBucketedTable(Q4112Gen.orders(spark, cfg).toDF(), "orders_bkt", "storeId")
             spark.table("orders_bkt").as[graft.model.Order].cache()
           } else Q4112Gen.orders(spark, cfg).cache()
         items.count(); orders.count()
@@ -191,25 +244,33 @@ object Matrix {
           val result =
             if (part == 1) {
               val df =
-                if (dense) Q4112.part1Dense(items.toDF(), orders.toDF(),
+                // co-located per-bucket hash join: both sides report the
+                // same HashPartitioning, so the shuffled-hash join runs
+                // with NO exchange and NO sort — a 390k-entry build per
+                // bucket, the Spark-native form of the reference's J4
+                // (range-partitioned parallel build + probe, q4112_hj.c:
+                // 163-183). SMJ was measured too: the cache drops the
+                // per-bucket sort order, so SMJ re-sorts both sides.
+                if (p1Bucketed) Q4112.part1(items.toDF(), orders.toDF(),
+                  "id", "itemId", "price", "quantity", Q4112.ShuffledHash)
+                else if (dense) Q4112.part1Dense(items.toDF(), orders.toDF(),
                   "id", "itemId", "price", "quantity")
                 else Q4112.part1(items.toDF(), orders.toDF(),
                   "id", "itemId", "price", "quantity", Q4112.BroadcastHash)
               df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
             } else {
               // physical-plan selection for the grouped aggregate —
-              // "auto" measures (FM ndv estimate, inside the timed
-              // section, as the reference does at q4112.c:336-377);
-              // the explicit modes exist for differential benchmarking
+              // "auto"/"bucketed" run the stats-adaptive planner (which
+              // detects the bucketed layout itself and records its
+              // choice in lastChosenPlan → the CSV plan column); the
+              // explicit modes exist for differential benchmarking
               val df = p2Plan match {
-                case "auto" => Q4112.part2Adaptive(items.toDF(), orders.toDF(),
+                case "auto" | "bucketed" => Q4112.part2Adaptive(items.toDF(), orders.toDF(),
                   "id", "itemId", "price", "quantity", "storeId", dense)
                 case "bypass" => Q4112.part2Bypass(items.toDF(), orders.toDF(),
                   "id", "itemId", "price", "quantity", "storeId",
                   Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense)
-                case _ => // "partial" | "bucketed": Catalyst's default
-                  // partial/final split (exchange-free over the bucketed
-                  // layout — the scan is already clustered on storeId)
+                case _ => // "partial": Catalyst's default partial/final split
                   if (dense) Q4112.part2Dense(items.toDF(), orders.toDF(),
                     "id", "itemId", "price", "quantity", "storeId")
                   else Q4112.part2(items.toDF(), orders.toDF(),
@@ -220,12 +281,22 @@ object Matrix {
           val ns = System.nanoTime() - t0
           assert(result == oracle,
             s"result $result != oracle $oracle for $cfg") // q4112_main.c:127
+          // the plan column names the PHYSICAL plan that ran: for the
+          // adaptive modes that is part2Adaptive's recorded choice
+          // (mode:choice), so matrix_best.py can attribute auto-mode
+          // wins to a physical plan instead of the literal "auto"
+          val planLabel =
+            if (part == 1) {
+              if (p1Bucketed) "bucketed-shj" else if (dense) "dense" else "broadcast"
+            } else p2Plan match {
+              case "auto" | "bucketed" => s"$p2Plan:${Q4112.lastChosenPlan}"
+              case other => other
+            }
           out.println(Seq(
             cfg.innerTuples, cfg.innerSelectivity, cfg.innerValMax,
             cfg.outerTuples, cfg.outerSelectivity, cfg.outerValMax,
             cfg.groups, cfg.hhGroups, cfg.hhProbability,
-            cpus, rep, ns,
-            if (part == 1) { if (dense) "dense" else "broadcast" } else p2Plan
+            cpus, rep, ns, planLabel
           ).mkString(","))
           System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s ok")
           // each dense rep broadcasts a fresh ~800 MB array; ContextCleaner
@@ -242,8 +313,10 @@ object Matrix {
         // also lets ContextCleaner reap unreferenced broadcasts.
         items.unpersist(blocking = true)
         orders.unpersist(blocking = true)
-        if (part == 2 && p2Plan == "bucketed")
-          spark.sql("DROP TABLE IF EXISTS orders_bkt") // reclaim ~24 GB/config
+        if (p1Bucketed || p2Bucketed) { // reclaim ~24 GB/config
+          spark.sql("DROP TABLE IF EXISTS orders_bkt")
+          spark.sql("DROP TABLE IF EXISTS items_bkt")
+        }
         System.gc()
       }
     } finally out.close()

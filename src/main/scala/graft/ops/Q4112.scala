@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.functions._
 
 /** The reference's one query, generalized: inner equi-join (FK→PK) then
@@ -37,6 +39,35 @@ object Q4112 {
   case object BroadcastHash extends JoinStrategy { val hint = Some("broadcast") }
   case object ShuffledHash extends JoinStrategy { val hint = Some("shuffle_hash") }
   case object SortMerge extends JoinStrategy { val hint = Some("merge") }
+
+  /** The physical aggregation plan [[part2Adaptive]] last chose, for the
+    * harness's CSV plan column (benchmark rows must name the plan that
+    * actually ran, not "auto"). Driver-side only, set once per
+    * `part2Adaptive` call before any job runs — the Matrix/Bench loops
+    * are single-threaded drivers, so a plain volatile is sufficient.
+    */
+  @volatile var lastChosenPlan: String = "none"
+
+  /** True when `df`'s scan output is already hash-clustered on `keyCol` —
+    * a bucketed table (or a cached scan of one), the layout written by
+    * [[graft.sources.Tables.writeBucketed]]. A grouped aggregate on the
+    * cluster key over such a scan needs NO exchange: Catalyst's
+    * `EnsureRequirements` sees the `HashPartitioning` already satisfies
+    * the aggregate's `ClusteredDistribution` and elides the shuffle.
+    * This is how the adaptive planner detects the exchange-free layout
+    * instead of requiring an env-var override (round-3 verdict item 1);
+    * the reference's analogue is its layout-aware hand-tuned table
+    * (q4112_hj_1.c:38-43, README-2.txt:32-43).
+    */
+  def clusteredOn(df: DataFrame, keyCol: String): Boolean =
+    df.queryExecution.sparkPlan.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.length == 1 && (h.expressions.head match {
+          case a: Attribute => a.name.equalsIgnoreCase(keyCol)
+          case _ => false
+        })
+      case _ => false
+    }
 
   /** Integer division `sumCol div cntCol` (both Long; non-negative in all
     * reference configs, so truncating and floor division coincide).
@@ -236,6 +267,16 @@ object Q4112 {
     * expression, which canonicalizes equal to the repartition
     * expression, so the plan keeps exactly ONE exchange
     * (PackedBypassSpec pins this).
+    *
+    * PRECONDITION: 0 ≤ group < 2^29 and 0 ≤ v = price·quantity < 2^34
+    * for EVERY row — a negative v (negative price or quantity) or an
+    * oversized group borrows into the other field's bits and silently
+    * corrupts the aggregate. With `checked = true` (default) each row is
+    * validated in the pack projection and an unpackable row raises an
+    * error; [[part2Adaptive]] passes `checked = false` because it has
+    * already proven the bounds from min/max statistics over the same
+    * columns — per-row checks would re-pay four comparisons per row for
+    * facts the planner established once.
     */
   def part2BypassPacked(
       items: DataFrame,
@@ -246,10 +287,21 @@ object Q4112 {
       quantityCol: String,
       groupCol: String,
       numPartitions: Int,
-      dense: Boolean = false): DataFrame = {
+      dense: Boolean = false,
+      checked: Boolean = true): DataFrame = {
+    val packExpr = shiftleft(col(groupCol), 34) + col("v")
+    val guarded =
+      if (!checked) packExpr
+      else when(
+        col(groupCol) >= 0 && col(groupCol) < (1L << 29) &&
+          col("v") >= 0 && col("v") <= ((1L << 34) - 1),
+        packExpr)
+        .otherwise(raise_error(format_string(
+          "part2BypassPacked: unpackable row: group=%d v=%d (need 0 <= group < 2^29, 0 <= v < 2^34)",
+          col(groupCol), col("v"))))
     val packed = groupedValues(items, orders, itemKey, orderKey, priceCol, quantityCol,
       groupCol, dense)
-      .select((shiftleft(col(groupCol), 34) + col("v")).as("p"))
+      .select(guarded.as("p"))
     val g = shiftright(col("p"), 34)
     packed
       .repartition(numPartitions, g)
@@ -295,57 +347,117 @@ object Q4112 {
       dense: Boolean = false,
       bypassRatio: Long = 16L): DataFrame = {
     val t0 = System.nanoTime()
-    // one ~2M-row deterministic sample carries the whole decision AND the
-    // reducer sizing: shared mass (collapse profile), sample ndv
-    // (extrapolates to an upper-ish group-count bound — singleton-biased,
-    // which for sizing errs toward MORE, smaller reducer maps), and total
-    // rows. A full-scan FM estimate was measured at 3.5-16 s per run at
-    // 1e9 rows (TypedImperativeAggregate, outside codegen) — more than
-    // many queries it was steering; the sample costs ~1 s and decides
-    // identically on every measured shape. FM remains the standalone A5
-    // surface (distinct_fm, Aggregates.distinctFm).
-    val rows = orders.count()
-    val frac = math.min(1.0, 2e6 / math.max(1.0, rows.toDouble))
-    val s = orders.sample(withReplacement = false, frac, seed = 42)
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
-      .agg(sum(col("cnt")).as("tot"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("shared"),
-        count(lit(1)).as("sndv")).head()
-    val tot = if (s.isNullAt(0)) 0L else s.getLong(0)
-    val shared = if (s.isNullAt(1)) 0L else s.getLong(1)
-    val sampleNdv = s.getLong(2)
+    val _ = bypassRatio // subsumed by the shared-mass rule (kept for source compat)
+    // LAYOUT FIRST, statistics second: when the probe table is already
+    // stored clustered on the group key (bucketed layout —
+    // [[clusteredOn]]), the partial/final aggregate needs no exchange at
+    // all, which beats every shuffle-shaping decision the statistics
+    // could make — and the check is free (plan inspection, no job). This
+    // folds the round-3 `SPARK_GRAFT_P2_PLAN=bucketed` env-var mode into
+    // the planner: a user with the right table layout gets the
+    // exchange-free plan automatically (measured 12-22× → 2.4-2.9× of
+    // the reference on the singleton-group shapes, SCALING.md).
+    if (clusteredOn(orders, groupCol)) {
+      lastChosenPlan = "bucketed"
+      System.err.println(f"[part2-adaptive] layout: clustered on $groupCol " +
+        f"-> exchange-free partial/final, est=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      return if (dense)
+        part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
+      else
+        part2(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, BroadcastHash)
+    }
+    // Row count: from relation statistics when they exist (a materialized
+    // cached relation counts its rows; a catalog table has ANALYZE
+    // stats) — at 100 TB a count() is a full scan, and the planner must
+    // not pre-pay a scan per query for a number the catalog already
+    // knows. The count() fallback only triggers for bare un-analyzed
+    // sources.
+    val rows = orders.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(orders.count())
+    // The decision statistic is SHARED-KEY MASS from a ~2M-row
+    // deterministic sample: the fraction of sampled rows whose group key
+    // recurs within the sample. An ndv estimate alone cannot tell an
+    // all-singleton table (partial agg collapses nothing, spills, and
+    // the exchange ships ~every row anyway) from a skewed one with the
+    // same ndv (heavy groups collapse map-side to one combiner entry per
+    // task) — measured at 1e9 rows, the bypass wins the first shape
+    // (96 s vs 307 s/OOM) and loses the second (69 s vs 32 s).
+    // The sample reads a PARTITION SUBSET (first ~perPart rows of k
+    // partitions strided across the range), not a Bernoulli sample —
+    // sample(frac) visits every partition, i.e. a full extra scan at
+    // 100 TB. Striding (not partitions 0..k) guards against layouts
+    // where the group key correlates with partition order. A full-scan
+    // FM estimate was measured at 3.5-16 s per run at 1e9 rows — more
+    // than many queries it was steering; this sample reads ~2M rows
+    // total and decides identically on every measured shape. FM remains
+    // the standalone A5 surface (distinct_fm, Aggregates.distinctFm).
+    val slim = orders.select(col(groupCol)).rdd
+    val nParts = math.max(1, slim.getNumPartitions)
+    val targetRows = 2000000L
+    val rowsPerPart = math.max(1.0, rows.toDouble / nParts)
+    val kParts = math.min(nParts.toLong, math.max(1L, math.ceil(targetRows / rowsPerPart).toLong)).toInt
+    val perPart = (targetRows / kParts).toInt
+    val stride = math.max(1, nParts / kParts)
+    val partIds = (0 until nParts by stride).take(kParts)
+    val chunks = orders.sparkSession.sparkContext.runJob(
+      slim,
+      (it: Iterator[org.apache.spark.sql.Row]) => {
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        var i = 0
+        while (i < perPart && it.hasNext) { b += it.next().getLong(0); i += 1 }
+        b.result()
+      },
+      partIds)
+    val counts = new java.util.HashMap[Long, Int]()
+    var tot = 0L
+    chunks.foreach(_.foreach { g => counts.merge(g, 1, Integer.sum); tot += 1 })
+    var shared = 0L
+    counts.values.forEach(c => if (c > 1) shared += c)
+    val sampleNdv = counts.size.toLong
     val sharedMass = if (tot == 0L) 1.0 else shared.toDouble / tot
     // sharedMass < 0.4 already implies partial aggregation would leave
-    // ≥60% of the rows uncollapsed — it subsumes the ndv-ratio test
-    // (bypassRatio is kept in the signature for source compatibility)
-    val _ = bypassRatio
+    // ≥60% of the rows uncollapsed — it subsumes any ndv-ratio test
     val bypass = tot > 0L && sharedMass < 0.4
     // packing bound, measured only when it matters: group·2^34 + v must
-    // fit a signed long, v exact
+    // fit a signed long with NO negative field — min checks included
+    // because a single negative price or quantity makes v borrow into
+    // the group bits and silently corrupt the aggregate (the per-row
+    // guard in part2BypassPacked is skipped on this path precisely
+    // because these stats prove it can't fire)
     val packable = bypass && {
-      val mx = orders.agg(max(col(groupCol)), max(col(quantityCol))).head()
-      val (maxGroup, maxQty) = (mx.getLong(0), mx.getLong(1))
-      val maxPrice = items.agg(max(col(priceCol))).head().getLong(0)
-      maxGroup > 0 && maxGroup < (1L << 29) && maxQty >= 0 && maxPrice >= 0 &&
+      val mx = orders.agg(max(col(groupCol)), min(col(groupCol)),
+        max(col(quantityCol)), min(col(quantityCol))).head()
+      val (maxGroup, minGroup) = (mx.getLong(0), mx.getLong(1))
+      val (maxQty, minQty) = (mx.getLong(2), mx.getLong(3))
+      val mp = items.agg(max(col(priceCol)), min(col(priceCol))).head()
+      val (maxPrice, minPrice) = (mp.getLong(0), mp.getLong(1))
+      minGroup >= 0 && maxGroup < (1L << 29) &&
+        minQty >= 0 && minPrice >= 0 &&
         maxQty <= ((1L << 34) - 1) / math.max(1L, maxPrice) // overflow-safe v bound
     }
-    System.err.println(f"[part2-adaptive] rows=$rows sampleNdv=$sampleNdv " +
-      f"sharedMass=$sharedMass%.3f bypass=$bypass packable=$packable " +
+    System.err.println(f"[part2-adaptive] rows=$rows sampled=$tot (k=$kParts/$nParts) " +
+      f"sampleNdv=$sampleNdv sharedMass=$sharedMass%.3f bypass=$bypass packable=$packable " +
       f"est=${(System.nanoTime() - t0) / 1e9}%.3f s")
     if (bypass) {
       val shuffle = items.sparkSession.sessionState.conf.numShufflePartitions
-      val estGroups = (sampleNdv / math.max(1e-12, frac)).toLong
+      val estGroups = (sampleNdv.toDouble * rows / math.max(1L, tot)).toLong
       val parts = bypassPartitions(estGroups, shuffle)
-      if (packable)
+      if (packable) {
+        lastChosenPlan = "packed"
         part2BypassPacked(items, orders, itemKey, orderKey, priceCol, quantityCol,
-          groupCol, parts, dense)
-      else
+          groupCol, parts, dense, checked = false)
+      } else {
+        lastChosenPlan = "bypass"
         part2Bypass(items, orders, itemKey, orderKey, priceCol, quantityCol,
           groupCol, parts, dense)
-    } else if (dense)
+      }
+    } else if (dense) {
+      lastChosenPlan = "partial"
       part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
-    else
+    } else {
+      lastChosenPlan = "partial"
       part2(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, BroadcastHash)
+    }
   }
 
   /** Part 1: SELECT avg(price * quantity) — single integer average
