@@ -49,7 +49,10 @@ object Bench {
     // A query that throws reports -1 (never a fast "success") and its
     // error lands in the "errors" map.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, gated) =>
+      // time the production form where the queries entry is an oracle
+      // gate (sketch + exhaustive verification) — see benchOverrides
+      val fn = SparkEntry.benchOverrides.getOrElse(name, gated)
       def once: Double =
         try time { exec(fn(spark, sfDir)) }
         catch {

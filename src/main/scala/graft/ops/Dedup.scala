@@ -142,6 +142,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exhaustive all-pairs variant of [[simhashPairs]]: every pair with
+    * hamming(simhash_a, simhash_b) ≤ maxHamming, no banding screen —
+    * O(n²) 64-bit XORs, the verifier path for the pigeonhole banding
+    * (which is provably lossless at 4 chunks / hamming ≤ 3, so the two
+    * outputs must be EQUAL on any input).
+    */
+  def simhashPairsExhaustive(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .repartition(parallelism(docs), col("id"))
+      .select(col("id"), TextHashFunctions.simhash64FromHashes(col("sh")).as("sig"))
+    val a = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------- exact n-gram Jaccard
 
   /** Exact pairwise n-gram Jaccard ≥ threshold. All-pairs within the

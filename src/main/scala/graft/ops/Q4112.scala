@@ -312,6 +312,25 @@ object Q4112 {
       .select(expr("ss div cc").as("avg_avg_value"))
   }
 
+  /** Pure bounds check for the packed exchange, fed with column min/max
+    * statistics: true only when EVERY row they can describe packs into
+    * group·2^34 + v without a field borrowing into the other's bits.
+    * SOUND for any row set realizing the stats (maxPrice·maxQty bounds
+    * every per-row v; `maxQty <= (2^34−1) / maxPrice` in integer
+    * division is equivalent to `maxPrice·maxQty <= 2^34−1` without the
+    * multiply overflowing), and EXACT for a singleton — the property
+    * spec (PackedBoundsSpec) pins both directions at the boundaries.
+    * Negative minima are rejected outright: a single negative price or
+    * quantity makes v < 0 and silently corrupts the packed aggregate.
+    */
+  def packBoundsOk(
+      minGroup: Long, maxGroup: Long,
+      minPrice: Long, maxPrice: Long,
+      minQty: Long, maxQty: Long): Boolean =
+    minGroup >= 0 && maxGroup < (1L << 29) &&
+      minQty >= 0 && minPrice >= 0 &&
+      maxQty <= ((1L << 34) - 1) / math.max(1L, maxPrice)
+
   /** Reducer count for the bypass plan: ~500k groups per reducer map
     * (a few tens of MB — L3-resident), floored at the session shuffle
     * parallelism, capped to keep task-launch overhead sane.
@@ -431,9 +450,7 @@ object Q4112 {
       val (maxQty, minQty) = (mx.getLong(2), mx.getLong(3))
       val mp = items.agg(max(col(priceCol)), min(col(priceCol))).head()
       val (maxPrice, minPrice) = (mp.getLong(0), mp.getLong(1))
-      minGroup >= 0 && maxGroup < (1L << 29) &&
-        minQty >= 0 && minPrice >= 0 &&
-        maxQty <= ((1L << 34) - 1) / math.max(1L, maxPrice) // overflow-safe v bound
+      packBoundsOk(minGroup, maxGroup, minPrice, maxPrice, minQty, maxQty)
     }
     System.err.println(f"[part2-adaptive] rows=$rows sampled=$tot (k=$kParts/$nParts) " +
       f"sampleNdv=$sampleNdv sharedMass=$sharedMass%.3f bypass=$bypass packable=$packable " +

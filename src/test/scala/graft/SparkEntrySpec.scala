@@ -75,6 +75,32 @@ class SparkEntrySpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.toString.contains("cms_might_be_heavy"))
   }
 
+  test("round-4 sketch gates hold at EVERY test sf (driver gates only sf0.01)") {
+    // each gated query emits (count-the-oracle-recomputes, ok-booleans);
+    // asserting the booleans across sfs guards the thresholds against
+    // data-shape sensitivity the same way the sim_recall_ivf loop does
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val sh = SparkEntry.queries("dedup_simhash")(spark, d).head()
+      assert(sh.getBoolean(1), s"simhash banding != exhaustive hamming<=3 at $d")
+      assert(sh.getBoolean(2), s"simhash pair below exact-Jaccard 0.8 at $d")
+      val wn = SparkEntry.queries("dedup_winnow")(spark, d).head()
+      assert(wn.getBoolean(1), s"winnow screen missed an exact J>=0.8 pair at $d")
+      assert(wn.getBoolean(2), s"winnow pair below exact-Jaccard 0.5 at $d")
+      val em = SparkEntry.queries("dedup_embedding")(spark, d).head()
+      assert(em.getBoolean(1), s"embedding LSH pair outside exact cos>=0.25 set at $d")
+      assert(em.getBoolean(2), s"embedding LSH recall below 1% floor at $d")
+      assert(SparkEntry.queries("text_fingerprint")(spark, d)
+        .filter(!col("bounds_ok")).isEmpty, s"winnow sketch size outside bounds at $d")
+    }
+  }
+
+  test("bench overrides cover exactly the gated sketch queries, with query keys") {
+    // every override must shadow a real query (a typo'd key would make
+    // Bench silently time the gated form again)
+    val unknown = SparkEntry.benchOverrides.keySet.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"benchOverrides keys not in queries: $unknown")
+  }
+
   test("dedup_minhash equals the exact all-pairs Jaccard set on the test corpus") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Engine.table(spark, sfDir, "documents")
