@@ -413,9 +413,18 @@ object Q4112 {
     val slim = orders.select(col(groupCol)).rdd
     val nParts = math.max(1, slim.getNumPartitions)
     val targetRows = 2000000L
-    val rowsPerPart = math.max(1.0, rows.toDouble / nParts)
-    val kParts = math.min(nParts.toLong, math.max(1L, math.ceil(targetRows / rowsPerPart).toLong)).toInt
-    val perPart = (targetRows / kParts).toInt
+    // ALWAYS spread the sample across many partitions (capped at 64,
+    // strided across the range), never concentrate it in few: reading
+    // the target rows from one big partition samples only that
+    // partition's PREFIX, and a structured prefix poisons the decision —
+    // measured at 1e9: the q4112 generator opens with a
+    // one-row-per-group enumeration run, so a partition-0-only sample
+    // read 2M singletons, called sharedMass = 0.0 on an hhp=1.0 config
+    // whose true task-window shared mass is ~0.9, and picked the packed
+    // bypass where partial/final is 3-6× faster. With the sample strided
+    // over ≥32 partitions the prefix contributes ≤ a few percent.
+    val kParts = math.min(nParts, 64)
+    val perPart = math.max(1L, targetRows / kParts).toInt
     val stride = math.max(1, nParts / kParts)
     val partIds = (0 until nParts by stride).take(kParts)
     val chunks = orders.sparkSession.sparkContext.runJob(

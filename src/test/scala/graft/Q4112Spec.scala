@@ -117,6 +117,32 @@ class Q4112Spec extends SparkSpec {
     }
   }
 
+  test("adaptive sampler is not fooled by a structured singleton prefix") {
+    // regression pin for the 1e9 measurement: the q4112 generator opens
+    // with a one-row-per-group enumeration run, so a sample drawn from
+    // ONE partition's prefix reads only singletons and calls
+    // sharedMass = 0 on a config whose true task-window shared mass is
+    // ~0.9 (hhp=1.0), picking the packed bypass where partial/final is
+    // 3-6× faster. The sampler must spread across partitions: here the
+    // first partition (2.5M rows, > the 2M sample target) is ALL
+    // singletons while the remaining 7/8 of the data is 100 heavy
+    // groups — the correct call is partial.
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 20000000L
+    val prefix = 2500000L // exactly partition 0 of 8
+    val orders = spark.range(0L, n, 1L, 8)
+      .select(lit(1L).as("itemId"),
+        (col("id") % 7L).as("quantity"),
+        when(col("id") < prefix, col("id") + 1000L)
+          .otherwise(col("id") % 100L).as("storeId"))
+    val items = Seq((1L, 5L)).toDF("id", "price")
+    Q4112.part2Adaptive(items, orders, "id", "itemId", "price", "quantity", "storeId")
+    assert(Q4112.lastChosenPlan === "partial",
+      s"prefix-biased sample mis-planned: ${Q4112.lastChosenPlan}")
+  }
+
   test("part2 bypass dense variant matches the hash-join plan") {
     val cfg = GenConfig(500, 0.8, 999, 20000, 0.7, 999, 40, 4, 0.5, seed = 11)
     val items = Q4112Gen.items(spark, cfg).toDF()

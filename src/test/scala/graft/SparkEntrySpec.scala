@@ -76,6 +76,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("round-4 sketch gates hold at EVERY test sf (driver gates only sf0.01)") {
+    import org.apache.spark.sql.functions.col
     // each gated query emits (count-the-oracle-recomputes, ok-booleans);
     // asserting the booleans across sfs guards the thresholds against
     // data-shape sensitivity the same way the sim_recall_ivf loop does
