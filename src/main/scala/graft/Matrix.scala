@@ -243,20 +243,19 @@ object Matrix {
           val t0 = System.nanoTime()
           val result =
             if (part == 1) {
-              val df =
-                // co-located per-bucket hash join: both sides report the
-                // same HashPartitioning, so the shuffled-hash join runs
-                // with NO exchange and NO sort — a 390k-entry build per
-                // bucket, the Spark-native form of the reference's J4
-                // (range-partitioned parallel build + probe, q4112_hj.c:
-                // 163-183). SMJ was measured too: the cache drops the
-                // per-bucket sort order, so SMJ re-sorts both sides.
-                if (p1Bucketed) Q4112.part1(items.toDF(), orders.toDF(),
-                  "id", "itemId", "price", "quantity", Q4112.ShuffledHash)
-                else if (dense) Q4112.part1Dense(items.toDF(), orders.toDF(),
-                  "id", "itemId", "price", "quantity")
-                else Q4112.part1(items.toDF(), orders.toDF(),
-                  "id", "itemId", "price", "quantity", Q4112.BroadcastHash)
+              // layout-aware planner: when the bucketed layout exists
+              // (p1Bucketed wrote both tables bucketed on the join key),
+              // part1Adaptive DETECTS the co-partitioned scans and runs
+              // the co-located per-bucket hash join — NO exchange, NO
+              // sort, no driver-side build; a 390k-entry build per
+              // bucket, the Spark-native form of the reference's J4
+              // (range-partitioned parallel build + probe, q4112_hj.c:
+              // 163-183). SMJ was measured too: the cache drops the
+              // per-bucket sort order, so SMJ re-sorts both sides.
+              // Without the layout it keeps the measured default
+              // (dense array probe / broadcast hash by build size).
+              val df = Q4112.part1Adaptive(items.toDF(), orders.toDF(),
+                "id", "itemId", "price", "quantity", dense)
               df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
             } else {
               // physical-plan selection for the grouped aggregate —
@@ -287,7 +286,7 @@ object Matrix {
           // wins to a physical plan instead of the literal "auto"
           val planLabel =
             if (part == 1) {
-              if (p1Bucketed) "bucketed-shj" else if (dense) "dense" else "broadcast"
+              s"$p1Plan:${Q4112.lastChosenPlan}"
             } else p2Plan match {
               case "auto" | "bucketed" => s"$p2Plan:${Q4112.lastChosenPlan}"
               case other => other

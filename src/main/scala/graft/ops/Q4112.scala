@@ -69,6 +69,32 @@ object Q4112 {
       case _ => false
     }
 
+  /** True when `a` and `b` are co-partitioned for an equi-join on
+    * (aKey == bKey): both scans report a single-column HashPartitioning
+    * on their join key with the SAME partition count — the layout
+    * [[graft.sources.Tables.writeBucketed]] produces on both sides. An
+    * equi-join over such scans needs no exchange at all:
+    * EnsureRequirements sees both children already satisfy the join's
+    * clustered distribution. Partition counts must match — with unequal
+    * bucket counts Spark re-shuffles one side, which is no longer the
+    * exchange-free plan.
+    */
+  def coPartitioned(a: DataFrame, aKey: String, b: DataFrame, bKey: String): Boolean = {
+    def parts(df: DataFrame, key: String): Option[Int] =
+      df.queryExecution.sparkPlan.outputPartitioning match {
+        case h: HashPartitioning if h.expressions.length == 1 =>
+          h.expressions.head match {
+            case attr: Attribute if attr.name.equalsIgnoreCase(key) => Some(h.numPartitions)
+            case _ => None
+          }
+        case _ => None
+      }
+    (parts(a, aKey), parts(b, bKey)) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => false
+    }
+  }
+
   /** Integer division `sumCol div cntCol` (both Long; non-negative in all
     * reference configs, so truncating and floor division coincide).
     */
@@ -466,6 +492,13 @@ object Q4112 {
       f"est=${(System.nanoTime() - t0) / 1e9}%.3f s")
     if (bypass) {
       val shuffle = items.sparkSession.sessionState.conf.numShufflePartitions
+      // linear extrapolation DELIBERATELY overestimates ndv on
+      // singleton-heavy samples (every sampled-once group scales by
+      // rows/tot; a Chao1-style correction would estimate ~6× lower on
+      // the 1e8-group shapes) — the estimate only sizes the reducer
+      // count, where erring toward MORE, smaller aggregation maps is
+      // the safe direction (bounded ~500k-entry maps, no spill), at the
+      // cost of more, cheaper tasks
       val estGroups = (sampleNdv.toDouble * rows / math.max(1L, tot)).toLong
       val parts = bypassPartitions(estGroups, shuffle)
       if (packable) {
@@ -485,6 +518,38 @@ object Q4112 {
       part2(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, BroadcastHash)
     }
   }
+
+  /** Part 1 with the join plan chosen from the table LAYOUT — the same
+    * layout-first rule as [[part2Adaptive]]: when both tables are stored
+    * bucketed on their join keys (co-partitioned scans,
+    * [[coPartitioned]] — a free plan inspection, no job), take the
+    * co-located per-bucket hash join: no exchange, no sort, no
+    * driver-side broadcast/dense build, the Spark-native form of the
+    * reference's J4 range-partitioned parallel build+probe
+    * (q4112_hj.c:163-183; measured at 1e9: cfg6/7/8 drop from
+    * 2.0-2.7× the C to 1.07-1.8×, SCALING.md round-4 part-1 table).
+    * Otherwise fall back to the measured default: the dense-array probe
+    * for a large contiguous-key build side, broadcast hash for a small
+    * one.
+    */
+  def part1Adaptive(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String,
+      dense: Boolean = false): DataFrame =
+    if (coPartitioned(items, itemKey, orders, orderKey)) {
+      lastChosenPlan = "bucketed-shj"
+      part1(items, orders, itemKey, orderKey, priceCol, quantityCol, ShuffledHash)
+    } else if (dense) {
+      lastChosenPlan = "dense"
+      part1Dense(items, orders, itemKey, orderKey, priceCol, quantityCol)
+    } else {
+      lastChosenPlan = "broadcast"
+      part1(items, orders, itemKey, orderKey, priceCol, quantityCol, BroadcastHash)
+    }
 
   /** Part 1: SELECT avg(price * quantity) — single integer average
     * (q4112_hj_1.c:49-77). Output column: `avg_value` (Long).

@@ -143,6 +143,56 @@ class Q4112Spec extends SparkSpec {
       s"prefix-biased sample mis-planned: ${Q4112.lastChosenPlan}")
   }
 
+  test("adaptive planners detect a bucketed layout: part1 elides the join exchanges, part2 the group-by exchange") {
+    val cfg = GenConfig(1000, 1.0, 999, 20000, 1.0, 999, 50, 0, 0.0, seed = 41)
+    def writeBkt(df: org.apache.spark.sql.DataFrame, table: String, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite").bucketBy(8, key).sortBy(key).format("parquet").saveAsTable(table)
+    }
+    writeBkt(itemsDf(cfg), "p1spec_items", "id")
+    writeBkt(ordersDf(cfg), "p1spec_orders_ik", "itemId")
+    writeBkt(ordersDf(cfg), "p1spec_orders_g", "storeId")
+    val items = Q4112Gen.items(spark, cfg).collect().toSeq
+    val orders = Q4112Gen.orders(spark, cfg).collect().toSeq
+    val oracle1 = Q4112Gen.oraclePart1(items, orders)
+    val oracle2 = Q4112Gen.oracleFull(items, orders)
+    // layout detection inspects the scan's outputPartitioning; with
+    // autoBucketedScan enabled Spark plans a BARE scan as non-bucketed
+    // (the same reason Matrix pins the conf false)
+    val absKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val oldAbs = spark.conf.get(absKey)
+    spark.conf.set(absKey, "false")
+    try {
+      val p1 = Q4112.part1Adaptive(spark.table("p1spec_items"), spark.table("p1spec_orders_ik"),
+        "id", "itemId", "price", "quantity")
+      assert(p1.collect().head.getLong(0) === oracle1.get)
+      assert(Q4112.lastChosenPlan === "bucketed-shj")
+      // the ungrouped final agg always ends in one Exchange
+      // SinglePartition; what the layout removes is every
+      // hashpartitioning exchange (the join's shuffles)
+      val plan1 = p1.queryExecution.executedPlan.toString
+      assert(!plan1.contains("Exchange hashpartitioning"),
+        s"co-located part1 must not shuffle on the join key:\n$plan1")
+
+      val p2 = Q4112.part2Adaptive(spark.table("p1spec_items"), spark.table("p1spec_orders_g"),
+        "id", "itemId", "price", "quantity", "storeId")
+      assert(p2.collect().head.getLong(0) === oracle2.get)
+      assert(Q4112.lastChosenPlan === "bucketed")
+      val plan2 = p2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange hashpartitioning"),
+        s"bucketed part2 must not re-shuffle on the group key:\n$plan2")
+
+      // non-bucketed inputs keep the measured default (no false positive)
+      Q4112.part1Adaptive(itemsDf(cfg), ordersDf(cfg), "id", "itemId", "price", "quantity")
+        .collect()
+      assert(Q4112.lastChosenPlan === "broadcast")
+    } finally {
+      spark.conf.set(absKey, oldAbs)
+      for (t <- Seq("p1spec_items", "p1spec_orders_ik", "p1spec_orders_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("part2 bypass dense variant matches the hash-join plan") {
     val cfg = GenConfig(500, 0.8, 999, 20000, 0.7, 999, 40, 4, 0.5, seed = 11)
     val items = Q4112Gen.items(spark, cfg).toDF()
