@@ -139,7 +139,7 @@ object Q4112 {
     // way the driver-side assembly is the same data path Spark's own
     // BroadcastExchangeExec uses (executeCollect → build relation), at
     // half the bytes on the fast path.
-    val chunks = items.select(col(itemKey), col(valueCol)).rdd.mapPartitions { it =>
+    val chunkRdd = items.select(col(itemKey), col(valueCol)).rdd.mapPartitions { it =>
       val ks = new scala.collection.mutable.ArrayBuilder.ofLong
       val vs = new scala.collection.mutable.ArrayBuilder.ofLong
       var first = Long.MinValue
@@ -166,15 +166,30 @@ object Q4112 {
         System.arraycopy(tail, 0, all, nContig, tail.length)
         Iterator.single((first, all, varr))
       }
-    }.collect()
-    val arr = new Array[Long](n.toInt)
-    chunks.foreach { case (first, ks, vs) =>
-      if (ks == null) System.arraycopy(vs, 0, arr, (first - mn).toInt, vs.length)
-      else {
-        var i = 0
-        while (i < ks.length) { arr((ks(i) - mn).toInt) = vs(i); i += 1 }
-      }
     }
+    val arr = new Array[Long](n.toInt)
+    // stream each partition's chunk into the target array AS IT ARRIVES
+    // (runJob resultHandler — serialized calls, happens-before on
+    // return) instead of collect()-ing all chunks first: the driver
+    // never holds the full 8-16 B/key chunk set NEXT TO `arr`, and each
+    // chunk is unreachable the moment its arraycopy finishes. Halves
+    // peak driver allocation at inner=1e8 — the allocation spike that
+    // made build times swing 3-58 s under a loaded heap (SCALING.md
+    // round-4 footnote) — while keeping the same data path
+    // (task-result fetch, as Spark's own BroadcastExchangeExec uses).
+    val fill = (chunks: Array[(Long, Array[Long], Array[Long])]) =>
+      chunks.foreach { case (first, ks, vs) =>
+        if (ks == null) System.arraycopy(vs, 0, arr, (first - mn).toInt, vs.length)
+        else {
+          var i = 0
+          while (i < ks.length) { arr((ks(i) - mn).toInt) = vs(i); i += 1 }
+        }
+      }
+    items.sparkSession.sparkContext.runJob[
+      (Long, Array[Long], Array[Long]), Array[(Long, Array[Long], Array[Long])]](
+      chunkRdd,
+      (it: Iterator[(Long, Array[Long], Array[Long])]) => it.toArray,
+      (_: Int, chunks: Array[(Long, Array[Long], Array[Long])]) => fill(chunks))
     val bc = items.sparkSession.sparkContext.broadcast(arr)
     System.err.println(f"[dense-build] n=$n build=${(System.nanoTime() - t0) / 1e9}%.3f s")
     (bc, mn)
