@@ -71,7 +71,18 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    // stdout is a tail-captured channel with finite length (round 4 lost
+    // every timing to 9 error messages) — keep the stdout line minimal:
+    // timings + failed query NAMES only. Full error messages go to a
+    // sidecar file and stderr.
+    val errNames = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$errNames,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft-bench.json"), full)
+    catch { case _: Throwable => () }
+    errors.foreach { case (k, v) => System.err.println(s"[bench] $k failed: $v") }
+    println(line)
     spark.stop()
   }
 }

@@ -51,17 +51,25 @@ object Engine {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events table with `ts` normalized to TimestampType (µs). Nanos
-    * timestamps arrive as Long under `nanosAsLong`; the ns→µs division
-    * must be integral (`div`) — a double roundtrip would lose precision
-    * above 2^53 ns (~1970+104 days).
+  /** events table with `ts` normalized to TimestampType (µs), whatever
+    * encoding the parquet writer chose:
+    *  - TIMESTAMP(NANOS) arrives as Long under `nanosAsLong`; the ns→µs
+    *    division must be integral (`div`) — a double roundtrip would lose
+    *    precision above 2^53 ns (~1970+104 days).
+    *  - timestamp[us] with no timezone arrives as TIMESTAMP_NTZ (the most
+    *    common encoding from DuckDB/pandas/Iceberg writers); the session
+    *    timezone is pinned UTC above, so the NTZ→LTZ cast is lossless and
+    *    oracle-stable.
     */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -17,11 +17,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as an `err` row in the driver's
+    // CORRECTNESS json, never as a silently-missing key (round 4 lost 9
+    // queries that way): collect failures and write _errors.json beside
+    // oracle_sql.json so the driver (and any human) sees a red row.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures(name) = msg.take(500)
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED queries: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }
