@@ -24,6 +24,10 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // surface catalog column stats (ANALYZE ... FOR COLUMNS) in
+      // LogicalPlan.stats.attributeStats so planners (Q4112.minMaxLongs)
+      // can read min/max with ZERO jobs instead of scanning
+      .config("spark.sql.cbo.planStats.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
       // so read them as Long and convert explicitly (see nanosToTimestamp)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

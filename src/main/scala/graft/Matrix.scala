@@ -100,6 +100,7 @@ object Matrix {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
       // the generated columns are near-unique longs: the cache's
       // DictionaryEncoding stats pass (boxed HashMap.put per value) costs
@@ -145,6 +146,7 @@ object Matrix {
         "quantity", "storeId", numPartitions = 32, dense = true).collect()
       Q4112Gen.oracleFullCas(wo, w)
       wi.unpersist(blocking = true); wo.unpersist(blocking = true)
+      Q4112.clearRelationCaches()
       System.gc()
       System.err.println("[matrix] warm-up done")
     }
@@ -316,6 +318,11 @@ object Matrix {
           spark.sql("DROP TABLE IF EXISTS orders_bkt")
           spark.sql("DROP TABLE IF EXISTS items_bkt")
         }
+        // the NEXT config's data replaces this one's (possibly under an
+        // identical catalog-table plan) — relation-keyed caches must not
+        // survive the boundary; this also destroys the per-config dense
+        // broadcast (it now lives for a config's reps, not per rep)
+        Q4112.clearRelationCaches()
         System.gc()
       }
     } finally out.close()

@@ -869,12 +869,36 @@ object SparkEntry {
         e.filter(col("vec_id") <= 5), "vec_id", "embedding", k = 5)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
     }),
+    // IVF top-k as a GATED surface (the raw neighbor list is the
+    // benchOverrides production form — IVF ids are not DuckDB-derivable,
+    // so the gate checks invariants instead): per-probe STRUCTURE
+    // (exactly k results whose ranks are a permutation of 1..k) plus the
+    // same global recall floor as sim_recall_ivf (scanned fraction
+    // nProbe/nCentroids = 0.375 — arbitrary bucket routing lands AT the
+    // floor, so exceeding it proves the quantizer concentrates true
+    // neighbors into the probed buckets). Broken bucketing, routing, or
+    // ranking flips a boolean and fails the hash gate.
     "sim_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, "vec_id", "embedding",
-        e.filter(col("vec_id") <= 5), "vec_id", "embedding",
-        k = 5, nCentroids = 8, nProbe = 3)
+      val probes = e.filter(col("vec_id") <= 5)
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 3)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("corpus_id"))
+      val structure = ivf.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_results"),
+          (count(lit(1)) === 5 && min(col("rank")) === 1 &&
+            max(col("rank")) === 5 && countDistinct(col("rank")) === 5).as("ranks_ok"))
+      val hits = brute.join(ivf.select(col("probe_id"), col("corpus_id")),
+        Seq("probe_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val denom = brute.agg(count(lit(1)).as("n_brute"))
+      val recall = hits.crossJoin(denom)
+        .select((col("n_hit") > col("n_brute") * 0.375).as("recall_ok"))
+      structure.crossJoin(recall)
+        .select(col("probe_id"), col("n_results"), col("ranks_ok"), col("recall_ok"))
     }),
     // ANN quality as a GATED metric: recall@5 of the IVF probe path
     // against the brute-force exact top-k on the same probes, asserted
@@ -1102,6 +1126,15 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         size(TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4))
           .cast("long").as("n_fingerprints"))),
+    // production form: the raw ANN neighbor list, without the
+    // brute-force comparison the gate runs
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1311,6 +1344,13 @@ object SparkEntry {
       // stated floor flips it to false and fails the gate
       "sim_recall_ivf" ->
         "SELECT CAST(5 AS BIGINT) AS k, 0.375 AS recall_floor, true AS recall_ok",
+      // gated IVF top-k: one row per probe, constant expected shape;
+      // ranks_ok/recall_ok are computed Spark-side from the IVF-vs-brute
+      // comparison and flip to false on any structural or recall break
+      "sim_topk_ivf" ->
+        """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results,
+          |       true AS ranks_ok, true AS recall_ok
+          |FROM embeddings WHERE vec_id <= 5""".stripMargin,
       "agg_pivot" ->
         """SELECT l_returnflag,
           |       sum(cast(floor(l_quantity) as bigint))
