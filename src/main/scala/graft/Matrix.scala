@@ -126,6 +126,10 @@ object Matrix {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
+    // per-stage task-time attribution (max vs avg separates skew from
+    // uniform per-row cost) — opt-in, for the >2x-shape investigations
+    if (sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("1"))
+      spark.sparkContext.addSparkListener(new StageSkewListener)
 
     // JIT/code-cache warm-up at 1e7 rows, untimed: measured on this box,
     // a session's FIRST config otherwise absorbs compilation + allocator
