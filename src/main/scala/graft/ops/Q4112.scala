@@ -117,6 +117,37 @@ object Q4112 {
     }
   }
 
+  /** Relation row count from plan/catalog statistics when present (zero
+    * jobs — a cached relation knows its row count, an ANALYZEd table has
+    * stats), else ONE count per relation, cached. Never a scan per query.
+    */
+  private def relationRows(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong).getOrElse {
+      rowCountCache.computeIfAbsent(
+        df.queryExecution.optimizedPlan.canonicalized,
+        _ => java.lang.Long.valueOf(df.count())).longValue()
+    }
+
+  /** True when the build side's key domain is provably contiguous
+    * (max − min + 1 == rows) and small enough for one array — the shape
+    * of every surrogate-key dimension, and the precondition for the
+    * dense-array perfect-hash probe ([[part1Dense]]/[[part2Dense]]).
+    * Decided from CACHED statistics (catalog column stats or the
+    * once-per-relation min/max scan, plus the relation row count): zero
+    * extra jobs on repeat queries, so the adaptive planners can prefer
+    * the dense probe over a hash-map probe whenever it is legal — a
+    * bounds-check + array index per probe row beats a BytesToBytesMap
+    * lookup at every build size (the reference exploits the same layout
+    * fact: items.id is contiguous, q4112.h:14). Returns false (never
+    * throws) for non-integral keys or missing relations.
+    */
+  def denseEligible(items: DataFrame, itemKey: String): Boolean =
+    try {
+      val Seq((mn, mx)) = minMaxLongs(items, Seq(itemKey))
+      val rows = relationRows(items)
+      rows > 0L && mx - mn + 1L == rows && rows <= Int.MaxValue.toLong
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** The physical aggregation plan [[part2Adaptive]] last chose, for the
     * harness's CSV plan column (benchmark rows must name the plan that
     * actually ran, not "auto"). Driver-side only, set once per
@@ -509,6 +540,13 @@ object Q4112 {
       bypassRatio: Long = 16L): DataFrame = {
     val t0 = System.nanoTime()
     val _ = bypassRatio // subsumed by the shared-mass rule (kept for source compat)
+    // the dense perfect-hash probe is chosen by the PLANNER whenever the
+    // build side is a contiguous-key dimension (cached stats, no job) —
+    // the caller's `dense` flag remains as a forced override. Measured
+    // motivation: the 1e9-row probe of a 1e5-entry broadcast hash map
+    // costs ~175 ns/row (part-2 cfg8 at 3.6× the reference); the array
+    // probe is a bounds-check + index into an L2-resident array.
+    val useDense = dense || denseEligible(items, itemKey)
     // LAYOUT FIRST, statistics second: when the probe table is already
     // stored clustered on the group key (bucketed layout —
     // [[clusteredOn]]), the partial/final aggregate needs no exchange at
@@ -523,7 +561,7 @@ object Q4112 {
       advise("")
       System.err.println(f"[part2-adaptive] layout: clustered on $groupCol " +
         f"-> exchange-free partial/final, est=${(System.nanoTime() - t0) / 1e9}%.3f s")
-      return if (dense)
+      return if (useDense)
         part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
       else
         part2(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, BroadcastHash)
@@ -534,12 +572,7 @@ object Q4112 {
     // not pre-pay a scan per query for a number the catalog already
     // knows. The count() fallback only triggers for bare un-analyzed
     // sources.
-    val rows = orders.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse {
-        rowCountCache.computeIfAbsent(
-          orders.queryExecution.optimizedPlan.canonicalized,
-          _ => java.lang.Long.valueOf(orders.count())).longValue()
-      }
+    val rows = relationRows(orders)
     // The decision statistic is SHARED-KEY MASS from a ~2M-row
     // deterministic sample: the fraction of sampled rows whose group key
     // recurs within the sample. An ndv estimate alone cannot tell an
@@ -638,13 +671,13 @@ object Q4112 {
       if (packable) {
         lastChosenPlan = "packed"
         part2BypassPacked(items, orders, itemKey, orderKey, priceCol, quantityCol,
-          groupCol, parts, dense, checked = false)
+          groupCol, parts, useDense, checked = false)
       } else {
         lastChosenPlan = "bypass"
         part2Bypass(items, orders, itemKey, orderKey, priceCol, quantityCol,
-          groupCol, parts, dense)
+          groupCol, parts, useDense)
       }
-    } else if (dense) {
+    } else if (useDense) {
       lastChosenPlan = "partial"
       part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
     } else {
@@ -678,14 +711,20 @@ object Q4112 {
       lastChosenPlan = "bucketed-shj"
       advise("")
       part1(items, orders, itemKey, orderKey, priceCol, quantityCol, ShuffledHash)
-    } else if (dense) {
+    } else if (dense || denseEligible(items, itemKey)) {
       lastChosenPlan = "dense"
       // the dense probe needs a driver-side broadcast build per items
       // version — the co-located layout removes it (measured: part-1
-      // 1e8-inner configs 2.0-2.7× → 1.07-1.77×, SCALING.md round 4)
-      advise(s"this join broadcasts a dense '$itemKey' array built on the driver; " +
-        s"storing BOTH tables bucketed on their join keys ('$itemKey'/'$orderKey', " +
-        "Tables.writeBucketed) would give an exchange-free co-located hash join")
+      // 1e8-inner configs 2.0-2.7× → 1.07-1.77×, SCALING.md round 4).
+      // Only worth saying when that build is material: a caller-forced
+      // dense path, or a build side big enough (≥1e7 rows, where the
+      // build was measured in seconds) — for a small contiguous dim the
+      // auto-chosen dense probe is already the plan you'd want.
+      if (dense || relationRows(items) >= 10000000L)
+        advise(s"this join broadcasts a dense '$itemKey' array built on the driver; " +
+          s"storing BOTH tables bucketed on their join keys ('$itemKey'/'$orderKey', " +
+          "Tables.writeBucketed) would give an exchange-free co-located hash join")
+      else advise("")
       part1Dense(items, orders, itemKey, orderKey, priceCol, quantityCol)
     } else {
       lastChosenPlan = "broadcast"

@@ -182,8 +182,19 @@ class Q4112Spec extends SparkSpec {
       assert(!plan2.contains("Exchange hashpartitioning"),
         s"bucketed part2 must not re-shuffle on the group key:\n$plan2")
 
-      // non-bucketed inputs keep the measured default (no false positive)
-      Q4112.part1Adaptive(itemsDf(cfg), ordersDf(cfg), "id", "itemId", "price", "quantity")
+      // non-bucketed input, contiguous-key dimension: the planner now
+      // prefers the dense perfect-hash probe on its own (denseEligible
+      // from cached stats — a bounds-check + array index beats a hash
+      // probe at every build size), and the result still matches
+      val d1 = Q4112.part1Adaptive(itemsDf(cfg), ordersDf(cfg), "id", "itemId",
+        "price", "quantity")
+      assert(d1.collect().head.getLong(0) === oracle1.get)
+      assert(Q4112.lastChosenPlan === "dense")
+      // non-contiguous build keys (gaps) make dense ineligible — the
+      // broadcast-hash default remains (no false positive)
+      import org.apache.spark.sql.functions.col
+      val gappy = itemsDf(cfg).where(col("id") % 7 =!= 0)
+      Q4112.part1Adaptive(gappy, ordersDf(cfg), "id", "itemId", "price", "quantity")
         .collect()
       assert(Q4112.lastChosenPlan === "broadcast")
     } finally {
