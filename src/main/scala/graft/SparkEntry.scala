@@ -725,6 +725,17 @@ object SparkEntry {
     "text_chunks" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
         size = 400, overlap = 100)),
+    // benchmark decontamination: training docs sharing any word 8-gram
+    // with the eval slice (doc_id % 10 == 0) — the GPT-3/PaLM overlap
+    // filter. Exact-gram join here (DuckDB gate replays it verbatim);
+    // the benchOverride times the hashed production form
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8)
+    }),
     // data-quality assertions as a query: per event_type null/range/
     // duplicate-id counters — the pipeline gate that runs before training
     "events_dq" -> ((s, dir) =>
@@ -1126,6 +1137,14 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         size(TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4))
           .cast("long").as("n_fingerprints"))),
+    // production form: broadcast 8-byte gram hashes, not gram strings
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8, hashGrams = true)
+    }),
     // production form: the raw ANN neighbor list, without the
     // brute-force comparison the gate runs
     "sim_topk_ivf" -> ((s, dir) => {
@@ -1895,6 +1914,21 @@ object SparkEntry {
           |      FROM f GROUP BY 1)
           |SELECT gram, n_docs, n_total FROM a WHERE n_docs >= 2
           |ORDER BY n_docs DESC, n_total DESC, gram ASC LIMIT 20""".stripMargin,
+
+      // same tokenization as text_boilerplate; benchmark slice is
+      // doc_id % 10 = 0, n_contaminated = distinct overlapping 8-grams
+      "text_decontaminate" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+          |                x -> x <> '') AS w
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |        unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS gram
+          |      FROM t WHERE len(w) >= 8),
+          |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+          |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+          |SELECT tr.doc_id, count(*)::BIGINT AS n_contaminated
+          |FROM tr JOIN b USING (gram) GROUP BY 1""".stripMargin,
 
       // starts 1, 1+stride, … ≤ length on both sides (Spark sequence is
       // stop-inclusive; DuckDB range is stop-exclusive, hence length+1)

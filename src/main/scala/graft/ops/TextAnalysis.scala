@@ -204,4 +204,38 @@ object TextAnalysis {
   /** `substring` with a column start (the builtin takes literal ints). */
   private def substring_index_safe(t: Column, start: Column, len: Int): Column =
     t.substr(start, lit(len))
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word n-gram with the evaluation/benchmark set (the
+    * GPT-3/PaLM-style overlap filter run before training). Returns one
+    * row per contaminated doc: (doc_id, n_contaminated) where
+    * n_contaminated counts its DISTINCT benchmark-overlapping grams.
+    *
+    * Scale shape: the benchmark side is eval data — thousands of
+    * documents against a 100 TB corpus — so its distinct-gram set
+    * broadcasts (`hashGrams=true` shrinks it to 8-byte xxhash64 values;
+    * 1M grams ≈ 8 MB) and the corpus side is one scan + explode with
+    * map-side (gram, doc) dedup before the per-doc count. Nothing
+    * all-pairs, and the corpus never shuffles full gram strings.
+    * `hashGrams=false` joins on the exact gram text — the form the
+    * DuckDB gate replays verbatim, and the collision-free reference for
+    * the hashed production form.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame = {
+      // per-doc dedup INSIDE the row (array_distinct before explode):
+      // the corpus side then needs no dedup shuffle at all — its only
+      // exchange is the final one-row-per-contaminated-doc count
+      val g = explode(array_distinct(
+        graft.functions.TextHashFunctions.wordGrams(col(textCol), n))).as("g")
+      val key = if (hashGrams) xxhash64(col("g")) else col("g")
+      df.select(cols :+ g: _*).select(cols :+ key.as("gram"): _*)
+    }
+    val benchGrams = grams(bench).distinct()
+    grams(train, col(idCol).as("doc_id"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
 }

@@ -160,4 +160,28 @@ class TextAnalysisSpec extends SparkSpec {
       assert(v >= 0.0 && v <= 1.0, s"$c = $v")
     }
   }
+
+  test("decontaminate flags exactly the docs sharing a word n-gram with the bench set") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // shares two 8-gram windows ("the quick … the lazy", "quick … dog")
+      (1L, "she saw the quick brown fox jumps over the lazy dog again"),
+      // shares words but never 8 consecutive ones
+      (2L, "the quick brown fox sat still and the lazy dog jumps over nothing"),
+      // shorter than 8 words — no grams at all
+      (3L, "quick brown fox"),
+      // two distinct overlapping grams (9-word overlap → 2 windows)
+      (4L, "x quick brown fox jumps over the lazy dog tonight y"),
+      // the same overlapping gram TWICE — distinct-gram count stays 1
+      (5L, "quick brown fox jumps over the lazy dog and then quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 2L), (4L, 2L), (5L, 1L)))
+    // hashed production form agrees (xxhash64 collision-free here)
+    val hashed = TextAnalysis.decontaminate(train, bench, "doc_id", "text",
+      n = 8, hashGrams = true).as[(Long, Long)].collect().sorted.toSeq
+    assert(hashed === got)
+  }
 }
