@@ -736,6 +736,32 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 8)
     }),
+    // the full training-data prep pipeline as ONE declarative plan:
+    // language filter → quality floor → exact dedup keep-first →
+    // benchmark decontamination → chunk count. Single-pass scoring in
+    // the scan stage (langid/quality are codegen'd kernels), one
+    // content-hash shuffle for the dedup window, broadcast gram
+    // semi-join for decontamination — no stage reads the corpus twice
+    "pipeline_prepare" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val scored = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      val w = Window
+        .partitionBy(TextAnalysis.fingerprintMd5(col("text")))
+        .orderBy(col("doc_id"))
+      val kept = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val contaminated = TextAnalysis
+        .decontaminate(kept, bench, "doc_id", "text", n = 8)
+        .select(col("doc_id"))
+      kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"),
+          expr("(length(text) - 1) div 300 + 1").cast("long").as("n_chunks"))
+    }),
     // data-quality assertions as a query: per event_type null/range/
     // duplicate-id counters — the pipeline gate that runs before training
     "events_dq" -> ((s, dir) =>
@@ -1914,6 +1940,72 @@ object SparkEntry {
           |      FROM f GROUP BY 1)
           |SELECT gram, n_docs, n_total FROM a WHERE n_docs >= 2
           |ORDER BY n_docs DESC, n_total DESC, gram ASC LIMIT 20""".stripMargin,
+
+      // the composed pipeline, replayed stage by stage in SQL: langid +
+      // quality CTEs (same formulas as text_langid/text_quality), exact
+      // dedup keep-first via row_number over the content hash, 8-gram
+      // decontamination vs the doc_id % 10 = 0 slice, chunk count
+      "pipeline_prepare" ->
+        """WITH w AS (SELECT doc_id,
+          |    str_split(regexp_replace(lower(text), '[\t\n\x0b\f\r ]+', ' ', 'g'), ' ') AS t
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |    len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it'))) AS en,
+          |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+          |    len(list_filter(t, x -> x IN ('le','la','les','et','est','une','que','pas'))) AS fr,
+          |    len(list_filter(t, x -> x IN ('el','la','los','y','es','una','que','no'))) AS es,
+          |    len(list_filter(t, x -> x IN ('il','la','che','e','di','un','per','non'))) AS it
+          |  FROM w),
+          |lang AS (SELECT doc_id,
+          |  CASE WHEN greatest(en, de, fr, es, it) = 0 THEN 'und'
+          |       WHEN en >= de AND en >= fr AND en >= es AND en >= it THEN 'en'
+          |       WHEN de >= fr AND de >= es AND de >= it THEN 'de'
+          |       WHEN fr >= es AND fr >= it THEN 'fr'
+          |       WHEN es >= it THEN 'es'
+          |       ELSE 'it' END AS lang_pred
+          |  FROM c),
+          |s AS (SELECT doc_id,
+          |    length(text)::DOUBLE AS len,
+          |    len(regexp_extract_all(text, '\p{L}'))::DOUBLE AS n_alpha,
+          |    len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE AS n_punct,
+          |    len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::DOUBLE AS n_tokens
+          |  FROM documents),
+          |qual AS (SELECT doc_id,
+          |  greatest(0.0, least(1.0,
+          |    (CASE WHEN len = 0 THEN 0.0 ELSE n_alpha / len END) * 0.4
+          |    + least(len / 200.0, 1.0) * 0.2
+          |    + least(n_tokens / 30.0, 1.0) * 0.2
+          |    + greatest(0.0, 1.0 - (CASE WHEN len = 0 THEN 0.0 ELSE n_punct / len END) * 4.0) * 0.2
+          |  )) AS quality
+          |  FROM s),
+          |surv AS (SELECT d.doc_id, d.text, qual.quality
+          |  FROM documents d
+          |  JOIN lang ON d.doc_id = lang.doc_id
+          |  JOIN qual ON d.doc_id = qual.doc_id
+          |  WHERE d.doc_id % 10 <> 0 AND lang.lang_pred = 'en' AND qual.quality >= 0.5),
+          |kept AS (SELECT doc_id, text, quality FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY md5(lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')))
+          |      ORDER BY doc_id) AS rn
+          |    FROM surv) WHERE rn = 1),
+          |kw AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+          |                x -> x <> '') AS w
+          |  FROM kept),
+          |kg AS (SELECT doc_id,
+          |        unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS gram
+          |      FROM kw WHERE len(w) >= 8),
+          |bw AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+          |                x -> x <> '') AS w
+          |  FROM documents WHERE doc_id % 10 = 0),
+          |bg AS (SELECT DISTINCT
+          |        unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS gram
+          |      FROM bw WHERE len(w) >= 8),
+          |cont AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (gram))
+          |SELECT k.doc_id, k.quality,
+          |       ((length(k.text) - 1) // 300 + 1)::BIGINT AS n_chunks
+          |FROM kept k WHERE k.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
 
       // same tokenization as text_boilerplate; benchmark slice is
       // doc_id % 10 = 0, n_contaminated = distinct overlapping 8-grams

@@ -184,4 +184,20 @@ class TextAnalysisSpec extends SparkSpec {
       n = 8, hashGrams = true).as[(Long, Long)].collect().sorted.toSeq
     assert(hashed === got)
   }
+
+  test("decontaminate corpus side joins broadcast with no pre-join exchange") {
+    val docs = Engine.table(spark, sfDir, "documents")
+    val df = TextAnalysis.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 8, hashGrams = true)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$plan")
+    // the corpus (streamed) side must reach the join exchange-free: its
+    // per-doc gram dedup is array_distinct inside the row, so the only
+    // shuffles in the whole plan are the bench-side distinct and the
+    // final per-doc count
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nShuffles <= 2, s"corpus side picked up a dedup shuffle:\n$plan")
+  }
 }
