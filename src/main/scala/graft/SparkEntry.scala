@@ -875,6 +875,67 @@ object SparkEntry {
           col("l_quantity") < 24)
         .agg(sum(floor(col("l_extendedprice") * col("l_discount")))
           .as("revenue"))),
+    // TPC-H Q10 shape: returned-item customer revenue — 4-way join
+    // (fact + 3 broadcast dims), grouped by customer, deterministic
+    // top-20 via TakeOrderedAndProject (no full sort)
+    "tpch_q10" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+    // TPC-H Q14 shape: promo revenue share. The ratio is reported as an
+    // integer pair (promo_rev, total_rev) instead of the float percentage
+    // so the result stays hash-exact under integer-only arithmetic — the
+    // same stance as every q4112 average
+    "tpch_q14" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
+            .as("promo_rev"),
+          sum(col("rev")).as("total_rev"))
+    }),
+    // TPC-H Q19 shape: disjunctive bracket predicates over a dim join —
+    // the OR of three (brand, size-range, quantity-range) brackets; the
+    // join-key conjuncts still reach both parquet scans as pushed
+    // filters, the brackets evaluate post-join in one codegen stage
+    "tpch_q19" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val brackets =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(brackets)
+        .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
+    }),
     // TPC-H Q5 shape: 6-table star join — fact joined to two dim chains
     // that must agree on nation; dims broadcast, fact never shuffled
     // until the final group-by
@@ -970,6 +1031,66 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.rangeSearch(e, "vec_id", "embedding",
         e.filter(col("vec_id") <= 5), "vec_id", "embedding", threshold = 0.2)
+    }),
+
+    // ------------------------------------------------ embedding clustering
+    // Trained k-means (Lloyd's, k=8, 6 iterations, deterministic seeds) —
+    // oracle gate: (a) the inertia trace is non-increasing (Lloyd's
+    // invariant, checked driver-side over the per-iteration traces);
+    // (b) the native codegen argmin agrees row-for-row with an
+    // INDEPENDENT declarative recomputation (transform/zip_with/aggregate
+    // HOFs over the same centroid matrix — same element order and double
+    // arithmetic, so agreement is exact, and the two code paths share no
+    // evaluation machinery).
+    "embed_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, model) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 6)
+      val monotone = model.inertiaTrace.sliding(2).forall {
+        case Seq(a, b) => b <= a + 1e-6; case _ => true
+      }
+      val cents = model.centroids
+      val cLit = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
+      val dists = transform(cLit, c =>
+        aggregate(
+          zip_with(col("embedding"), c,
+            (x, cv) => (x.cast("double") - cv) * (x.cast("double") - cv)),
+          lit(0.0), (acc, v) => acc + v))
+      val checked = e
+        .withColumn("c_kernel",
+          graft.functions.KmeansKernels.nearestIndex(col("embedding"), cents))
+        .withColumn("dists", dists)
+        .withColumn("c_hof",
+          (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      checked.agg(
+          count(lit(1)).as("n_points"),
+          sum(when(col("c_kernel") === col("c_hof"), 0L).otherwise(1L))
+            .as("n_mismatch"),
+          countDistinct(col("c_kernel")).as("n_clusters"))
+        .select(
+          lit(8).as("k"),
+          col("n_points"),
+          (col("n_mismatch") === 0L).as("argmin_consistent_ok"),
+          lit(monotone).as("inertia_monotone_ok"),
+          (col("n_clusters") >= 1L && col("n_clusters") <= 8L)
+            .as("cluster_count_ok"))
+    }),
+    // Cluster-stratified diversity sample on the trained model — oracle
+    // gate: every cluster contributes exactly min(perCluster, |cluster|)
+    // rows (cap + coverage in one predicate), checked by joining sampled
+    // counts against full cluster sizes.
+    "sample_diverse" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (assigned, _) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      val sample = Clustering.diverseSample(assigned, "vec_id", perCluster = 5)
+      val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_total"))
+      val sampled = sample.groupBy("cluster").agg(count(lit(1)).as("n_samp"))
+      sizes.join(sampled, Seq("cluster"), "left")
+        .agg(
+          sum(when(coalesce(col("n_samp"), lit(0L)) ===
+            least(col("n_total"), lit(5L)), 0L).otherwise(1L)).as("n_bad"))
+        .select(
+          lit(5).as("per_cluster"),
+          (col("n_bad") === 0L).as("strata_ok"))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -1170,6 +1291,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 8, hashGrams = true)
+    }),
+    // production form: train + assign, without the HOF double-check the
+    // gate runs per row
+    "embed_kmeans" -> ((s, dir) => {
+      val (assigned, _) = Clustering.kmeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, maxIter = 6)
+      assigned
+    }),
+    // production form: the sampled rows themselves
+    "sample_diverse" -> ((s, dir) => {
+      val (assigned, _) = Clustering.kmeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, maxIter = 4)
+      Clustering.diverseSample(assigned, "vec_id", perCluster = 5)
     }),
     // production form: the raw ANN neighbor list, without the
     // brute-force comparison the gate runs
@@ -1389,6 +1523,19 @@ object SparkEntry {
       // stated floor flips it to false and fails the gate
       "sim_recall_ivf" ->
         "SELECT CAST(5 AS BIGINT) AS k, 0.375 AS recall_floor, true AS recall_ok",
+      // gated trained k-means: constant expected shape; the booleans are
+      // computed Spark-side (monotone Lloyd's inertia, codegen-vs-HOF
+      // argmin agreement, cluster-count bound) and flip to false on any
+      // invariant break
+      "embed_kmeans" ->
+        """SELECT CAST(8 AS INT) AS k, count(*) AS n_points,
+          |       true AS argmin_consistent_ok, true AS inertia_monotone_ok,
+          |       true AS cluster_count_ok
+          |FROM embeddings""".stripMargin,
+      // gated diversity sampler: every cluster must contribute exactly
+      // min(per_cluster, cluster size) rows
+      "sample_diverse" ->
+        "SELECT CAST(5 AS INT) AS per_cluster, true AS strata_ok",
       // gated IVF top-k: one row per probe, constant expected shape;
       // ranks_ok/recall_ok are computed Spark-side from the IVF-vs-brute
       // comparison and flip to false on any structural or recall break
@@ -1777,6 +1924,37 @@ object SparkEntry {
           |GROUP BY 1, 2
           |ORDER BY revenue DESC, l_orderkey ASC
           |LIMIT 10""".stripMargin,
+      "tpch_q10" ->
+        """SELECT c_custkey, c_name, n_name,
+          |       cast(sum(cast(floor(l_extendedprice * (1 - l_discount)) as bigint)) as bigint)
+          |         AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, c_custkey ASC
+          |LIMIT 20""".stripMargin,
+      "tpch_q14" ->
+        """SELECT cast(sum(CASE WHEN p_type = 'PROMO'
+          |                     THEN cast(floor(l_extendedprice * (1 - l_discount)) as bigint)
+          |                     ELSE 0 END) as bigint) AS promo_rev,
+          |       cast(sum(cast(floor(l_extendedprice * (1 - l_discount)) as bigint)) as bigint)
+          |         AS total_rev
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+      "tpch_q19" ->
+        """SELECT cast(sum(cast(floor(l_extendedprice * (1 - l_discount)) as bigint)) as bigint)
+          |         AS revenue,
+          |       count(*) AS n_lines
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
       "tpch_q6" ->
         """SELECT cast(sum(cast(floor(l_extendedprice * l_discount) as bigint)) as bigint)
           |         AS revenue

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.KmeansKernels
+
+/** Trained k-means (Lloyd's iteration) over an `array<float>` embedding
+  * column, plus the cluster-stratified diversity sampler built on it.
+  *
+  * The training-data-pipeline uses: semantic bucketing for topic
+  * balancing, diversity-aware subsampling, and supplying REAL (learned)
+  * centroids to the IVF index in [[Similarity.ivfTopK]] (whose
+  * pseudo-centroid quantizer stands in for exactly this model).
+  *
+  * 100 TB shape: per iteration, ONE pass over the data — assignment is a
+  * codegen'd argmin against a driver-held k×dim matrix (reference object,
+  * no per-row allocation), the centroid update is a partial/merge/final
+  * [[graft.functions.VectorSumAgg]] whose exchange carries k×dim doubles
+  * per partition (scale-free in the row count), and only k summary rows
+  * reach the driver. The projected (id, vec) columns are persisted across
+  * iterations so parquet decode is paid once, not maxIter times.
+  */
+object Clustering {
+
+  /** Final centroids + the per-iteration inertia trace (Σ squared L2 to
+    * the assigned centroid, measured at assignment time — non-increasing
+    * for exact Lloyd's, the oracle-gate invariant).
+    */
+  final case class KmeansModel(
+      centroids: Array[Array[Double]], inertiaTrace: Seq[Double])
+
+  /** Run `maxIter` Lloyd's iterations; returns (assignments, model).
+    * Assignments: the input frame's id column + `cluster` (0-based int).
+    *
+    * Deterministic: farthest-point seeding from the min-xxhash64 row
+    * (see init comment), fixed iteration order, fixed double accumulation
+    * order, and fixed tie-breaks — the trained model is a pure function
+    * of the input.
+    * Empty clusters keep their previous centroid (standard Lloyd's
+    * fallback; no re-seeding, which would break determinism).
+    */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int): (DataFrame, KmeansModel) = {
+    require(k > 0 && maxIter > 0)
+    val proj = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Deterministic farthest-point (k-center greedy) init: seed 1 is the
+    // row with the smallest xxhash64(id); each further seed is the row
+    // maximizing squared distance to its nearest already-chosen seed
+    // (ties → larger id; exact, deterministic). One small aggregate per
+    // seed (k-1 extra jobs over the cached projection) buys what random
+    // init can't guarantee: well-separated blobs get one seed each, so
+    // Lloyd's doesn't start in a merged/split local optimum.
+    val first = proj
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(1)
+      .select(col("vec"))
+      .collect()
+    require(first.nonEmpty, "kmeans: empty input")
+    var centroids: Array[Array[Double]] =
+      Array(first.head.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = centroids.head.length
+    while (centroids.length < k) {
+      val nearest = KmeansKernels.nearestIndex(col("vec"), centroids)
+      val far = proj
+        .withColumn("d", KmeansKernels.sqDistAt(col("vec"), nearest, centroids))
+        .select(max(struct(col("d"), col("id"), col("vec"))).as("m"))
+        .select(col("m.vec"))
+        .collect()
+      centroids = centroids :+ far.head.getSeq[Float](0).map(_.toDouble).toArray
+    }
+
+    val trace = Seq.newBuilder[Double]
+    var it = 0
+    while (it < maxIter) {
+      val assigned = proj.withColumn(
+        "cluster", KmeansKernels.nearestIndex(col("vec"), centroids))
+      // one aggregate per iteration: vector sums + counts + inertia,
+      // k rows to the driver
+      val stats = assigned.groupBy("cluster").agg(
+        KmeansKernels.vectorSum(col("vec"), dim).as("vs"),
+        count(lit(1)).as("n"),
+        sum(KmeansKernels.sqDistAt(col("vec"), col("cluster"), centroids))
+          .as("inertia"))
+        .collect()
+      trace += stats.map(_.getAs[Double]("inertia")).sum
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val c = r.getAs[Int]("cluster")
+        val vs = r.getSeq[Double](r.fieldIndex("vs"))
+        val n = r.getAs[Long]("n").toDouble
+        var i = 0
+        while (i < dim) { next(c)(i) = vs(i) / n; i += 1 }
+      }
+      centroids = next
+      it += 1
+    }
+
+    val assignments = proj
+      .withColumn("cluster", KmeansKernels.nearestIndex(col("vec"), centroids))
+      .select(col("id").as(idCol), col("cluster"))
+    proj.unpersist(blocking = false)
+    (assignments, KmeansModel(centroids, trace.result()))
+  }
+
+  /** Cluster-stratified diversity sample: at most `perCluster` rows from
+    * every k-means cluster, picked by deterministic hash rank within the
+    * cluster. The standard diversity-aware subsample: coverage of every
+    * semantic bucket instead of frequency-weighted duplication.
+    *
+    * One window over the slim (id, cluster) frame — ranking shuffles
+    * 12-byte rows, never embeddings; `WindowGroupLimit` keeps ≤
+    * `perCluster` rows per cluster per partition ahead of the exchange.
+    */
+  def diverseSample(assignments: DataFrame, idCol: String, perCluster: Int): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    assignments
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perCluster)
+      .select(col(idCol), col("cluster"))
+  }
+}
