@@ -736,6 +736,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 8)
     }),
+    // within-doc repetition signals (Gopher dup-n-gram quality filters):
+    // unigram + word-3-gram duplicate counts and the top-gram
+    // multiplicity, all computed inside the row (no explode/shuffle);
+    // the oracle replays the unnest+groupBy form
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"),
+        "doc_id", "text", n = 3)),
     // the full training-data prep pipeline as ONE declarative plan:
     // language filter → quality floor → exact dedup keep-first →
     // benchmark decontamination → chunk count. Single-pass scoring in
@@ -936,6 +943,30 @@ object SparkEntry {
         .filter(brackets)
         .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
     }),
+    // TPC-H Q18 shape: large-volume customers — a HAVING subquery over
+    // the fact table semi-joins back onto itself. The qualifying-order
+    // set (sum(qty) > 250 ≈ the 98th percentile) is tiny, so Spark
+    // broadcasts it into the left-semi probe and the fact table streams
+    // once per leg; the big groupBy shuffles only after the semi filter
+    "tpch_q18" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), floor(col("l_quantity")).as("qty"))
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("qty")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+        .select(col("l_orderkey"))
+      val o = t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+          floor(col("o_totalprice")).as("o_totalprice_fl"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate_ms"), col("o_totalprice_fl"))
+        .agg(sum(col("qty")).as("sum_qty"))
+    }),
     // TPC-H Q5 shape: 6-table star join — fact joined to two dim chains
     // that must agree on nation; dims broadcast, fact never shuffled
     // until the final group-by
@@ -1024,6 +1055,44 @@ object SparkEntry {
       hits.crossJoin(denom)
         .select(lit(5L).as("k"), lit(0.375).as("recall_floor"),
           (col("n_hit") > col("n_brute") * 0.375).as("recall_ok"))
+    }),
+    // Product quantization (Jégou TPAMI'11) as a GATED surface: 96-bit
+    // codes (m=16, k=64 — 21× compression) + ADC shortlist-50 + exact
+    // re-rank. Gates: (a) per-probe STRUCTURE (exactly 10 results,
+    // ranks a permutation of 1..10); (b) recall@10 vs the exact
+    // brute-force top-10 above 0.5 — random shortlist routing lands at
+    // shortlist/N = 0.1, measured 0.88-0.92 (uniform-random vectors,
+    // PQ's worst case); (c) the per-iteration quantization error of the
+    // m independent Lloyd's trainings is non-increasing. Broken
+    // codebooks, encode, LUT, ADC, or re-rank flips a boolean.
+    "sim_topk_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") <= 5)
+      val model = Quantization.trainPq(e, "vec_id", "embedding",
+        m = 16, k = 64, maxIter = 4)
+      val monotone = model.errorTrace.sliding(2).forall {
+        case Seq(a, b) => b <= a + 1e-6; case _ => true
+      }
+      val pq = Quantization.adcRerankTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", model, shortlist = 50, topK = 10)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("corpus_id"))
+      val structure = pq.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_results"),
+          (count(lit(1)) === 10 && min(col("rank")) === 1 &&
+            max(col("rank")) === 10 && countDistinct(col("rank")) === 10)
+            .as("ranks_ok"))
+      val hits = brute.join(pq.select(col("probe_id"), col("corpus_id")),
+        Seq("probe_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val denom = brute.agg(count(lit(1)).as("n_brute"))
+      val recall = hits.crossJoin(denom)
+        .select((col("n_hit") > col("n_brute") * 0.5).as("recall_ok"))
+      structure.crossJoin(recall)
+        .select(col("probe_id"), col("n_results"), col("ranks_ok"),
+          col("recall_ok"), lit(monotone).as("pq_error_monotone_ok"))
     }),
     // exact fixed-radius neighbors (ids only — see Similarity.rangeSearch
     // on why the cosine value stays out of the hash-exact gate)
@@ -1305,6 +1374,17 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, maxIter = 4)
       Clustering.diverseSample(assigned, "vec_id", perCluster = 5)
     }),
+    // production form: PQ train + encode + ADC shortlist + exact
+    // re-rank, without the brute-force comparison the gate runs
+    "sim_topk_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Quantization.trainPq(e, "vec_id", "embedding",
+        m = 16, k = 64, maxIter = 4)
+      Quantization.adcRerankTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding",
+        model, shortlist = 50, topK = 10)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
     // production form: the raw ANN neighbor list, without the
     // brute-force comparison the gate runs
     "sim_topk_ivf" -> ((s, dir) => {
@@ -1523,6 +1603,11 @@ object SparkEntry {
       // stated floor flips it to false and fails the gate
       "sim_recall_ivf" ->
         "SELECT CAST(5 AS BIGINT) AS k, 0.375 AS recall_floor, true AS recall_ok",
+      "sim_topk_pq" ->
+        """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
+          |       true AS ranks_ok, true AS recall_ok,
+          |       true AS pq_error_monotone_ok
+          |FROM embeddings WHERE vec_id <= 5""".stripMargin,
       // gated trained k-means: constant expected shape; the booleans are
       // computed Spark-side (monotone Lloyd's inertia, codegen-vs-HOF
       // argmin agreement, cluster-count bound) and flip to false on any
@@ -1955,6 +2040,18 @@ object SparkEntry {
           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+      "tpch_q18" ->
+        """SELECT c_name, c_custkey, o_orderkey,
+          |       epoch_ms(o_orderdate) AS o_orderdate_ms,
+          |       cast(floor(o_totalprice) as bigint) AS o_totalprice_fl,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty
+          |FROM lineitem
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          |  HAVING sum(cast(floor(l_quantity) as bigint)) > 250)
+          |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
       "tpch_q6" ->
         """SELECT cast(sum(cast(floor(l_extendedprice * l_discount) as bigint)) as bigint)
           |         AS revenue
@@ -2199,6 +2296,33 @@ object SparkEntry {
           |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
           |SELECT tr.doc_id, count(*)::BIGINT AS n_contaminated
           |FROM tr JOIN b USING (gram) GROUP BY 1""".stripMargin,
+
+      // the oracle replays the repetition signals as the naive
+      // unnest + groupBy plan the Spark side deliberately avoids
+      // (in-row array_distinct / sorted-run fold — see
+      // TextAnalysis.repetitionSignals); 3-gram = w[i:i+2], i ≤ len-2
+      "text_repetition" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+          |                x -> x <> '') AS w
+          |  FROM documents),
+          |g AS (SELECT doc_id, w,
+          |        CASE WHEN len(w) >= 3
+          |          THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+          |          ELSE [] END AS gr
+          |      FROM t),
+          |top AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
+          |          SELECT doc_id, x, count(*) AS cnt
+          |          FROM (SELECT doc_id, unnest(gr) AS x FROM g)
+          |          GROUP BY doc_id, x)
+          |        GROUP BY doc_id)
+          |SELECT g.doc_id,
+          |       len(w)::BIGINT AS n_words,
+          |       len(list_distinct(w))::BIGINT AS n_distinct_words,
+          |       len(gr)::BIGINT AS n_grams,
+          |       len(list_distinct(gr))::BIGINT AS n_distinct_grams,
+          |       coalesce(top.top_cnt, 0)::BIGINT AS top_gram_count
+          |FROM g LEFT JOIN top ON g.doc_id = top.doc_id""".stripMargin,
 
       // starts 1, 1+stride, … ≤ length on both sides (Spark sequence is
       // stop-inclusive; DuckDB range is stop-exclusive, hence length+1)

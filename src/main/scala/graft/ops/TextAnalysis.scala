@@ -238,4 +238,49 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
   }
+
+  /** Within-document repetition signals — the Gopher/MassiveText
+    * "repetitious text" quality filters (duplicate-n-gram fraction and
+    * most-frequent-n-gram share; Rae et al. 2021 §A.1.1), adapted to
+    * word windows because this corpus has no line structure. Per doc:
+    *
+    *   n_words, n_distinct_words    — unigram repetition
+    *   n_grams, n_distinct_grams    — duplicate word-`n`-gram counts
+    *   top_gram_count               — occurrences of the most frequent gram
+    *
+    * Integer counts only (the dup *fractions* are one division away,
+    * and ratios would be FP-order-unstable across engines). Everything
+    * is computed INSIDE the row: gram arrays from the one-pass
+    * [[graft.functions.WordGrams]] kernel, distinct counts via
+    * `array_distinct`, and `top_gram_count` as a longest-equal-run scan
+    * over the *sorted* gram array (sort + one `aggregate` fold). No
+    * explode, no shuffle — a 100 TB corpus pays exactly one map pass,
+    * where the naive unnest → groupBy(doc, gram) plan shuffles every
+    * gram in the corpus (that form survives only as the DuckDB oracle
+    * and the differential spec).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import graft.functions.TextHashFunctions.wordGrams
+    val words = wordGrams(col(textCol), 1)
+    val grams = wordGrams(col(textCol), n)
+    // longest run of equal values in the sorted array == max multiplicity
+    val topCount = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
+      topCount.as("top_gram_count"))
+  }
 }

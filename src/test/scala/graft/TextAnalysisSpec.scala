@@ -200,4 +200,44 @@ class TextAnalysisSpec extends SparkSpec {
     val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(nShuffles <= 2, s"corpus side picked up a dedup shuffle:\n$plan")
   }
+
+  test("repetitionSignals: hand-built docs hit every edge") {
+    val docs = Seq(
+      (1L, "a b a b a"),              // words 5/2; 3-grams: aba bab aba → 3/2, top 2
+      (2L, "x y z"),                  // exactly one gram
+      (3L, "q w"),                    // too short: 0 grams
+      (4L, ""),                       // empty: 0 words
+      (5L, "T t T"))                  // kernel lowercases: 3 words 1 distinct
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 5L, 2L, 3L, 2L, 2L),
+      (2L, 3L, 3L, 1L, 1L, 1L),
+      (3L, 2L, 2L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L, 0L),
+      (5L, 3L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("repetitionSignals agrees with the explode+groupBy recomputation and never shuffles") {
+    val docs = Engine.table(spark, sfDir, "documents")
+    val df = TextAnalysis.repetitionSignals(docs, "doc_id", "text", n = 3)
+    // independent recomputation of the hardest column (top_gram_count)
+    // through the shuffle-based plan the operator avoids
+    val naive = docs.select(col("doc_id"),
+        explode(graft.functions.TextHashFunctions.wordGrams(col("text"), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_naive"))
+    val joined = df.join(naive, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_gram_count"),
+        coalesce(col("top_naive"), lit(0L)).as("top_naive"))
+    assert(joined.filter(col("top_gram_count") =!= col("top_naive")).isEmpty)
+    // dup-count sanity: distinct ≤ total, and grams = max(0, words-2)
+    assert(df.filter(col("n_distinct_words") > col("n_words") ||
+      col("n_distinct_grams") > col("n_grams") ||
+      col("n_grams") =!= greatest(col("n_words") - 2, lit(0L))).isEmpty)
+    // the operator itself is one map pass: no exchange in its plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetitionSignals shuffled:\n$plan")
+  }
 }
