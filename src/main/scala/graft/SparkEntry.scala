@@ -1294,6 +1294,46 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("day")).as("day_ms"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
     }),
+    // OHLC-style downsampling: per (user, hour) open/close/lo/hi/count.
+    // open/close are SELECTIONS via min/max over (ts, event_id, value)
+    // structs — (ts, event_id) is a unique total order, so the result
+    // is deterministic AND the whole resample is one partial-aggregable
+    // HashAggregate pass: no window sort, the shuffle carries one slim
+    // row per (user, hour) — where the textbook row_number() plan sorts
+    // every event inside an exchange of the full table
+    "ts_resample" -> ((s, dir) => {
+      val e = Engine.eventsTable(s, dir)
+        .select(col("user_id"), date_trunc("HOUR", col("ts")).as("hr"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_id"), col("value"))
+      e.groupBy(col("user_id"), col("hr"))
+        .agg(
+          min(struct(col("ts_ms"), col("event_id"), col("value")))
+            .getField("value").as("open_value"),
+          max(struct(col("ts_ms"), col("event_id"), col("value")))
+            .getField("value").as("close_value"),
+          min(col("value")).as("lo_value"),
+          max(col("value")).as("hi_value"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_millis(col("hr")).as("hour_ms"),
+          col("open_value"), col("close_value"),
+          col("lo_value"), col("hi_value"), col("n_events"))
+    }),
+    // the watermarked streaming dedup's batch-equivalent surface:
+    // keep-first per content key (user, type, props) under the
+    // (ts, event_id) total order, reported per event_type. The
+    // streaming form (Events.dedupStream, dropDuplicatesWithinWatermark)
+    // is asserted equivalent in StreamingSpec
+    "events_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"), col("props"))
+        .orderBy(col("ts"), col("event_id"))
+      Engine.eventsTable(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+    }),
     // rank-statistics window functions (percent_rank/cume_dist share
     // one sort with dense_rank — a single Window physical node)
     "window_rank_stats" -> ((s, dir) => {
@@ -2100,6 +2140,24 @@ object SparkEntry {
           |SELECT s.user_id, epoch_ms(s.day) AS day_ms,
           |       cast(coalesce(d.n_events, 0) as bigint) AS n_events
           |FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+      // open/close replayed via ORDER BY inside array_agg — the sorted
+      // form of the Spark side's min/max-over-struct selection; both
+      // pick values (never accumulate doubles), so hash-exact
+      "ts_resample" ->
+        """SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+          |       (array_agg(value ORDER BY ts, event_id))[1] AS open_value,
+          |       (array_agg(value ORDER BY ts DESC, event_id DESC))[1] AS close_value,
+          |       min(value) AS lo_value, max(value) AS hi_value,
+          |       count(*) AS n_events
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "events_stream_dedup" ->
+        """WITH k AS (SELECT event_type,
+          |    row_number() OVER (PARTITION BY user_id, event_type, props
+          |                       ORDER BY ts, event_id) AS rn
+          |  FROM events)
+          |SELECT event_type, count(*) AS n_rows,
+          |       cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) as bigint) AS n_kept
+          |FROM k GROUP BY event_type""".stripMargin,
       "window_rank_stats" ->
         """SELECT s_suppkey, s_nationkey,
           |       percent_rank() OVER w AS pct_rank,
