@@ -1294,6 +1294,49 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("day")).as("day_ms"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
     }),
+    // SCD-1 upsert (MERGE semantics without a table format): a derived
+    // changes set (per-customer order spend, plus synthetic NEW keys
+    // offset by 1e6) applied over the customer base — matched keys take
+    // the update, unmatched keep the base, inserts append. One
+    // full-outer hash join on the key; at 100 TB both sides shuffle
+    // once on c_custkey (or ride a shared bucketed layout), and the
+    // coalesce projection is codegen'd — no driver-side diffing
+    "merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          floor(col("c_acctbal")).as("balance"))
+      val upd = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice"))).as("balance"))
+        .select(
+          when(col("o_custkey") % 10 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("c_custkey"),
+          col("balance"))
+      base.join(upd.withColumnRenamed("balance", "upd_balance"),
+          Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("nation"), lit(-1L)).as("nation"),
+          coalesce(col("upd_balance"), col("balance")).as("balance"),
+          when(col("upd_balance").isNotNull && col("nation").isNotNull, "update")
+            .when(col("upd_balance").isNotNull, "insert")
+            .otherwise("keep").as("action"))
+    }),
+    // SCD-2 history: per (user, event_type) value-change intervals —
+    // [valid_from, valid_to) rows built with one lead() window over the
+    // (ts, event_id) total order; open intervals close at +inf (-1).
+    // The standard "events to dimension history" transform; one sort
+    // per key group, shuffle carries only (user, type, ts, value)
+    "scd2_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      Engine.eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), floor(col("value")).as("v"))
+        .withColumn("valid_to_ms", coalesce(lead(col("ts_ms"), 1).over(w), lit(-1L)))
+        .select(col("user_id"), col("event_type"), col("v").as("value_fl"),
+          col("ts_ms").as("valid_from_ms"), col("valid_to_ms"))
+    }),
     // OHLC-style downsampling: per (user, hour) open/close/lo/hi/count.
     // open/close are SELECTIONS via min/max over (ts, event_id, value)
     // structs — (ts, event_id) is a unique total order, so the result
@@ -2140,6 +2183,29 @@ object SparkEntry {
           |SELECT s.user_id, epoch_ms(s.day) AS day_ms,
           |       cast(coalesce(d.n_events, 0) as bigint) AS n_events
           |FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+      "merge_upsert" ->
+        """WITH base AS (SELECT c_custkey, c_nationkey::BIGINT AS nation,
+          |         cast(floor(c_acctbal) as bigint) AS balance
+          |       FROM customer),
+          |upd AS (SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
+          |               ELSE o_custkey END AS c_custkey,
+          |          cast(sum(cast(floor(o_totalprice) as bigint)) as bigint) AS upd_balance
+          |        FROM orders GROUP BY o_custkey)
+          |SELECT coalesce(base.c_custkey, upd.c_custkey) AS c_custkey,
+          |       coalesce(nation, -1) AS nation,
+          |       coalesce(upd_balance, balance) AS balance,
+          |       CASE WHEN upd_balance IS NOT NULL AND nation IS NOT NULL THEN 'update'
+          |            WHEN upd_balance IS NOT NULL THEN 'insert'
+          |            ELSE 'keep' END AS action
+          |FROM base FULL OUTER JOIN upd ON base.c_custkey = upd.c_custkey""".stripMargin,
+      "scd2_history" ->
+        """SELECT user_id, event_type,
+          |       cast(floor(value) as bigint) AS value_fl,
+          |       epoch_ms(ts) AS valid_from_ms,
+          |       coalesce(lead(epoch_ms(ts), 1) OVER
+          |         (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+          |         -1) AS valid_to_ms
+          |FROM events""".stripMargin,
       // open/close replayed via ORDER BY inside array_agg — the sorted
       // form of the Spark side's min/max-over-struct selection; both
       // pick values (never accumulate doubles), so hash-exact

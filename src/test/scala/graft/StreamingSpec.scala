@@ -171,6 +171,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup on REAL events matches the batch keep-first surface per type") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // in-order (event-time sorted) replay of the whole sf0.001 events
+    // table through the watermarked streaming dedup; the surviving
+    // count per event_type must equal events_stream_dedup's n_kept
+    // (distinct content keys — arrival order only affects WHICH dup is
+    // kept, never how many survive). The watermark delay must exceed
+    // the corpus's event-time span: dropDuplicatesWithinWatermark
+    // guarantees dedup only within the horizon — once state expires a
+    // later duplicate is re-admitted BY DESIGN, so a short delay keeps
+    // legitimately MORE rows than the global batch dedup (observed
+    // +4..+9 per type at 10 minutes)
+    val rows = Engine.eventsTable(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("props"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, String, String)]
+      .collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val query = Events.dedupStream(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "props"),
+      keyCols = Seq("user_id", "event_type", "props"),
+      watermarkDelay = "3650 days")
+      .writeStream.format("memory").queryName("real_dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      val streamed = spark.table("real_dedup_out")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_streamed"))
+      val batch = SparkEntry.queries("events_stream_dedup")(spark, sfDir)
+      val mismatch = batch.join(streamed, Seq("event_type"), "full_outer")
+        .filter(coalesce(col("n_kept"), lit(-1L)) =!=
+          coalesce(col("n_streamed"), lit(-2L)))
+      assert(mismatch.isEmpty,
+        s"stream/batch dedup diverge:\n${mismatch.collect().mkString("\n")}")
+    } finally query.stop()
+  }
+
   test("stream-static enrich equals the batch execution of the same plan") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
