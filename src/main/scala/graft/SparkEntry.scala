@@ -990,6 +990,149 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(col("rev")).as("revenue"))
     }),
+    // TPC-H Q4 shape: priority counts over orders that have at least one
+    // qualifying line — a decorrelated EXISTS, planned as a LEFT SEMI
+    // join that probes the orders scan once (the testdata has no
+    // commit/receipt dates, so "late line" becomes "returned line")
+    "tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-10-01")))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    // TPC-H Q7 shape: volume shipping between a nation pair — the fact
+    // table joins BOTH dim chains (supplier-nation and
+    // orders-customer-nation); all four dims broadcast, the symmetric
+    // nation-pair disjunction evaluates post-join, and the fact table
+    // only shuffles for the final (supp, cust, year) group-by
+    "tpch_q7" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+          col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("volume")).as("revenue"))
+    }),
+    // TPC-H Q12 shape: conditional counts split by a dimension attribute
+    // carried through the join (shipmode → l_linestatus here); the CASE
+    // pair collapses map-side in the partial aggregate — two counters
+    // per status, not two passes
+    "tpch_q12" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+    // TPC-H Q13 shape: customer order-count distribution — the LEFT
+    // OUTER join keeps zero-order customers (count(o) = 0 for them, not
+    // a dropped row), then a second aggregate histograms the counts.
+    // Two shuffles total, both on small post-agg sets
+    "tpch_q13" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    // TPC-H Q17 shape: rows below a fifth of their part's average
+    // quantity. The correlated AVG subquery decorrelates into a
+    // per-part aggregate joined back to the fact table; the comparison
+    // stays integer-exact as qty*5*n < sum (never a float average) —
+    // the same stance as every q4112 average
+    "tpch_q17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), floor(col("l_quantity")).as("qty"),
+          floor(col("l_extendedprice")).as("price_fl"))
+      val brand = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+      li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .join(stats, Seq("l_partkey"))
+        .filter(col("qty") * lit(5L) * col("n_li") < col("sum_qty"))
+        .agg(sum(col("price_fl")).as("total_price_fl"),
+          count(lit(1)).as("n_small"))
+    }),
+    // TPC-H Q21 shape: the EXISTS + NOT EXISTS double self-join on the
+    // fact table (suppliers whose line is the ONLY returned line of a
+    // multi-supplier order — the testdata carries no receipt dates, so
+    // "late" becomes "returned"). Planned as one LEFT SEMI and one LEFT
+    // ANTI probe over the same slim (orderkey, suppkey) projection;
+    // deterministic top-20 via (numwait DESC, s_name ASC)
+    "tpch_q21" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val r1 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val othersR = r1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val sole = r1
+        .join(others, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(othersR, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      sole.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+    // TPC-H Q22 shape: above-average balances with an anti-join (the
+    // testdata has no phone column and every customer has orders, so
+    // cntrycode := c_nationkey % 10 and the NOT EXISTS excludes
+    // customers with any URGENT order). The global threshold is a
+    // 1-row broadcast scalar; balances stay integer cents end-to-end
+    // so the average threshold is exact on both engines
+    "tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          pmod(col("c_nationkey"), lit(10)).cast("int").as("cntrycode"),
+          floor(col("c_acctbal") * 100).as("bal_cents"))
+        .filter(col("cntrycode").isin(1, 3, 5, 7, 9))
+      val thr = cust.filter(col("bal_cents") > 0L)
+        .agg(expr("sum(bal_cents) div count(1)").as("t"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      cust.join(broadcast(thr))
+        .filter(col("bal_cents") > col("t"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal_cents")).as("totacctbal_cents"))
+    }),
 
     // ------------------------------------------------ similarity search
     "sim_topk_brute" -> ((s, dir) => {
@@ -1160,6 +1303,33 @@ object SparkEntry {
         .select(
           lit(5).as("per_cluster"),
           (col("n_bad") === 0L).as("strata_ok"))
+    }),
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    // embedding space with the trained k-means, then search near-dup
+    // pairs ONLY within a cluster — the candidate join is an equi-join
+    // on the cluster id, never all-pairs, so at corpus scale the work is
+    // Σ|cluster|² ≪ n². Gate: (a) n_exact_pairs — the oracle recomputes
+    // the full cos ≥ 0.25 pair count via list_cosine_similarity;
+    // (b) subset_ok — every within-cluster pair is in the exact set
+    // (same cosine kernel re-verifies each candidate); (c) recall_ok —
+    // within-cluster recall must beat 1/k = 0.125, the expected recall
+    // of ARBITRARY 8-way routing: exceeding it proves the clustering
+    // concentrates similar vectors, which is the SemDeDup premise
+    // (measured ≈ 0.2-0.5 across sfs on this corpus).
+    "dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val sem = Dedup.semanticPairs(e, "vec_id", "embedding",
+        k = 8, maxIter = 4, threshold = 0.25)
+        .select(col("id_a"), col("id_b")).cache()
+      val exact = Dedup.embeddingPairsExact(e, "vec_id", "embedding",
+        threshold = 0.25).cache()
+      exact.agg(count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(sem.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .agg((count(lit(1)) === 0).as("subset_ok")))
+        .crossJoin(sem.join(exact, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact_pairs"), col("subset_ok"),
+          (col("n_hit") > col("n_exact_pairs") * 0.125).as("recall_ok"))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -1431,6 +1601,12 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.25, planes = 16)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+    // production form: the within-cluster pair search itself (train +
+    // candidate equi-join + cosine verify), not the exact-set comparison
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, maxIter = 4, threshold = 0.25)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1894,6 +2070,14 @@ object SparkEntry {
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
           |                             b.embedding::DOUBLE[]) >= 0.25""".stripMargin,
+      // gated SemDeDup: same exact-pair count as dedup_embedding;
+      // subset_ok/recall_ok computed Spark-side (within-cluster pairs vs
+      // the exact set; the recall floor is 1/k — arbitrary routing)
+      "dedup_semantic" ->
+        """SELECT count(*) AS n_exact_pairs, true AS subset_ok, true AS recall_ok
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          |                             b.embedding::DOUBLE[]) >= 0.25""".stripMargin,
       // winnow-sketch size bounds: n_windows and n_shingles recomputed
       // from the text, bounds_ok expected true (see the query's scaladoc)
       "text_fingerprint" ->
@@ -2157,6 +2341,93 @@ object SparkEntry {
           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
           |  AND o_orderdate < TIMESTAMP '1998-01-01'
           |GROUP BY n_name""".stripMargin,
+      "tpch_q4" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          |  AND o_orderdate < TIMESTAMP '1996-10-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY 1""".stripMargin,
+      "tpch_q7" ->
+        """SELECT supp_nation, cust_nation, l_year,
+          |       cast(sum(volume) as bigint) AS revenue FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |         cast(year(l_shipdate) as bigint) AS l_year,
+          |         cast(floor(l_extendedprice * (1 - l_discount)) as bigint) AS volume
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01'
+          |    AND n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+          |    AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')
+          |    AND n1.n_name <> n2.n_name
+          |) GROUP BY 1, 2, 3""".stripMargin,
+      "tpch_q12" ->
+        """SELECT l_linestatus,
+          |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          |                THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+          |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          |                THEN 0 ELSE 1 END) as bigint) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |GROUP BY 1""".stripMargin,
+      "tpch_q13" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_custkey) AS c_count
+          |  FROM customer LEFT JOIN
+          |    (SELECT o_custkey FROM orders WHERE o_orderpriority <> '5-LOW') o
+          |    ON c_custkey = o.o_custkey
+          |  GROUP BY c_custkey
+          |) GROUP BY c_count""".stripMargin,
+      "tpch_q17" ->
+        """SELECT cast(sum(price_fl) as bigint) AS total_price_fl,
+          |       count(*) AS n_small FROM (
+          |  SELECT cast(floor(l_extendedprice) as bigint) AS price_fl,
+          |         cast(floor(l_quantity) as bigint) AS qty, l_partkey
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_brand = 'Brand#23'
+          |) l JOIN (
+          |  SELECT l_partkey AS pk,
+          |         cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty,
+          |         count(*) AS n_li
+          |  FROM lineitem GROUP BY 1
+          |) st ON l.l_partkey = st.pk
+          |WHERE qty * 5 * n_li < sum_qty""".stripMargin,
+      "tpch_q21" ->
+        """SELECT s_name, count(*) AS numwait
+          |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+          |WHERE l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+      "tpch_q22" ->
+        """WITH cust AS (
+          |  SELECT c_custkey, cast(c_nationkey % 10 as int) AS cntrycode,
+          |         cast(floor(c_acctbal * 100) as bigint) AS bal_cents
+          |  FROM customer WHERE c_nationkey % 10 IN (1,3,5,7,9)
+          |), thr AS (
+          |  SELECT cast(sum(bal_cents) // count(*) as bigint) AS t
+          |  FROM cust WHERE bal_cents > 0
+          |)
+          |SELECT cntrycode, count(*) AS numcust,
+          |       cast(sum(bal_cents) as bigint) AS totacctbal_cents
+          |FROM cust, thr
+          |WHERE bal_cents > t
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderpriority = '1-URGENT')
+          |GROUP BY cntrycode""".stripMargin,
       // exact by construction: the CMS prune only removes keys below
       // threshold (over-count-only sketch), so plain GROUP BY/HAVING is
       // the full semantics

@@ -323,4 +323,38 @@ object Dedup {
         VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space, then verify cosine
+    * only WITHIN a cluster. The candidate stage is an equi-join on the
+    * cluster id over slim (id, cluster) rows — work is Σ|cluster|²
+    * instead of n², and each cluster's pair generation co-locates under
+    * one shuffle key. Recall is governed by the clustering (near-dups
+    * co-cluster because they are near in the metric k-means optimizes);
+    * the LSH screen [[embeddingPairs]] is the recall-bounded alternative
+    * when no trained model is available.
+    *
+    * Output: (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold.
+    */
+  def semanticPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int,
+      threshold: Double): DataFrame = {
+    val (assigned, _) = Clustering.kmeans(emb, idCol, vecCol, k, maxIter)
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withCluster = vecs
+      .join(assigned.select(col(idCol).as("id"), col("cluster")), Seq("id"))
+    val a = withCluster
+      .select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withCluster
+      .select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

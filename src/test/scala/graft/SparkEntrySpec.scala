@@ -90,6 +90,9 @@ class SparkEntrySpec extends SparkSpec {
       val em = SparkEntry.queries("dedup_embedding")(spark, d).head()
       assert(em.getBoolean(1), s"embedding LSH pair outside exact cos>=0.25 set at $d")
       assert(em.getBoolean(2), s"embedding LSH recall below 1% floor at $d")
+      val sd = SparkEntry.queries("dedup_semantic")(spark, d).head()
+      assert(sd.getBoolean(1), s"semantic pair outside exact cos>=0.25 set at $d")
+      assert(sd.getBoolean(2), s"semantic within-cluster recall below 1/k floor at $d")
       assert(SparkEntry.queries("text_fingerprint")(spark, d)
         .filter(!col("bounds_ok")).isEmpty, s"winnow sketch size outside bounds at $d")
     }
@@ -100,6 +103,14 @@ class SparkEntrySpec extends SparkSpec {
     // Bench silently time the gated form again)
     val unknown = SparkEntry.benchOverrides.keySet.diff(SparkEntry.queries.keySet)
     assert(unknown.isEmpty, s"benchOverrides keys not in queries: $unknown")
+  }
+
+  test("tpch_q21 plans the EXISTS / NOT EXISTS pair as one semi and one anti join") {
+    val physical = SparkEntry.queries("tpch_q21")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("LeftSemi"), s"EXISTS not a semi join:\n$physical")
+    assert(physical.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$physical")
+    assert(!physical.contains("CartesianProduct"), s"q21 fell to a cartesian:\n$physical")
   }
 
   test("dedup_minhash equals the exact all-pairs Jaccard set on the test corpus") {
