@@ -1133,6 +1133,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           sum(col("bal_cents")).as("totacctbal_cents"))
     }),
+    // TPC-H Q8 shape: market share — one supplier nation's slice of a
+    // region's market for a part type, per year. The ratio is the
+    // integer pair (nation_rev, total_rev) like tpch_q14; the fact
+    // table threads two dim chains (supplier→nation for the numerator
+    // tag, customer→nation→region for the market filter), all dims
+    // broadcast, one group-by exchange on the year
+    "tpch_q8" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val r = t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(0L)).as("nation_rev"),
+          sum(col("volume")).as("total_rev"))
+    }),
 
     // ------------------------------------------------ similarity search
     "sim_topk_brute" -> ((s, dir) => {
@@ -1392,6 +1429,15 @@ object SparkEntry {
     "events_stream_join" -> ((s, dir) =>
       streaming.Events.clickPurchaseJoin(Engine.eventsTable(s, dir),
         withinMs = 10 * 60 * 1000L)),
+    // stream-stream LEFT OUTER interval join: non-converting clicks
+    // survive with -1 sentinels. In streaming execution the outer row
+    // emits at state eviction (watermark past click_ts + interval), so
+    // append mode stays correct; batch execution is the oracle form
+    // (StreamingSpec pins stream-vs-batch equivalence incl. the
+    // watermark-gated outer rows)
+    "events_stream_join_outer" -> ((s, dir) =>
+      streaming.Events.clickPurchaseJoin(Engine.eventsTable(s, dir),
+        withinMs = 10 * 60 * 1000L, joinType = "left_outer")),
     // funnel: per user with a click, the first purchase at or after the
     // first click (-1 = never converted); ms granularity on both the
     // query and the oracle
@@ -2428,6 +2474,26 @@ object SparkEntry {
           |                  WHERE o_custkey = c_custkey
           |                    AND o_orderpriority = '1-URGENT')
           |GROUP BY cntrycode""".stripMargin,
+      "tpch_q8" ->
+        """SELECT o_year,
+          |  cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+          |                ELSE 0 END) as bigint) AS nation_rev,
+          |  cast(sum(volume) as bigint) AS total_rev FROM (
+          |  SELECT cast(year(o_orderdate) as bigint) AS o_year,
+          |         n2.n_name AS supp_nation,
+          |         cast(floor(l_extendedprice * (1 - l_discount)) as bigint) AS volume
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          |  JOIN region ON n1.n_regionkey = r_regionkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+          |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01'
+          |) GROUP BY o_year""".stripMargin,
       // exact by construction: the CMS prune only removes keys below
       // threshold (over-count-only sketch), so plain GROUP BY/HAVING is
       // the full semantics
@@ -2785,6 +2851,19 @@ object SparkEntry {
           |FROM events c JOIN events p
           |  ON p.user_id = c.user_id
           | AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+          | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 600000000""".stripMargin,
+      // LEFT OUTER form: event_type filters move into subqueries (an
+      // ON-clause predicate cannot drop left rows), sentinels match the
+      // Spark side's -1 coalesce
+      "events_stream_join_outer" ->
+        """SELECT c.event_id AS click_id, c.user_id AS user_id,
+          |       epoch_ns(c.ts) // 1000000 AS click_ms,
+          |       coalesce(p.event_id, -1) AS purchase_id,
+          |       coalesce(epoch_ns(p.ts) // 1000000, -1) AS purchase_ms
+          |FROM (SELECT * FROM events WHERE event_type = 'click') c
+          |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  ON p.user_id = c.user_id
           | AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
           | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 600000000""".stripMargin,
       // session_window boundary: an event exactly gap after the previous

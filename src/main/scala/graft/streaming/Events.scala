@@ -128,11 +128,17 @@ object Events {
     * O(events within one watermark+interval span), the requirement for
     * an unbounded 100 TB/day stream. The same plan runs in batch (the
     * watermark is a no-op there), which is the oracle-checkable form.
+    *
+    * `joinType = "left_outer"` keeps non-converting clicks: in streaming
+    * execution the null-extended row is emitted only once the watermark
+    * passes the click's last possible match (the state-eviction point),
+    * so the outer result is append-mode-correct, not speculative.
     */
   def clickPurchaseJoin(
       events: DataFrame,
       withinMs: Long = 10 * 60 * 1000L,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
         col("ts").as("click_ts"))
@@ -145,10 +151,14 @@ object Events {
       col("c_user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMs MILLISECONDS"),
-      "inner")
+      joinType)
+      // unmatched clicks (left_outer) carry -1, never NULL: the sentinel
+      // keeps the surface hash-exact against the SQL oracle and typed
+      // Dataset-friendly (no boxing); a no-op for the inner form
       .select(col("click_id"), col("c_user_id").as("user_id"),
         unix_millis(col("click_ts")).as("click_ms"),
-        col("purchase_id"), unix_millis(col("purchase_ts")).as("purchase_ms"))
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(unix_millis(col("purchase_ts")), lit(-1L)).as("purchase_ms"))
   }
 
   /** Streaming exact dedup: first occurrence per content key wins, later

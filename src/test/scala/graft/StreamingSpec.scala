@@ -151,6 +151,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the unmatched click once the watermark passes") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val B = 86400000L
+    val data = Seq(
+      (1L, ts(B), 7L, "click"),            // converts via event 2
+      (2L, ts(B + 1000L), 7L, "purchase"),
+      (3L, ts(B + 2000L), 8L, "click"))    // never converts → -1 sentinels
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    val query = Events.clickPurchaseJoin(toDf(stream.toDF()), joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssjo_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(data: _*)
+      query.processAllAvailable()
+      // the outer row is NOT speculative: click 3 can still match until
+      // the watermark passes click_ts + interval, so it must be absent
+      val early = spark.table("ssjo_out").as[(Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(!early.exists(_._1 == 3L),
+        s"outer row emitted before state eviction: $early")
+      // advance the watermark far past click 3's last possible match.
+      // Each side's watermark op sits after its event_type filter and
+      // the GLOBAL watermark is the min of both, so the flush must feed
+      // BOTH branches (flush click and purchase on non-joining users);
+      // the watermark then updates at batch END and eviction runs in
+      // the NEXT batch, so a second nudge batch flushes the outer row
+      stream.addData(
+        (98L, ts(B + 100 * 60 * 1000L), 9L, "click"),
+        (99L, ts(B + 100 * 60 * 1000L), 10L, "purchase"))
+      query.processAllAvailable()
+      stream.addData((100L, ts(B + 101 * 60 * 1000L), 10L, "purchase"))
+      query.processAllAvailable()
+      val streamed = spark.table("ssjo_out").as[(Long, Long, Long, Long, Long)]
+        .collect().toSet
+      val batch = Events.clickPurchaseJoin(toDf(data.toDF()), joinType = "left_outer")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.exists(r => r._1 == 3L && r._4 == -1L && r._5 == -1L),
+        s"unmatched click missing its sentinel row: $streamed")
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per key within the watermark") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
