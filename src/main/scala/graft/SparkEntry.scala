@@ -708,6 +708,11 @@ object SparkEntry {
     // corpus vocabulary: top terms by document frequency
     "text_topterms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 30)),
+    // per-document tf·idf top-3 (integer-only surface: score stays in
+    // the plan, ranking proven identical because idf = N/df orders the
+    // same as log(N/df))
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
     // PII scrub: redaction counts + hash of the scrubbed text (proves
     // the replacement itself matches, not just the counts)
     "text_pii_scrub" -> ((s, dir) => {
@@ -2815,6 +2820,24 @@ object SparkEntry {
           |GROUP BY term
           |ORDER BY doc_freq DESC, n_occurrences DESC, term ASC
           |LIMIT 30""".stripMargin,
+      // tf*n_docs/df is a correctly-rounded IEEE division of exact
+      // integers on both engines, so the per-doc ordering is identical;
+      // the double itself never appears in the output
+      "text_tfidf" ->
+        """WITH terms AS (
+          |  SELECT doc_id,
+          |         unnest(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+')) AS term
+          |  FROM documents),
+          |tfx AS (SELECT doc_id, term, count(*) AS tf
+          |        FROM terms WHERE term <> '' GROUP BY 1, 2),
+          |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY 1),
+          |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+          |SELECT doc_id, term, tf, df, rank FROM (
+          |  SELECT tfx.doc_id, tfx.term, tf, df,
+          |         row_number() OVER (PARTITION BY tfx.doc_id
+          |           ORDER BY tf * n_docs / df DESC, tfx.term ASC) AS rank
+          |  FROM tfx JOIN dfx USING (term), n)
+          |WHERE rank <= 3""".stripMargin,
 
       // identical md5-derived bucket on both sides: first 8 hex chars of
       // md5(doc_id) as an unsigned int, mod 100

@@ -125,6 +125,37 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("n_occurrences").desc, col("term").asc)
       .limit(k)
 
+  /** Per-document top-k terms by tf·idf with idf = N/df (no logarithm:
+    * log is monotone in N/df, so the RANKING is identical, and the
+    * output stays integer-only — (doc_id, term, tf, df, rank) — for the
+    * hash-exact oracle; the score itself never leaves the plan). The
+    * tf·N/df sort key is a correctly-rounded IEEE division of exact
+    * integers, so any two engines order identically; ties break on the
+    * term. Three shuffles at scale: tf (doc,term), the vocabulary-sized
+    * df aggregate joined back on term, and the per-doc ranking window —
+    * each key-partitioned, nothing corpus-sized broadcasts.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), wsRun)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(df, Seq("term"))
+      .join(broadcast(nDocs))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy((col("tf") * col("n_docs") / col("df")).desc,
+            col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
