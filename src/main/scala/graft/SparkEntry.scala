@@ -477,6 +477,32 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_distinct"),
           (abs(col("hll") - col("n_distinct"))
             <= col("n_distinct") * 0.15).as("hll_ok"))),
+    // mergeable-sketch pattern (Apache DataSketches HLL): per-group
+    // sketches built independently, then UNIONED to a global estimate —
+    // the incremental-distinct design at 100 TB (store a per-day/per-
+    // partition sketch table, answer "distinct over any range" by
+    // merging binary sketches, never rescanning raw data). Gates:
+    // merge_lossless_ok — union-of-partial-sketches estimates EXACTLY
+    // what one direct whole-table sketch estimates (same lgK, the
+    // datasketches union contract), and accuracy_ok — the estimate is
+    // within 5% of the exact distinct count (lgK=14 → rsd ≈ 0.8%)
+    "distinct_hll_merge" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val perType = e.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val merged = perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_merged"))
+      val direct = e
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+          .as("est_direct"))
+      val exact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.crossJoin(merged).crossJoin(direct)
+        .select(col("n_exact"),
+          (col("est_merged") === col("est_direct")).as("merge_lossless_ok"),
+          (abs(col("est_merged") - col("n_exact"))
+            <= col("n_exact") * 0.05 + lit(10)).as("accuracy_ok"))
+    }),
     // heavy hitters via sketch-prune + exact verify: a Count-Min sketch
     // (one treeAggregate pass, no shuffle) filters the fact table down
     // to candidate-key rows BEFORE the exact group-by, so the shuffle
@@ -1542,6 +1568,38 @@ object SparkEntry {
             .when(col("upd_balance").isNotNull, "insert")
             .otherwise("keep").as("action"))
     }),
+    // snapshot diff: two deterministic versions of the orders table
+    // (old drops keys %97=0, new drops %89=0 and rewrites the priority
+    // of %101=0) reconciled into added/removed/changed/unchanged counts.
+    // The shuffle carries (key, md5) digests only — see Joins.tableDiff
+    "table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("p"))
+      val newSnap = o.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"),
+          concat_ws("|", col("o_orderstatus"),
+            when(col("o_orderkey") % 101 === 0, lit("9-CHANGED"))
+              .otherwise(col("o_orderpriority"))).as("p"))
+      Joins.tableDiff(oldSnap, newSnap, "o_orderkey", "p")
+    }),
+    // order-independent table checksum: bit_xor of a 60-bit md5 prefix
+    // per row — equal multisets of rows give equal checksums whatever
+    // the partitioning or row order, the cheap cross-engine integrity
+    // probe at 100 TB (one scan, one 8-byte partial per partition, no
+    // shuffle; only key/string columns feed the digest so the text form
+    // is engine-portable)
+    "agg_checksum" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val rowHash = conv(substring(md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))), 1, 15), 16, 10)
+        .cast("long")
+      o.select(rowHash.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("checksum"))
+    }),
     // SCD-2 history: per (user, event_type) value-change intervals —
     // [valid_from, valid_to) rows built with one lead() window over the
     // (ts, event_id) total order; open intervals close at +inf (-1).
@@ -1901,6 +1959,37 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct,
           |       true AS hll_ok
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      // gated mergeable-sketch invariants: exact count recomputed; the
+      // union-vs-direct equality and accuracy booleans are Spark-side
+      "distinct_hll_merge" ->
+        """SELECT count(DISTINCT user_id) AS n_exact,
+          |       true AS merge_lossless_ok, true AS accuracy_ok
+          |FROM events""".stripMargin,
+      "table_diff" ->
+        """WITH oldv AS (
+          |  SELECT o_orderkey AS k,
+          |         concat_ws('|', o_orderstatus, o_orderpriority) AS p
+          |  FROM orders WHERE o_orderkey % 97 <> 0),
+          |newv AS (
+          |  SELECT o_orderkey AS k, concat_ws('|', o_orderstatus,
+          |    CASE WHEN o_orderkey % 101 = 0 THEN '9-CHANGED'
+          |         ELSE o_orderpriority END) AS p
+          |  FROM orders WHERE o_orderkey % 89 <> 0)
+          |SELECT CASE WHEN o.p IS NULL THEN 'added'
+          |            WHEN n.p IS NULL THEN 'removed'
+          |            WHEN o.p <> n.p THEN 'changed'
+          |            ELSE 'unchanged' END AS diff_class,
+          |       count(*) AS n_rows
+          |FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k
+          |GROUP BY 1""".stripMargin,
+      // identical md5 and 60-bit prefix on both engines; bit_xor is
+      // order-independent so partitioning never changes the value
+      "agg_checksum" ->
+        """SELECT count(*) AS n_rows,
+          |       bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+          |         o_orderkey, o_custkey, o_orderstatus, o_orderpriority)),
+          |         1, 15)) AS BIGINT)) AS checksum
+          |FROM orders""".stripMargin,
       "agg_percentile_approx" ->
         """SELECT l_returnflag,
           |       round(quantile_cont(floor(l_quantity), 0.25), 6) AS p25,

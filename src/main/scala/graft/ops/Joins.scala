@@ -194,4 +194,29 @@ object Joins {
       .filter(leftKey >= lo && leftKey < hi)
       .drop("__bucket")
   }
+
+  /** Snapshot reconciliation: classify every key of two table versions
+    * as added / removed / changed / unchanged and count each class —
+    * the dataset-versioning diff (complementing [[mergeUpsert]] /
+    * SCD-2, which APPLY changes; this one MEASURES them).
+    *
+    * 100 TB shape: both sides reduce to (key, md5(payload)) BEFORE the
+    * full-outer join, so the shuffle carries 16-byte digests + keys,
+    * never payload columns — diffing two wide snapshots moves the same
+    * bytes as diffing two narrow ones. One co-partitioned exchange per
+    * side, then a tiny 4-row aggregate.
+    */
+  def tableDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String, payloadCol: String): DataFrame = {
+    val a = oldDf.select(col(keyCol).as("k"), md5(col(payloadCol)).as("h_old"))
+    val b = newDf.select(col(keyCol).as("k"), md5(col(payloadCol)).as("h_new"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(when(col("h_old").isNull, "added")
+        .when(col("h_new").isNull, "removed")
+        .when(col("h_old") =!= col("h_new"), "changed")
+        .otherwise("unchanged").as("diff_class"))
+      .groupBy(col("diff_class"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
 }
