@@ -825,6 +825,27 @@ object SparkEntry {
         col("event_type"),
         Map("view" -> 10, "click" -> 75, "purchase" -> 100), defaultPct = 50)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))),
+    // deterministic importance sampling: keep probability ∝ token count
+    // (capped at 90%) — the quality-weighted mix step, RNG-free so the
+    // oracle recomputes the exact kept set from the same md5 buckets
+    "sample_weighted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = least(lit(90L), TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.weightedSample(d, col("doc_id"), w)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("text")).cast("long")).as("n_chars_kept"))
+        .crossJoin(d.agg(count(lit(1)).as("n_total")))
+    }),
+    // Z-order (Morton) clustering value: bit-interleave of the two join
+    // keys — the multi-column layout key (see ops/Layout.scaladoc and
+    // LayoutSpec's measured file-pruning comparison); the oracle replays
+    // the identical shift/and/or arithmetic
+    "layout_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          Layout.mortonInterleave(col("l_partkey"), col("l_suppkey"), 21)
+            .as("zval"))),
 
     // ------------------------------------------------ scalar function surface
     // JSON: extract a typed field from a JSON string column, aggregate it
@@ -2358,6 +2379,19 @@ object SparkEntry {
           |WHERE b < CASE event_type WHEN 'view' THEN 10 WHEN 'click' THEN 75
           |                          WHEN 'purchase' THEN 100 ELSE 50 END
           |GROUP BY event_type""".stripMargin,
+      "sample_weighted" ->
+        """WITH d AS (SELECT doc_id, text,
+          |    least(90, len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::BIGINT) AS w,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          |  FROM documents)
+          |SELECT count(*) FILTER (WHERE b < w) AS n_kept,
+          |       cast(sum(length(text)) FILTER (WHERE b < w) as bigint) AS n_chars_kept,
+          |       count(*) AS n_total
+          |FROM d""".stripMargin,
+      "layout_zorder" ->
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |       cast(${graft.ops.Layout.mortonSql("l_partkey", "l_suppkey", 21)} as bigint) AS zval
+           |FROM lineitem WHERE l_orderkey <= 100""".stripMargin,
 
       "func_json" ->
         """SELECT event_type, count(*) AS n,

@@ -56,4 +56,15 @@ object Sampling {
     }
     df.filter(hashBucket(id) < pct)
   }
+
+  /** Deterministic importance sampling: keep probability proportional to
+    * a PER-ROW integer weight in [0, 100] (a quality or length signal,
+    * any column expression), realized as bucket(id) < weight. The
+    * quality-weighted mix step of a training-data pipeline (keep good
+    * documents with high probability, boilerplate with low) without an
+    * RNG: a pure per-row filter — no shuffle, no state, identical rows
+    * on every re-run and in every engine.
+    */
+  def weightedSample(df: DataFrame, id: Column, weightPct: Column): DataFrame =
+    df.filter(hashBucket(id) < weightPct)
 }
