@@ -477,6 +477,22 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_distinct"),
           (abs(col("hll") - col("n_distinct"))
             <= col("n_distinct") * 0.15).as("hll_ok"))),
+    // bivariate statistics: correlation, covariance, least-squares
+    // slope/intercept per group — one partial/final aggregate pass (the
+    // merge formulas are Spark's DeclarativeAggregates, no second scan).
+    // Rounded to 6 dp on both engines: the values are O(1e3-1e4) with
+    // ~1e-10 absolute float noise from partial-aggregation order, so
+    // the rounding is 4 orders of magnitude above the noise floor
+    "agg_corr_regr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), floor(col("l_extendedprice")).as("p"),
+          floor(col("l_quantity")).as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("p"), col("q")), 6).as("corr_pq"),
+          round(covar_pop(col("p"), col("q")), 6).as("covar_pq"),
+          round(expr("regr_slope(p, q)"), 6).as("slope"),
+          round(expr("regr_intercept(p, q)"), 6).as("intercept"),
+          round(stddev_pop(col("q")), 6).as("sd_q"))),
     // mergeable-sketch pattern (Apache DataSketches HLL): per-group
     // sketches built independently, then UNIONED to a global estimate —
     // the incremental-distinct design at 100 TB (store a per-day/per-
@@ -1979,6 +1995,14 @@ object SparkEntry {
       "distinct_hll" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct,
           |       true AS hll_ok
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "agg_corr_regr" ->
+        """SELECT l_returnflag,
+          |  round(corr(floor(l_extendedprice), floor(l_quantity)), 6) AS corr_pq,
+          |  round(covar_pop(floor(l_extendedprice), floor(l_quantity)), 6) AS covar_pq,
+          |  round(regr_slope(floor(l_extendedprice), floor(l_quantity)), 6) AS slope,
+          |  round(regr_intercept(floor(l_extendedprice), floor(l_quantity)), 6) AS intercept,
+          |  round(stddev_pop(floor(l_quantity)), 6) AS sd_q
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
       // gated mergeable-sketch invariants: exact count recomputed; the
       // union-vs-direct equality and accuracy booleans are Spark-side
