@@ -750,6 +750,25 @@ object SparkEntry {
     // corpus vocabulary: top terms by document frequency
     "text_topterms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 30)),
+    // sequence-packing plan: concatenate-and-cut docs into 2048-token
+    // context windows, 32 independent shards (each shard packs its own
+    // doc_id-ordered stream, so the cumulative sum is a per-shard
+    // window — partition-parallel, no global sort; the shard count is
+    // the parallelism knob at corpus scale). A doc's bin is the window
+    // containing its FIRST token: (cum - n_tok) div 2048 — exact
+    // integer arithmetic, replayed verbatim by the oracle
+    "text_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(32)).cast("int").as("shard"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      d.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 2048"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }),
     // per-document tf·idf top-3 (integer-only surface: score stays in
     // the plan, ranking proven identical because idf = N/df orders the
     // same as log(N/df))
@@ -2967,6 +2986,15 @@ object SparkEntry {
           |GROUP BY term
           |ORDER BY doc_freq DESC, n_occurrences DESC, term ASC
           |LIMIT 30""".stripMargin,
+      "text_pack" ->
+        """WITH d AS (SELECT doc_id, cast(doc_id % 32 as int) AS shard,
+          |    len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::BIGINT AS n_tok
+          |  FROM documents),
+          |c AS (SELECT shard, doc_id, n_tok,
+          |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM d)
+          |SELECT shard, (cum - n_tok) // 2048 AS bin,
+          |       count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tokens
+          |FROM c GROUP BY 1, 2""".stripMargin,
       // tf*n_docs/df is a correctly-rounded IEEE division of exact
       // integers on both engines, so the per-doc ordering is identical;
       // the double itself never appears in the output
