@@ -119,4 +119,22 @@ class JoinsSpec extends SparkSpec {
     assert(salted === plain)
     assert(plain("dim_3") > 800L)
   }
+
+  test("tableDiff classes partition the key universe and count each change kind") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // old: keys 1..100; new: drops %7=0, adds 101..110, rewrites %11=0
+    val oldDf = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "p")
+    val newDf = ((1L to 100L).filter(_ % 7 != 0) ++ (101L to 110L))
+      .map(k => (k, if (k <= 100 && k % 11 == 0) "CHANGED" else s"v$k"))
+      .toDF("k", "p")
+    val classes = Joins.tableDiff(oldDf, newDf, "k", "p")
+      .as[(String, Long)].collect().toMap
+    val removed = (1L to 100L).count(k => k % 7 == 0)
+    val changed = (1L to 100L).count(k => k % 7 != 0 && k % 11 == 0)
+    assert(classes("added") === 10L)
+    assert(classes("removed") === removed.toLong)
+    assert(classes("changed") === changed.toLong)
+    assert(classes.values.sum === 110L) // |keys(old) ∪ keys(new)|
+  }
 }
