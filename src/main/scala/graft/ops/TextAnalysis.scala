@@ -144,10 +144,19 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency as a COUNT window over the tf frame, not a
+    // separate groupBy+join: a self-join's two aggregate branches don't
+    // canonicalize to the same subtree (tf keeps count(1), df prunes
+    // it), so AQE cannot stage-cache them and the corpus would be
+    // scanned + exploded TWICE (observed in the final sf0.1 plan), with
+    // the corpus-sized tf side broadcast to boot. The window form has
+    // ONE lineage: scan → tf aggregate → term-partitioned window →
+    // doc-partitioned ranking window — three key-partitioned exchanges,
+    // one corpus scan, nothing corpus-sized broadcast.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-    tf.join(df, Seq("term"))
-      .join(broadcast(nDocs))
+    withDf.join(broadcast(nDocs))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy((col("tf") * col("n_docs") / col("df")).desc,
