@@ -301,6 +301,37 @@ class StreamingSpec extends SparkSpec {
     assert(batches.drop(before).map(_._2).sum === 0L)
   }
 
+  test("checkpointed parquet sink with Trigger.AvailableNow equals the batch transform") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the incremental-batch pattern: process everything available, write
+    // exactly-once to files (checkpoint + sink log dedup the work), stop.
+    // The parquet the stream wrote must equal the batch execution of the
+    // same transform; a rerun from the same checkpoint must write NOTHING.
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    def run(): Unit = {
+      val q = Events.readStream(spark, sfDir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "sink query did not finish")
+    }
+    run()
+    val batch = Engine.eventsTable(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"))
+      .as[(Long, Long)].collect().toSet
+    val streamed = spark.read.parquet(s"$base/out")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    run() // exactly-once: no new input → no new rows
+    val after = spark.read.parquet(s"$base/out").count()
+    assert(after === batch.size.toLong)
+  }
+
   test("readStream over events parquet produces the batch row count") {
     val streamed = Events.readStream(spark, sfDir)
     assert(streamed.isStreaming)
