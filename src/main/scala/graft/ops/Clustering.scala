@@ -41,10 +41,34 @@ object Clustering {
     * Empty clusters keep their previous centroid (standard Lloyd's
     * fallback; no re-seeding, which would break determinism).
     */
+  // Relation-keyed model cache (same build-once pattern as
+  // Q4112's dense/stats caches): the trainer is deterministic — a pure
+  // function of (relation, idCol, vecCol, k, maxIter) — so a repeated
+  // query over an UNCHANGED relation reuses the trained model instead
+  // of re-running maxIter Lloyd's passes. Keyed on the CANONICALIZED
+  // logical plan (Spark's own sameResult notion).
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String, Int, Int), KmeansModel]
+
+  def clearModelCache(): Unit = modelCache.clear()
+
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int): (DataFrame, KmeansModel) = {
     require(k > 0 && maxIter > 0)
+    val key = (df.queryExecution.optimizedPlan.canonicalized,
+      idCol, vecCol, k, maxIter)
+    val model = modelCache.computeIfAbsent(key,
+      _ => train(df, idCol, vecCol, k, maxIter))
+    val assignments = df.select(col(idCol),
+      KmeansKernels.nearestIndex(col(vecCol), model.centroids).as("cluster"))
+    (assignments, model)
+  }
+
+  private def train(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int): KmeansModel = {
     val proj = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -100,11 +124,8 @@ object Clustering {
       it += 1
     }
 
-    val assignments = proj
-      .withColumn("cluster", KmeansKernels.nearestIndex(col("vec"), centroids))
-      .select(col("id").as(idCol), col("cluster"))
     proj.unpersist(blocking = false)
-    (assignments, KmeansModel(centroids, trace.result()))
+    KmeansModel(centroids, trace.result())
   }
 
   /** Cluster-stratified diversity sample: at most `perCluster` rows from

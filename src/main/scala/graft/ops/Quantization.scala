@@ -43,9 +43,25 @@ object Quantization {
     * model is a pure function of the input. Empty codes keep their
     * previous centroid (standard Lloyd's fallback).
     */
+  // Relation-keyed trained-model cache — build-once semantics, same
+  // pattern as Clustering.modelCache / Q4112's dense cache: the trainer
+  // is deterministic, so an unchanged relation reuses its codebooks.
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String, Int, Int, Int), PqModel]
+
+  def clearModelCache(): Unit = modelCache.clear()
+
   def trainPq(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, maxIter: Int): PqModel = {
     require(m > 0 && k > 1 && k <= 256 && maxIter > 0)
+    modelCache.computeIfAbsent(
+      (df.queryExecution.optimizedPlan.canonicalized, idCol, vecCol, m, k, maxIter),
+      _ => trainPqUncached(df, idCol, vecCol, m, k, maxIter))
+  }
+
+  private def trainPqUncached(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, maxIter: Int): PqModel = {
     val proj = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seeds = proj.orderBy(xxhash64(col("id")), col("id")).limit(k)
