@@ -845,6 +845,53 @@ object SparkEntry {
           sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_neg_value"),
           (count(lit(1)) - countDistinct(col("event_id"))).as("n_dup_ids"),
           min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
+    // distribution drift between the train and test splits: token-count
+    // histogram L1 distance in CROSS-MULTIPLIED integer form —
+    // Σ_b |c_train[b]·N_test − c_test[b]·N_train| is the L1 distance
+    // scaled by N_train·N_test, so the drift statistic is exact integer
+    // arithmetic (no normalization floats) and hash-gateable. The mix-
+    // monitoring probe of a training pipeline: a biased split or a
+    // shifted ingest batch moves it sharply; rerun it per snapshot and
+    // diff. One scan + one 10-row aggregate
+    "drift_l1" -> ((s, dir) => {
+      val d = Sampling.deterministicSplit(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        col("doc_id"))
+      val counts = d
+        .withColumn("bucket", least(lit(9L), expr("n_tok div 10")))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("c_test"))
+      val tot = counts.agg(sum(col("c_train")).as("n_train"),
+        sum(col("c_test")).as("n_test"))
+      counts.crossJoin(broadcast(tot))
+        .agg(sum(abs(col("c_train") * col("n_test")
+          - col("c_test") * col("n_train"))).as("l1_cross"),
+          max(col("n_train")).as("n_train"), max(col("n_test")).as("n_test"))
+    }),
+    // referential-integrity audit: fact rows whose FK has no dim match,
+    // per FK — left-anti probes (broadcast for dims, shuffled at scale).
+    // n_orphan_* = 0 gates the testdata's integrity; the _halfdim
+    // column PROVES the probe detects breaks (dim restricted to even
+    // keys → real orphan count)
+    "dq_orphans" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+      def orphans(fk: String, dim: DataFrame, dk: String) =
+        li.join(dim, col(fk) === col(dk), "left_anti")
+          .agg(count(lit(1)).as(s"n_orphan_$fk"))
+      val halfDim = t(s, dir, "part")
+        .filter(col("p_partkey") % 2 === 0).select(col("p_partkey"))
+      orphans("l_partkey", t(s, dir, "part").select(col("p_partkey")), "p_partkey")
+        .crossJoin(orphans("l_suppkey",
+          t(s, dir, "supplier").select(col("s_suppkey")), "s_suppkey")
+          .withColumnRenamed("n_orphan_l_suppkey", "n_orphan_supp"))
+        .withColumnRenamed("n_orphan_l_partkey", "n_orphan_part")
+        .crossJoin(li.join(halfDim, col("l_partkey") === col("p_partkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_halfdim")))
+    }),
     // deterministic content-hash train/valid/test split (stable across
     // runs, partitionings, and engines — md5-derived bucket)
     "sample_split" -> ((s, dir) =>
@@ -3014,6 +3061,29 @@ object SparkEntry {
           |  FROM tfx JOIN dfx USING (term), n)
           |WHERE rank <= 3""".stripMargin,
 
+      "drift_l1" ->
+        """WITH d AS (
+          |  SELECT least(9, len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::BIGINT // 10) AS bucket,
+          |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          |  FROM documents),
+          |c AS (
+          |  SELECT bucket,
+          |         cast(sum(CASE WHEN b < 80 THEN 1 ELSE 0 END) as bigint) AS c_train,
+          |         cast(sum(CASE WHEN b >= 90 THEN 1 ELSE 0 END) as bigint) AS c_test
+          |  FROM d GROUP BY bucket),
+          |t AS (SELECT cast(sum(c_train) as bigint) AS n_train,
+          |             cast(sum(c_test) as bigint) AS n_test FROM c)
+          |SELECT cast(sum(abs(c_train * n_test - c_test * n_train)) as bigint) AS l1_cross,
+          |       max(n_train) AS n_train, max(n_test) AS n_test
+          |FROM c, t""".stripMargin,
+      "dq_orphans" ->
+        """SELECT
+          |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+          |     (SELECT p_partkey FROM part)) AS n_orphan_part,
+          |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+          |     (SELECT s_suppkey FROM supplier)) AS n_orphan_supp,
+          |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+          |     (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0)) AS n_orphan_halfdim""".stripMargin,
       // identical md5-derived bucket on both sides: first 8 hex chars of
       // md5(doc_id) as an unsigned int, mod 100
       "sample_split" ->
