@@ -1671,6 +1671,34 @@ object SparkEntry {
             .when(col("upd_balance").isNotNull, "insert")
             .otherwise("keep").as("action"))
     }),
+    // DataSource V2 generator (sources/GenSource): the q4112 items
+    // generator as a REAL pushdown-aware Spark source. Gate: the
+    // source's row SET is exactly the declarative generator's (anti-
+    // joins both ways), aggregates agree, and the count matches the
+    // constant the oracle expects. Pruning/pushdown/statistics behavior
+    // is pinned by SourceV2Spec
+    "source_gen_v2" -> ((s, dir) => {
+      val rows = 20000L; val genSeed = 4112L; val valMax = 1000000L
+      val v2 = s.read.format("graft.sources.GenSource")
+        .option("rows", rows).option("seed", genSeed)
+        .option("valMax", valMax).option("partitions", 8).load()
+      val decl = gen.Q4112Gen.items(s, graft.model.GenConfig(
+        innerTuples = rows, innerSelectivity = 1.0, innerValMax = valMax,
+        outerTuples = rows, outerSelectivity = 1.0, outerValMax = 100L,
+        groups = 1L, hhGroups = 0L, hhProbability = 0.0, seed = genSeed)).toDF()
+      val aggV2 = v2.agg(count(lit(1)).as("n_v2"), sum(col("price")).as("s_v2"))
+      val aggD = decl.agg(count(lit(1)).as("n_d"), sum(col("price")).as("s_d"))
+      val extra = v2.join(decl, Seq("id", "price"), "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      val missing = decl.join(v2, Seq("id", "price"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      aggV2.crossJoin(aggD).crossJoin(extra).crossJoin(missing)
+        .select(col("n_v2").as("n_rows"),
+          (col("n_v2") === col("n_d") && col("s_v2") === col("s_d"))
+            .as("agg_agree_ok"),
+          (col("n_extra") === 0L && col("n_missing") === 0L)
+            .as("rowset_equal_ok"))
+    }),
     // snapshot diff: two deterministic versions of the orders table
     // (old drops keys %97=0, new drops %89=0 and rewrites the priority
     // of %101=0) reconciled into added/removed/changed/unchanged counts.
@@ -2076,6 +2104,11 @@ object SparkEntry {
         """SELECT count(DISTINCT user_id) AS n_exact,
           |       true AS merge_lossless_ok, true AS accuracy_ok
           |FROM events""".stripMargin,
+      // gated DSv2 source: the equality booleans are computed Spark-side
+      // (the oracle engine cannot evaluate the xxhash64 fold)
+      "source_gen_v2" ->
+        """SELECT CAST(20000 AS BIGINT) AS n_rows,
+          |       true AS agg_agree_ok, true AS rowset_equal_ok""".stripMargin,
       "table_diff" ->
         """WITH oldv AS (
           |  SELECT o_orderkey AS k,

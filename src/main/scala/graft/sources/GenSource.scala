@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 form of the q4112 items generator (`graft.gen.Q4112Gen
+  * .items`): `spark.read.format("graft.sources.GenSource")` with options
+  * `rows`, `seed`, `valMax`, `partitions`. The reference's generator is
+  * an in-memory array fill (q4112_gen.o, q4112_main.c:101-119); this is
+  * its Spark-native source form — the engine plans AGAINST it like any
+  * table instead of materializing it first.
+  *
+  * Every row is a pure function of (seed, id) via the same xxhash64 fold
+  * Catalyst's `xxhash64(lit(seed), $"id")` evaluates, so the source is
+  * bit-identical to the declarative generator (pinned by SourceV2Spec
+  * and the `source_gen_v2` oracle gate) at any partition count.
+  *
+  * The three integration points a production source needs are all real:
+  *  - column pruning (`SupportsPushDownRequiredColumns`): `select(price)`
+  *    never materializes ids;
+  *  - predicate pushdown (`SupportsPushDownFilters`): id-range filters
+  *    narrow the GENERATED range — the source-level analog of partition
+  *    pruning, rows outside the bound are never produced;
+  *  - statistics (`SupportsReportStatistics`): rowCount/sizeInBytes
+  *    reach the planner with zero I/O, so join-side selection (e.g.
+  *    broadcast) works against the source like a parquet table with
+  *    catalog stats.
+  */
+class GenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // getTable receives the reader options with ORIGINAL key case —
+    // normalize so option("valMax", …) and option("valmax", …) agree
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GenTable(
+      opts.getLong("rows", 1000L),
+      opts.getLong("seed", 42L),
+      opts.getLong("valmax", 10000000L),
+      opts.getInt("partitions", 8))
+  }
+}
+
+object GenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("price", LongType, nullable = false)))
+
+  /** Catalyst's `xxhash64(lit(seed), id)`: fold over children with
+    * initial seed 42, each step `hash(value, LongType, acc)`.
+    */
+  def priceOf(genSeed: Long, id: Long, valMax: Long): Long = {
+    val h1 = XxHash64Function.hash(genSeed, LongType, 42L)
+    val h2 = XxHash64Function.hash(id, LongType, h1)
+    val m = valMax + 1L
+    val r = h2 % m
+    if (r < 0) r + m else r
+  }
+}
+
+class GenTable(rows: Long, seed: Long, valMax: Long, partitions: Int)
+    extends Table with SupportsRead {
+  override def name: String = s"graft_gen_items($rows)"
+  override def schema: StructType = GenSource.schema
+  override def capabilities: util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, seed, valMax, partitions)
+}
+
+class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = GenSource.schema
+  // generated id range [lo, hi), narrowed by pushed id bounds
+  private var lo: Long = 1L
+  private var hi: Long = rows + 1L
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) => true
+      case _ => false
+    }
+    handled.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1L)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1L)
+      case _ =>
+    }
+    pushed = handled
+    rest // Spark re-applies anything we do not fully handle; id bounds
+         // are exact here, so returning `rest` only is also correct
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GenScan(required, math.max(lo, 1L), math.min(hi, rows + 1L),
+      seed, valMax, partitions)
+}
+
+class GenScan(
+    required: StructType, lo: Long, hi: Long,
+    seed: Long, valMax: Long, partitions: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def sizeInBytes: util.OptionalLong =
+      util.OptionalLong.of(n * 8L * math.max(1, required.size))
+    override def numRows: util.OptionalLong = util.OptionalLong.of(n)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0) return Array.empty
+    val parts = math.max(1, math.min(partitions, n).toInt)
+    (0 until parts).map { i =>
+      GenRange(lo + n * i / parts, lo + n * (i + 1) / parts): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required.fieldNames, seed, valMax)
+}
+
+case class GenRange(start: Long, end: Long) extends InputPartition
+
+class GenReaderFactory(fields: Array[String], seed: Long, valMax: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[GenRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.start - 1L
+      override def next(): Boolean = { id += 1L; id < r.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "id" => id
+          case "price" => GenSource.priceOf(seed, id, valMax)
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

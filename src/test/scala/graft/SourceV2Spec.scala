@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.Q4112Gen
+import graft.model.GenConfig
+
+/** DataSource V2 generator source: bit-equality with the declarative
+  * generator, column pruning, id-range predicate pushdown (the source
+  * never PRODUCES out-of-range rows), and planner statistics.
+  */
+class SourceV2Spec extends SparkSpec {
+
+  private val rows = 5000L
+  private val seed = 42L
+  private val valMax = 1000000L
+
+  private def v2 = spark.read.format("graft.sources.GenSource")
+    .option("rows", rows).option("seed", seed)
+    .option("valMax", valMax).option("partitions", 7).load()
+
+  private def declarative = Q4112Gen.items(spark, GenConfig(
+    innerTuples = rows, innerSelectivity = 1.0, innerValMax = valMax,
+    outerTuples = rows, outerSelectivity = 1.0, outerValMax = 100L,
+    groups = 1L, hhGroups = 0L, hhProbability = 0.0, seed = seed)).toDF()
+
+  test("v2 source rows equal the declarative generator bit-for-bit") {
+    val a = v2.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = declarative.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.length === rows)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("column pruning reaches the source: price-only read emits 1-column batches") {
+    val df = v2.select(col("price"))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) === Seq("price"),
+      s"scan not pruned: ${scan.output}")
+  }
+
+  test("id-range filters push into generation: the scan emits only in-range rows") {
+    val df = v2.filter(col("id") >= 100L && col("id") <= 199L)
+    assert(df.count() === 100L)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    df.collect()
+    val produced = scan.metrics("numOutputRows").value
+    assert(produced === 100L,
+      s"filter not pushed: source produced $produced rows for a 100-row range")
+  }
+
+  test("source statistics reach the planner with zero jobs") {
+    val stats = v2.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(rows)),
+      s"rowCount missing from source stats: $stats")
+  }
+}
