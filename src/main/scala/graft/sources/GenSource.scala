@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,7 +49,8 @@ class GenSource extends TableProvider {
       opts.getLong("rows", 1000L),
       opts.getLong("seed", 42L),
       opts.getLong("valmax", 10000000L),
-      opts.getInt("partitions", 8))
+      opts.getInt("partitions", 8),
+      opts.getLong("batchrows", 1000L))
   }
 }
 
@@ -69,17 +71,19 @@ object GenSource {
   }
 }
 
-class GenTable(rows: Long, seed: Long, valMax: Long, partitions: Int)
+class GenTable(rows: Long, seed: Long, valMax: Long, partitions: Int,
+    batchRows: Long)
     extends Table with SupportsRead {
   override def name: String = s"graft_gen_items($rows)"
   override def schema: StructType = GenSource.schema
   override def capabilities: util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, seed, valMax, partitions)
+    new GenScanBuilder(rows, seed, valMax, partitions, batchRows)
 }
 
-class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int)
+class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
+    batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -113,16 +117,27 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int)
 
   override def build(): Scan =
     new GenScan(required, math.max(lo, 1L), math.min(hi, rows + 1L),
-      seed, valMax, partitions)
+      seed, valMax, partitions, batchRows)
 }
 
 class GenScan(
     required: StructType, lo: Long, hi: Long,
-    seed: Long, valMax: Long, partitions: Int)
+    seed: Long, valMax: Long, partitions: Int, batchRows: Long)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming form: the same generated range drained in micro-batches
+    * of at most `batchRows` ids — the rate-limited backfill pattern (a
+    * bounded historical range replayed through the streaming engine so
+    * downstream watermarks/sinks/checkpoints see it incrementally).
+    * Offsets are plain id positions; restart from a checkpoint resumes
+    * at the committed id because generation is a pure function of id.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GenMicroBatchStream(required, lo, hi, seed, valMax, partitions,
+      math.max(1L, batchRows))
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val n = math.max(0L, hi - lo)
@@ -145,6 +160,47 @@ class GenScan(
 }
 
 case class GenRange(start: Long, end: Long) extends InputPartition
+
+/** Offset = exclusive upper id already visible to the engine. */
+case class GenOffset(pos: Long) extends Offset {
+  override def json: String = pos.toString
+}
+
+class GenMicroBatchStream(
+    required: StructType, lo: Long, hi: Long,
+    seed: Long, valMax: Long, partitions: Int, batchRows: Long)
+    extends MicroBatchStream {
+
+  // admission control: each latestOffset() call reveals at most
+  // batchRows more ids, so the engine plans bounded micro-batches
+  @volatile private var revealed: Long = lo
+
+  override def initialOffset(): Offset = GenOffset(lo)
+  override def latestOffset(): Offset = {
+    revealed = math.min(hi, revealed + batchRows)
+    GenOffset(revealed)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    // a checkpoint restart resumes here: reveal nothing below it again
+    val p = json.toLong
+    if (p > revealed) revealed = p
+    GenOffset(p)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].pos
+    val e = end.asInstanceOf[GenOffset].pos
+    val n = math.max(0L, e - s)
+    if (n == 0) return Array.empty
+    val parts = math.max(1, math.min(partitions, n).toInt)
+    (0 until parts).map { i =>
+      GenRange(s + n * i / parts, s + n * (i + 1) / parts): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required.fieldNames, seed, valMax)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class GenReaderFactory(fields: Array[String], seed: Long, valMax: Long)
     extends PartitionReaderFactory {

@@ -53,4 +53,26 @@ class SourceV2Spec extends SparkSpec {
     assert(stats.rowCount.contains(BigInt(rows)),
       s"rowCount missing from source stats: $stats")
   }
+
+  test("micro-batch stream drains the range in bounded batches, equal to the batch read") {
+    val stream = spark.readStream.format("graft.sources.GenSource")
+      .option("rows", 1000L).option("seed", seed)
+      .option("valMax", valMax).option("partitions", 4)
+      .option("batchRows", 300L).load()
+    val q = stream.writeStream.format("memory").queryName("gen_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("gen_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = spark.read.format("graft.sources.GenSource")
+        .option("rows", 1000L).option("seed", seed).option("valMax", valMax)
+        .load().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 1000)
+      // admission control: 1000 rows at ≤300/batch needs ≥4 micro-batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4, s"expected ≥4 bounded micro-batches, saw $batches")
+    } finally q.stop()
+  }
 }
