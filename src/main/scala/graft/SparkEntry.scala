@@ -1500,7 +1500,9 @@ object SparkEntry {
         .crossJoin(sem.join(exact, Seq("id_a", "id_b"), "left_semi")
           .agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact_pairs"), col("subset_ok"),
-          (col("n_hit") > col("n_exact_pairs") * 0.125).as("recall_ok"))
+          // >= so the gate is vacuously true on a corpus with zero
+          // exact pairs (same convention as dedup_embedding's floor)
+          (col("n_hit") >= col("n_exact_pairs") * 0.125).as("recall_ok"))
     }),
 
     // ------------------------------------------------ multimodal plumbing

@@ -343,10 +343,13 @@ object Dedup {
       k: Int,
       maxIter: Int,
       threshold: Double): DataFrame = {
-    val (assigned, _) = Clustering.kmeans(emb, idCol, vecCol, k, maxIter)
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withCluster = vecs
-      .join(assigned.select(col(idCol).as("id"), col("cluster")), Seq("id"))
+    val (_, model) = Clustering.kmeans(emb, idCol, vecCol, k, maxIter)
+    // assignment is a pure projection against the trained centroids —
+    // computing it inline avoids re-scanning emb and shuffling the
+    // full-vector payload through an id join just to attach clusters
+    val withCluster = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cluster",
+        graft.functions.KmeansKernels.nearestIndex(col("v"), model.centroids))
     val a = withCluster
       .select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withCluster

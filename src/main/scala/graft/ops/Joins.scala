@@ -209,11 +209,18 @@ object Joins {
   def tableDiff(
       oldDf: DataFrame, newDf: DataFrame,
       keyCol: String, payloadCol: String): DataFrame = {
-    val a = oldDf.select(col(keyCol).as("k"), md5(col(payloadCol)).as("h_old"))
-    val b = newDf.select(col(keyCol).as("k"), md5(col(payloadCol)).as("h_new"))
-    a.join(b, Seq("k"), "full_outer")
-      .select(when(col("h_old").isNull, "added")
-        .when(col("h_new").isNull, "removed")
+    // presence is a separate non-null flag: md5(NULL) is NULL, so keying
+    // absence off hash nullity would misclassify a NULL payload as an
+    // absent row. The hash itself coalesces NULL to a reserved sentinel
+    // so NULL vs non-NULL payloads still compare as changed.
+    def side(df: DataFrame, h: String, in: String) =
+      df.select(col(keyCol).as("k"),
+        md5(coalesce(col(payloadCol).cast("string"), lit("\u0000null"))).as(h),
+        lit(true).as(in))
+    side(oldDf, "h_old", "in_old")
+      .join(side(newDf, "h_new", "in_new"), Seq("k"), "full_outer")
+      .select(when(col("in_old").isNull, "added")
+        .when(col("in_new").isNull, "removed")
         .when(col("h_old") =!= col("h_new"), "changed")
         .otherwise("unchanged").as("diff_class"))
       .groupBy(col("diff_class"))

@@ -68,9 +68,16 @@ object Layout {
     val (minA, maxA, minB, maxB) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val hi = (1L << bits) - 1
+    // divide BEFORE scaling: (c-lo)*hi overflows Long once the domain
+    // width exceeds Long.MaxValue/hi (~9e15 at bits=10 — nanosecond
+    // timestamp spans get there), silently wrecking the layout. The
+    // double fraction is exact enough for rank bucketing (hi ≤ 2^21 ≪
+    // 2^53); clamp guards the up==c edge rounding to hi+1
     def norm(c: Column, lo: Long, up: Long): Column =
       if (up == lo) lit(0L)
-      else (c.cast("long") - lit(lo)) * lit(hi) / lit(up - lo)
+      else least(lit(hi), greatest(lit(0L),
+        ((c.cast("long") - lit(lo)).cast("double") / lit((up - lo).toDouble)
+          * lit(hi.toDouble)).cast("long")))
     df.withColumn("__z", mortonInterleave(
         norm(col(colA), minA, maxA).cast("long"),
         norm(col(colB), minB, maxB).cast("long"), bits))

@@ -98,8 +98,12 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition {
-      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
-           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) => true
+      // the exclusive-bound rewrites add 1 to v — leave Long.MaxValue
+      // bounds unhandled (Spark re-applies them) instead of overflowing
+      // into a wrong empty/full scan
+      case GreaterThan("id", v: Long) => v < Long.MaxValue
+      case LessThanOrEqual("id", v: Long) => v < Long.MaxValue
+      case GreaterThanOrEqual("id", _: Long) | LessThan("id", _: Long) => true
       case _ => false
     }
     handled.foreach {

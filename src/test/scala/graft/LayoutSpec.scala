@@ -47,7 +47,7 @@ class LayoutSpec extends SparkSpec {
     // min/max-indexed reader (parquet row groups, a file-stats catalog)
     // prunes with
     def fileRanges(dir: String): Seq[(String, Long, Long)] =
-      Files.list(Paths.get(dir)).toArray.map(_.toString)
+      new java.io.File(dir).listFiles().map(_.toString)
         .filter(p => p.endsWith(".parquet")).toSeq
         .map { p =>
           val r = spark.read.parquet(p)
