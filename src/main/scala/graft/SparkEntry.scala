@@ -1267,6 +1267,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           sum(col("bal_cents")).as("totacctbal_cents"))
     }),
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
+    // revenue view is aggregated once, its scalar max broadcasts back
+    // as a 1-row frame, and ties all surface (both engines agree on
+    // the full max set, keeping the gate deterministic without LIMIT)
+    "tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.join(broadcast(mx)).filter(col("total_revenue") === col("mx"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
     // TPC-H Q8 shape: market share — one supplier nation's slice of a
     // region's market for a part type, per year. The ratio is the
     // integer pair (nation_rev, total_rev) like tpch_q14; the fact
@@ -2727,6 +2744,18 @@ object SparkEntry {
           |                  WHERE o_custkey = c_custkey
           |                    AND o_orderpriority = '1-URGENT')
           |GROUP BY cntrycode""".stripMargin,
+      "tpch_q15" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |         cast(sum(cast(floor(l_extendedprice * (1 - l_discount)) as bigint)) as bigint)
+          |           AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
       "tpch_q8" ->
         """SELECT o_year,
           |  cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
