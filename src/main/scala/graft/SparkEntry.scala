@@ -477,6 +477,45 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_distinct"),
           (abs(col("hll") - col("n_distinct"))
             <= col("n_distinct") * 0.15).as("hll_ok"))),
+    // deterministic mode: most frequent value per group with an explicit
+    // (count DESC, value ASC) tie-break — Spark's mode() and DuckDB's
+    // mode() both return an ARBITRARY value on ties, so the portable
+    // form is the one that pins the tie; WindowGroupLimit keeps one row
+    // per group ahead of the ranking exchange
+    "agg_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), floor(col("l_quantity")).as("qty"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n").desc, col("qty").asc)))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n"))
+    }),
+    // incremental aggregate maintenance: yesterday's aggregate + today's
+    // delta merge into the new aggregate WITHOUT rescanning the base —
+    // sum/count are mergeable partials, so the update costs O(delta) +
+    // O(groups). The gate proves merged == full recompute group-for-
+    // group (merge_equal_ok) and the oracle recomputes the full values
+    "agg_incremental" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          floor(col("l_quantity")).as("qty"))
+      def agg(df: DataFrame) = df.groupBy(col("l_returnflag"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      val base = agg(li.filter(col("l_orderkey") % 10 =!= 0))
+      val delta = agg(li.filter(col("l_orderkey") % 10 === 0))
+      val merged = base.unionByName(delta)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("sum_qty")).as("sum_qty"), sum(col("n_rows")).as("n_rows"))
+      val full = agg(li)
+      full.join(merged.withColumnRenamed("sum_qty", "m_sum")
+          .withColumnRenamed("n_rows", "m_n"), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("sum_qty"), col("n_rows"),
+          (col("sum_qty") === col("m_sum") && col("n_rows") === col("m_n"))
+            .as("merge_equal_ok"))
+    }),
     // bivariate statistics: correlation, covariance, least-squares
     // slope/intercept per group — one partial/final aggregate pass (the
     // merge formulas are Spark's DeclarativeAggregates, no second scan).
@@ -2108,6 +2147,21 @@ object SparkEntry {
       "distinct_hll" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct,
           |       true AS hll_ok
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "agg_mode" ->
+        """SELECT l_returnflag, mode_qty, n FROM (
+          |  SELECT l_returnflag, cast(floor(l_quantity) as bigint) AS mode_qty,
+          |         count(*) AS n,
+          |         row_number() OVER (PARTITION BY l_returnflag
+          |           ORDER BY count(*) DESC, cast(floor(l_quantity) as bigint) ASC) AS rk
+          |  FROM lineitem GROUP BY 1, 2)
+          |WHERE rk = 1""".stripMargin,
+      // gated incremental maintenance: full values recomputed by the
+      // oracle; the merged-equals-full boolean is Spark-side
+      "agg_incremental" ->
+        """SELECT l_returnflag,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty,
+          |       count(*) AS n_rows, true AS merge_equal_ok
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
       "agg_corr_regr" ->
         """SELECT l_returnflag,
