@@ -378,6 +378,22 @@ object SparkEntry {
           |  WHERE o.o_custkey = c.c_custkey
           |    AND o.o_totalprice * 2 > (SELECT max(o_totalprice) FROM sq_orders))""".stripMargin)
     }),
+    // WITH RECURSIVE through the parser (new SQL machinery in Spark 4):
+    // walk the synthetic parent chain k → k div 2 → … → 0 over the
+    // nation keys — per node, depth to root and the ancestor-key sum.
+    // Each recursion step is one self-join plan iteration; the identical
+    // SQL runs on the oracle engine
+    "sql_recursive" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("rc_nation")
+      s.sql(
+        """WITH RECURSIVE chain(node, cur, depth) AS (
+          |  SELECT n_nationkey, CAST(n_nationkey AS BIGINT), 0 FROM rc_nation
+          |  UNION ALL
+          |  SELECT node, cur DIV 2, depth + 1 FROM chain WHERE cur > 0)
+          |SELECT node, max(depth) AS depth_to_root,
+          |       sum(cur) AS ancestor_key_sum
+          |FROM chain GROUP BY node""".stripMargin)
+    }),
     // fixed-width integer histogram (group on a computed bucket key —
     // single shuffle, min/max/count per bucket)
     "agg_histogram" -> ((s, dir) =>
@@ -2148,6 +2164,14 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct,
           |       true AS hll_ok
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "sql_recursive" ->
+        """WITH RECURSIVE chain(node, cur, depth) AS (
+          |  SELECT n_nationkey, CAST(n_nationkey AS BIGINT), 0 FROM nation
+          |  UNION ALL
+          |  SELECT node, cur // 2, depth + 1 FROM chain WHERE cur > 0)
+          |SELECT node, max(depth) AS depth_to_root,
+          |       cast(sum(cur) as bigint) AS ancestor_key_sum
+          |FROM chain GROUP BY node""".stripMargin,
       "agg_mode" ->
         """SELECT l_returnflag, mode_qty, n FROM (
           |  SELECT l_returnflag, cast(floor(l_quantity) as bigint) AS mode_qty,
