@@ -378,6 +378,22 @@ object SparkEntry {
           |  WHERE o.o_custkey = c.c_custkey
           |    AND o.o_totalprice * 2 > (SELECT max(o_totalprice) FROM sq_orders))""".stripMargin)
     }),
+    // map-type scalar surface: build a map per row, transform its
+    // values with a lambda HOF, read entries back — the gate flattens
+    // everything to longs the oracle recomputes from the base columns,
+    // proving the map construction/transform/lookup round-trip
+    "func_map" -> ((s, dir) => {
+      val m = map(
+        lit("q"), floor(col("l_quantity")),
+        lit("p"), floor(col("l_extendedprice")))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), m.as("m"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(col("m")).cast("long").as("n_entries"),
+          element_at(col("m"), "q").as("q_val"),
+          element_at(transform_values(col("m"), (_, v) => v * 2), "p")
+            .as("p_doubled"))
+    }),
     // WITH RECURSIVE through the parser (new SQL machinery in Spark 4):
     // walk the synthetic parent chain k → k div 2 → … → 0 over the
     // nation keys — per node, depth to root and the ancestor-key sum.
@@ -2164,6 +2180,12 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct,
           |       true AS hll_ok
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "func_map" ->
+        """SELECT l_orderkey, l_linenumber,
+          |       CAST(2 AS BIGINT) AS n_entries,
+          |       cast(floor(l_quantity) as bigint) AS q_val,
+          |       cast(floor(l_extendedprice) as bigint) * 2 AS p_doubled
+          |FROM lineitem""".stripMargin,
       "sql_recursive" ->
         """WITH RECURSIVE chain(node, cur, depth) AS (
           |  SELECT n_nationkey, CAST(n_nationkey AS BIGINT), 0 FROM nation
