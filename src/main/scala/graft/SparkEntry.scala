@@ -378,6 +378,19 @@ object SparkEntry {
           |  WHERE o.o_custkey = c.c_custkey
           |    AND o.o_totalprice * 2 > (SELECT max(o_totalprice) FROM sq_orders))""".stripMargin)
     }),
+    // VARIANT semi-structured surface (Spark 4): parse the JSON props
+    // column ONCE into a variant, extract typed fields from the binary
+    // encoding — the modern replacement for repeated get_json_object
+    // string re-parses. Gate: typed extraction + per-type aggregate the
+    // oracle recomputes with its own JSON reader
+    "func_variant" -> ((s, dir) =>
+      Engine.eventsTable(s, dir)
+        .filter(col("props").isNotNull)
+        .select(col("event_type"),
+          try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
     // map-type scalar surface: build a map per row, transform its
     // values with a lambda HOF, read entries back — the gate flattens
     // everything to longs the oracle recomputes from the base columns,
@@ -2180,6 +2193,14 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct,
           |       true AS hll_ok
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "func_variant" ->
+        """SELECT event_type, count(*) AS n,
+          |       cast(sum(k) as bigint) AS sum_k,
+          |       min(k) AS min_k, max(k) AS max_k
+          |FROM (SELECT event_type,
+          |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |      FROM events WHERE props IS NOT NULL)
+          |GROUP BY event_type""".stripMargin,
       "func_map" ->
         """SELECT l_orderkey, l_linenumber,
           |       CAST(2 AS BIGINT) AS n_entries,
