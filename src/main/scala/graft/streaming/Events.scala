@@ -177,6 +177,31 @@ object Events {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Running per-key event count on the `transformWithState` API
+    * (Spark 4's arbitrary-state successor to mapGroupsWithState): one
+    * `ValueState[Long]` per key, updated per micro-batch, emitting the
+    * new total in Update mode. Requires the RocksDB state store
+    * provider; state survives across batches and checkpoints like any
+    * TWS operator. The spec pins equality with the batch groupBy count
+    * after the stream drains.
+    */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
   /** The static dimension used by [[enrichWithTypeDim]] — in a real
     * pipeline this is a catalog table re-read per micro-batch; here a
     * literal lookup so the oracle can recompute it as a CASE expression.

@@ -332,6 +332,41 @@ class StreamingSpec extends SparkSpec {
     assert(after === batch.size.toLong)
   }
 
+  test("transformWithState running count equals the batch groupBy across micro-batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, String)]
+      val q = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new Events.RunningCountProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        stream.addData((7L, "click"), (7L, "view"), (8L, "click"))
+        q.processAllAvailable()
+        // second batch: state must carry the first batch's totals
+        stream.addData((7L, "purchase"), (9L, "view"))
+        q.processAllAvailable()
+        val lastPerKey = spark.table("tws_out")
+          .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+          .as[(Long, Long)].collect().toMap
+        assert(lastPerKey === Map(7L -> 3L, 8L -> 1L, 9L -> 1L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("readStream over events parquet produces the batch row count") {
     val streamed = Events.readStream(spark, sfDir)
     assert(streamed.isStreaming)
