@@ -128,4 +128,40 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(agree - truth) < 0.35, s"edits=$edits truth=$truth agree=$agree")
     }
   }
+
+  test("weightedSample keeps an identical row set under any partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(1, 2000).select(col("id"),
+      (pmod(col("id") * 37, lit(100))).as("w"))
+    def kept(parts: Int): Set[Long] =
+      graft.ops.Sampling.weightedSample(df.repartition(parts), col("id"), col("w"))
+        .select("id").as[Long].collect().toSet
+    val base = kept(1)
+    assert(base === kept(7) && base === kept(32))
+    assert(base.nonEmpty && base.size < 1999)
+    // membership is the bucket predicate itself, independently replayed
+    val expect = (1L until 2000L).filter { id =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16)
+      (h % 100) < ((id * 37) % 100)
+    }.toSet
+    assert(base === expect)
+  }
+
+  test("morton interleave is injective over the bit domain and preserves prefix locality") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    val zs = df.select(graft.ops.Layout.mortonInterleave(col("a"), col("b"), 6).as("z"))
+      .collect().map(_.getLong(0))
+    // 64×64 grid → all 4096 z-values distinct (injectivity = decodability)
+    assert(zs.distinct.length === 4096)
+    // locality: equal high bit-pairs ⇔ same grid quadrant
+    val quadrant = df.select((col("a") >= 32).cast("int") +
+      (col("b") >= 32).cast("int") * 2).collect().map(_.getInt(0))
+    zs.map(z => (z >> 10).toInt).zip(quadrant).foreach { case (zq, gq) =>
+      assert(zq === gq, "z high bits must encode the grid quadrant")
+    }
+  }
 }
