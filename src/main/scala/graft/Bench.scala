@@ -43,6 +43,26 @@ object Bench {
     try exec(SparkEntry.queries("q4112_part1")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // fixed-work calibration probe, run first and last: a deterministic
+    // CPU spin (128M xxh64 mixes across 32 tasks) + one tiny shuffle.
+    // Identical work every run, so calib_pre/calib_post quantify the
+    // box's effective throughput DURING this bench — a loaded machine
+    // (round-5's driver run recorded 9.3 s for a 0.4 s query under
+    // external load) is self-evident from inflated probe times instead
+    // of needing an idle-box reproduction to detect post-hoc.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      time {
+        spark.range(0, 128L * 1024 * 1024, 1, 32)
+          .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
+          .select(pmod(org.apache.spark.sql.functions.col("h"), lit(97)).as("b"))
+          .groupBy("b").count()
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    calibrate() // warm the probe's own codegen path
+    val calibPre = calibrate()
+
     // best-of-2 per query, like the reference's best-of-5 CSV convention
     // (BASELINE.md): run 1 absorbs first-touch costs (parquet footers,
     // codegen, JIT) that are not steady-state engine throughput.
@@ -75,9 +95,11 @@ object Bench {
     // every timing to 9 error messages) — keep the stdout line minimal:
     // timings + failed query NAMES only. Full error messages go to a
     // sidecar file and stderr.
+    val calibPost = calibrate()
+    val calib = f""""calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f"""
     val errNames = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$errNames,"n_failed":${errors.size},"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"failed":$errNames,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft-bench.json"), full)
     catch { case _: Throwable => () }

@@ -30,6 +30,21 @@ object SparkEntry {
     t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), floor(col("l_quantity")).as("quantity"))
 
+  /** Evaluates a 1-row (long, boolean, boolean) invariant gate EAGERLY,
+    * unpersists its scoped caches, and returns the result as a literal
+    * row. Gate caches exist only because the gate reads its inputs 2-3×
+    * within one evaluation; letting them outlive the call accumulates
+    * cached plans in executor storage across Verify + bench repetitions
+    * for the session lifetime.
+    */
+  private def evalGateRow(s: SparkSession, gate: DataFrame,
+      cached: Seq[DataFrame], names: (String, String, String)): DataFrame = {
+    val row = try gate.collect()(0) finally cached.foreach(_.unpersist())
+    import s.implicits._
+    Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
+      .toDF(names._1, names._2, names._3)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q4112_part2")(spark, "/root/testdata/sf0.001")
@@ -381,13 +396,16 @@ object SparkEntry {
     // VARIANT semi-structured surface (Spark 4): parse the JSON props
     // column ONCE into a variant, extract typed fields from the binary
     // encoding — the modern replacement for repeated get_json_object
-    // string re-parses. Gate: typed extraction + per-type aggregate the
-    // oracle recomputes with its own JSON reader
+    // string re-parses. try_parse_json (not strict parse_json) so a
+    // malformed row yields NULL k instead of failing the query — the
+    // same lenient null semantics as the oracle's json_extract_string.
+    // Gate: typed extraction + per-type aggregate the oracle recomputes
+    // with its own JSON reader
     "func_variant" -> ((s, dir) =>
       Engine.eventsTable(s, dir)
         .filter(col("props").isNotNull)
         .select(col("event_type"),
-          try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+          try_variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
@@ -664,7 +682,7 @@ object SparkEntry {
           .jaccardSorted(col("sh_a"), col("sh_b")).as("j"))
       val nearExact = Dedup.ngramJaccardPairs(slice, "doc_id", "text",
         n = 5, threshold = 0.9)
-      nearExact.agg(count(lit(1)).as("n_near09"))
+      evalGateRow(s, nearExact.agg(count(lit(1)).as("n_near09"))
         .crossJoin(sim.join(exhaustive, Seq("id_a", "id_b"), "left_anti")
           .agg(count(lit(1)).as("n_extra"))
           .crossJoin(exhaustive.join(sim, Seq("id_a", "id_b"), "left_anti")
@@ -672,7 +690,8 @@ object SparkEntry {
           .select((col("n_extra") === 0 && col("n_missed") === 0).as("band_ok")))
         .crossJoin(simJ.agg(coalesce(min(col("j")), lit(1.0)).as("min_j"))
           .select((col("min_j") >= 0.8).as("prec_ok")))
-        .select(col("n_near09"), col("band_ok"), col("prec_ok"))
+        .select(col("n_near09"), col("band_ok"), col("prec_ok")),
+        Seq(sim), ("n_near09", "band_ok", "prec_ok"))
     }),
     "dedup_ngram" -> ((s, dir) =>
       // scoped to 200 docs: exact all-pairs is the verifier/oracle path,
@@ -741,13 +760,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).cache()
       val exact = Dedup.embeddingPairsExact(e, "vec_id", "embedding",
         threshold = 0.25).cache()
-      exact.agg(count(lit(1)).as("n_exact_pairs"))
+      evalGateRow(s, exact.agg(count(lit(1)).as("n_exact_pairs"))
         .crossJoin(lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
           .agg((count(lit(1)) === 0).as("subset_ok")))
         .crossJoin(lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
           .agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact_pairs"), col("subset_ok"),
-          (col("n_hit") >= col("n_exact_pairs") * 0.01).as("recall_ok"))
+          (col("n_hit") >= col("n_exact_pairs") * 0.01).as("recall_ok")),
+        Seq(lsh, exact), ("n_exact_pairs", "subset_ok", "recall_ok"))
     }),
 
     // ------------------------------------------------ text analysis
@@ -822,25 +842,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       val winJ = win.join(exact, Seq("id_a", "id_b"), "left")
         .select(coalesce(col("jaccard"), lit(0.0)).as("j"))
-      r08.agg(count(lit(1)).as("n_r08"))
+      evalGateRow(s, r08.agg(count(lit(1)).as("n_r08"))
         .crossJoin(r08.join(win, Seq("id_a", "id_b"), "left_anti")
           .agg((count(lit(1)) === 0).as("cover_ok")))
         .crossJoin(winJ.agg(coalesce(min(col("j")), lit(1.0)).as("min_j"))
           .select((col("min_j") >= 0.5).as("prec_ok")))
-        .select(col("n_r08"), col("cover_ok"), col("prec_ok"))
+        .select(col("n_r08"), col("cover_ok"), col("prec_ok")),
+        Seq(win, exact), ("n_r08", "cover_ok", "prec_ok"))
     }),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
     // corpus vocabulary: top terms by document frequency
     "text_topterms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 30)),
-    // sequence-packing plan: concatenate-and-cut docs into 2048-token
+    // sequence-packing plan: concatenate-and-cut docs into 512-token
     // context windows, 32 independent shards (each shard packs its own
     // doc_id-ordered stream, so the cumulative sum is a per-shard
     // window — partition-parallel, no global sort; the shard count is
     // the parallelism knob at corpus scale). A doc's bin is the window
-    // containing its FIRST token: (cum - n_tok) div 2048 — exact
-    // integer arithmetic, replayed verbatim by the oracle
+    // containing its FIRST token: (cum - n_tok) div 512 — exact
+    // integer arithmetic, replayed verbatim by the oracle. 512 (not
+    // 2048) so the sf0.01 gate crosses bin boundaries within a shard
     "text_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents")
@@ -849,7 +871,7 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       d.withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("bin", expr("(cum - n_tok) div 2048"))
+        .withColumn("bin", expr("(cum - n_tok) div 512"))
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
     }),
@@ -1595,7 +1617,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).cache()
       val exact = Dedup.embeddingPairsExact(e, "vec_id", "embedding",
         threshold = 0.25).cache()
-      exact.agg(count(lit(1)).as("n_exact_pairs"))
+      evalGateRow(s, exact.agg(count(lit(1)).as("n_exact_pairs"))
         .crossJoin(sem.join(exact, Seq("id_a", "id_b"), "left_anti")
           .agg((count(lit(1)) === 0).as("subset_ok")))
         .crossJoin(sem.join(exact, Seq("id_a", "id_b"), "left_semi")
@@ -1603,7 +1625,8 @@ object SparkEntry {
         .select(col("n_exact_pairs"), col("subset_ok"),
           // >= so the gate is vacuously true on a corpus with zero
           // exact pairs (same convention as dedup_embedding's floor)
-          (col("n_hit") >= col("n_exact_pairs") * 0.125).as("recall_ok"))
+          (col("n_hit") >= col("n_exact_pairs") * 0.125).as("recall_ok")),
+        Seq(sem, exact), ("n_exact_pairs", "subset_ok", "recall_ok"))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -1624,16 +1647,27 @@ object SparkEntry {
 
     // ------------------------------------------------ generator (§2.1 S1)
     // Seeded distributed q4112_gen-contract generator + the full query
-    // over it; deterministic, independent of sfDir (rows-only check).
+    // over it, emitted as the reference's own contract
+    // `assert(gen_res == run_res)` (q4112_main.c:127): the Catalyst
+    // plan's answer, the generator's independent RDD-oracle answer, and
+    // their equality. The config is fixed-seed so both answers are
+    // deterministic constants — the oracle SQL pins them, turning this
+    // into a real regression gate on BOTH the generator and the engine.
     "gen_q4112" -> ((s, _) => {
       val cfg = graft.model.GenConfig(
         innerTuples = 1000, innerSelectivity = 1.0, innerValMax = 999,
         outerTuples = 100000, outerSelectivity = 1.0, outerValMax = 999,
         groups = 100, hhGroups = 5, hhProbability = 0.8, seed = 77)
+      val genAnswer = graft.gen.Q4112Gen
+        .oracleFullRdd(graft.gen.Q4112Gen.orders(s, cfg), cfg)
+        .getOrElse(sys.error("generator oracle produced no groups"))
       Q4112.part2(
-        graft.gen.Q4112Gen.items(s, cfg).toDF(),
-        graft.gen.Q4112Gen.orders(s, cfg).toDF(),
-        "id", "itemId", "price", "quantity", "storeId")
+          graft.gen.Q4112Gen.items(s, cfg).toDF(),
+          graft.gen.Q4112Gen.orders(s, cfg).toDF(),
+          "id", "itemId", "price", "quantity", "storeId")
+        .select(col("avg_avg_value").as("engine_answer"),
+          lit(genAnswer).as("gen_answer"),
+          (col("avg_avg_value") === lit(genAnswer)).as("answers_equal"))
     }),
 
     // ------------------------------------------------ events (batch forms)
@@ -1929,18 +1963,19 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 5, maxHamming = 3)),
-    "dedup_winnow" -> ((s, dir) => {
-      val prep = t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id").as("id"),
-          TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4).as("fp"))
-        .repartition(s.sparkContext.defaultParallelism, col("id"))
-      val a = prep.select(col("id").as("id_a"), col("fp").as("fp_a"))
-      val b = prep.select(col("id").as("id_b"), col("fp").as("fp_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), graft.functions.TextHashFunctions
-          .jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-    }),
+    // production form: banded MinHash candidates + exact-Jaccard verify
+    // over the FULL corpus — the scale path for n-gram-Jaccard pair
+    // search (the gate's capped all-pairs form is the verifier)
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, numHashes = 64, bands = 16, threshold = 0.7)),
+    // production form: inverted-index winnow pair search over the FULL
+    // corpus (lossless shared-fingerprint screen + candidate-only
+    // verification) — not the doc_id-capped all-pairs verifier the gate
+    // compares against
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, threshold = 0.5)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.25, planes = 16)
@@ -1985,6 +2020,16 @@ object SparkEntry {
       Quantization.adcRerankTopK(e, "vec_id", "embedding",
         e.filter(col("vec_id") <= 5), "vec_id", "embedding",
         model, shortlist = 50, topK = 10)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
+    // production form: the IVF query alone — the gate times the
+    // brute-force recall audit + comparison, which is the verifier, not
+    // the operator a user runs at corpus scale
+    "sim_recall_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 3)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
     }),
     // production form: the raw ANN neighbor list, without the
@@ -2182,6 +2227,14 @@ object SparkEntry {
       "distinct_exact" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      // generator contract gate: the fixed-seed config makes both the
+      // engine's and the generator-oracle's answer a deterministic
+      // constant; pinning them here turns `assert(gen_res == run_res)`
+      // (q4112_main.c:127) into a regression gate on generator AND engine
+      "gen_q4112" ->
+        """SELECT cast(246440 AS BIGINT) AS engine_answer,
+          |       cast(246440 AS BIGINT) AS gen_answer,
+          |       true AS answers_equal""".stripMargin,
       // sketch-invariant gates: the oracle recomputes the exact ndv and
       // expects the within-tolerance boolean to be true — a broken
       // estimator fails the hash compare
@@ -3224,7 +3277,7 @@ object SparkEntry {
           |  FROM documents),
           |c AS (SELECT shard, doc_id, n_tok,
           |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM d)
-          |SELECT shard, (cum - n_tok) // 2048 AS bin,
+          |SELECT shard, cast((cum - n_tok) // 512 AS BIGINT) AS bin,
           |       count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tokens
           |FROM c GROUP BY 1, 2""".stripMargin,
       // tf*n_docs/df is a correctly-rounded IEEE division of exact

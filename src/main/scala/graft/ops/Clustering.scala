@@ -46,10 +46,11 @@ object Clustering {
   // function of (relation, idCol, vecCol, k, maxIter) — so a repeated
   // query over an UNCHANGED relation reuses the trained model instead
   // of re-running maxIter Lloyd's passes. Keyed on the CANONICALIZED
-  // logical plan (Spark's own sameResult notion).
-  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+  // logical plan (Spark's own sameResult notion); bounded LRU, training
+  // outside the lock — see [[BoundedModelCache]].
+  private val modelCache = new BoundedModelCache[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String, String, Int, Int), KmeansModel]
+      String, String, Int, Int), KmeansModel](capacity = 16)
 
   def clearModelCache(): Unit = modelCache.clear()
 
@@ -59,8 +60,8 @@ object Clustering {
     require(k > 0 && maxIter > 0)
     val key = (df.queryExecution.optimizedPlan.canonicalized,
       idCol, vecCol, k, maxIter)
-    val model = modelCache.computeIfAbsent(key,
-      _ => train(df, idCol, vecCol, k, maxIter))
+    val model = modelCache.getOrElseTrain(key)(
+      train(df, idCol, vecCol, k, maxIter))
     val assignments = df.select(col(idCol),
       KmeansKernels.nearestIndex(col(vecCol), model.centroids).as("cluster"))
     (assignments, model)

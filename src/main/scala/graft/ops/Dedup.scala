@@ -189,6 +189,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------- winnowing pair search
+
+  /** Production-scale winnowing pair search (the MOSS index structure):
+    * an inverted index over the winnow fingerprint values — two docs
+    * sharing ANY selected fingerprint are candidates — then exact
+    * Jaccard verification over the sorted fingerprint arrays on
+    * candidates only. The screen is LOSSLESS for any threshold > 0
+    * (jaccard > 0 requires a nonempty intersection), unlike probabilistic
+    * MinHash banding, because the winnow sketch already IS the sampled
+    * set being compared.
+    *
+    * Scale shape: the posting shuffle carries slim (fingerprint, id)
+    * longs (the sketch is ~2/(w+1) of the gram set — far fewer postings
+    * than an n-gram index); the candidate self-join is an equi-join per
+    * shared fingerprint; full arrays are re-joined only for candidate
+    * verification. `maxDocFreq` is the skew valve: a boilerplate
+    * fingerprint shared by f docs contributes f² candidate pairs, so
+    * production runs cap posting-list length (dropping one list only
+    * loses pairs whose EVERY shared fingerprint is that common — pairs
+    * that are boilerplate-only matches, the ones dedup wants to ignore).
+    * The default (no cap) keeps the screen exact for the gate.
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
+    val prep = docs.select(col(idCol).as("id"),
+        TextHashFunctions.winnowFingerprint(col(textCol), k, w).as("fp"))
+      .repartition(parallelism(docs), col("id"))
+    val posting = prep.select(col("id"), explode(col("fp")).as("f"))
+    val screened =
+      if (maxDocFreq == Int.MaxValue) posting
+      else posting
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
+        .filter(col("df") <= maxDocFreq).drop("df")
+    val candidates = screened.as("a")
+      .join(screened.as("b"), Seq("f"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    candidates
+      .join(prep.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(prep.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates

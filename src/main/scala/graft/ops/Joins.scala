@@ -205,17 +205,24 @@ object Joins {
     * never payload columns — diffing two wide snapshots moves the same
     * bytes as diffing two narrow ones. One co-partitioned exchange per
     * side, then a tiny 4-row aggregate.
+    *
+    * Precondition: `keyCol` is unique within each snapshot (the standard
+    * snapshot-diff contract) — duplicate keys fan out in the full-outer
+    * join and inflate the class counts.
     */
   def tableDiff(
       oldDf: DataFrame, newDf: DataFrame,
       keyCol: String, payloadCol: String): DataFrame = {
     // presence is a separate non-null flag: md5(NULL) is NULL, so keying
     // absence off hash nullity would misclassify a NULL payload as an
-    // absent row. The hash itself coalesces NULL to a reserved sentinel
-    // so NULL vs non-NULL payloads still compare as changed.
+    // absent row. The hash covers an explicit is-null flag alongside the
+    // value (NULL -> "true|", value v -> "false|v") so NO payload string
+    // can collide with the NULL encoding - a string-sentinel coalesce
+    // would classify a NULL -> that-sentinel-string change as unchanged.
     def side(df: DataFrame, h: String, in: String) =
       df.select(col(keyCol).as("k"),
-        md5(coalesce(col(payloadCol).cast("string"), lit("\u0000null"))).as(h),
+        md5(concat(col(payloadCol).isNull.cast("string"), lit("|"),
+          coalesce(col(payloadCol).cast("string"), lit("")))).as(h),
         lit(true).as(in))
     side(oldDf, "h_old", "in_old")
       .join(side(newDf, "h_new", "in_new"), Seq("k"), "full_outer")

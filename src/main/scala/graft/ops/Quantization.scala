@@ -46,18 +46,19 @@ object Quantization {
   // Relation-keyed trained-model cache — build-once semantics, same
   // pattern as Clustering.modelCache / Q4112's dense cache: the trainer
   // is deterministic, so an unchanged relation reuses its codebooks.
-  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+  // Bounded LRU, training outside the lock — see [[BoundedModelCache]].
+  private val modelCache = new BoundedModelCache[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String, String, Int, Int, Int), PqModel]
+      String, String, Int, Int, Int), PqModel](capacity = 16)
 
   def clearModelCache(): Unit = modelCache.clear()
 
   def trainPq(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, maxIter: Int): PqModel = {
     require(m > 0 && k > 1 && k <= 256 && maxIter > 0)
-    modelCache.computeIfAbsent(
-      (df.queryExecution.optimizedPlan.canonicalized, idCol, vecCol, m, k, maxIter),
-      _ => trainPqUncached(df, idCol, vecCol, m, k, maxIter))
+    modelCache.getOrElseTrain(
+      (df.queryExecution.optimizedPlan.canonicalized, idCol, vecCol, m, k, maxIter))(
+      trainPqUncached(df, idCol, vecCol, m, k, maxIter))
   }
 
   private def trainPqUncached(df: DataFrame, idCol: String, vecCol: String,
