@@ -1373,6 +1373,122 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           sum(col("bal_cents")).as("totacctbal_cents"))
     }),
+    // TPC-H Q2 shape: min-cost supplier per part. No partsupp table in
+    // the testdata, so the supplier-part catalog derives from lineitem
+    // (ps_cost := min floor(l_extendedprice) per pair) — the query
+    // SHAPE is Q2's: dim-filtered catalog, region-filtered supplier
+    // chain, and the correlated min-cost subquery expressed as a
+    // per-part window min (the Spark-idiomatic equivalent — one pass,
+    // no re-join of the catalog against itself)
+    "tpch_q2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val supplies = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(floor(col("l_extendedprice"))).as("ps_cost"))
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val pf = t(s, dir, "part")
+        .filter(col("p_size") <= 25 && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val cand = supplies
+        .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("ps_suppkey") === col("s_suppkey"))
+      cand.withColumn("min_cost",
+          min(col("ps_cost")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("ps_cost") === col("min_cost"))
+        .select(col("p_partkey"), col("s_name"), col("n_name"),
+          col("ps_cost").as("cost"))
+    }),
+    // TPC-H Q9 shape: profit per supplier-nation per year. Cost side
+    // adapted to floor(p_retailprice) (no ps_supplycost in testdata);
+    // all dims broadcast, the only exchanges are the orders join on
+    // l_orderkey and the final 2-key aggregate
+    "tpch_q9" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), floor(col("p_retailprice")).as("p_cost"))
+      val sn = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          - col("p_cost") * floor(col("l_quantity"))).as("profit"))
+    }),
+    // TPC-H Q11 shape: important parts by inventory value within one
+    // region's suppliers. Value derives from lineitem (no partsupp);
+    // the threshold is 2× the MEAN part value — self-normalizing, so
+    // the predicate keeps selecting at any scale (TPC-H's fixed
+    // fraction must be re-tuned per SF; a mean-relative cut is the
+    // form that survives 100 TB unchanged). The 1-row threshold
+    // broadcasts back over the per-part aggregate.
+    "tpch_q11" -> ((s, dir) => {
+      val supplies = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(sum(floor(col("l_extendedprice"))).as("val"))
+      val asia = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("s_suppkey"))
+      val pv = supplies
+        .join(broadcast(asia), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("val")).as("value"))
+      val thr = pv.agg(expr("2 * sum(value) div count(1)").as("thr"))
+      pv.join(broadcast(thr)).filter(col("value") > col("thr"))
+        .select(col("ps_partkey"), col("value"))
+    }),
+    // TPC-H Q16 shape: supplier diversity per part attribute triple,
+    // excluding a brand/type slice and flagged suppliers (complaint
+    // filter adapted to a name pattern). The distinct (part, supplier)
+    // catalog derives from lineitem; the final count(DISTINCT) shuffles
+    // only the surviving slim triples.
+    "tpch_q16" -> ((s, dir) => {
+      val supplies = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val okSupp = t(s, dir, "supplier")
+        .filter(!col("s_name").like("%7")).select(col("s_suppkey"))
+      val pf = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      supplies
+        .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+    // TPC-H Q20 shape: suppliers holding excess stock of a part slice —
+    // the nested per-(part, supplier) aggregate with a correlated
+    // quantity comparison (availqty adapted to all-time shipped
+    // quantity vs 2× the 1997 slice; both sides come out of ONE scan
+    // as a conditional aggregate, not two scans of lineitem), then a
+    // semi-join up to the supplier dimension
+    "tpch_q20" -> ((s, dir) => {
+      val qty = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(floor(col("l_quantity"))).as("total_qty"),
+          sum(when(year(col("l_shipdate")) === 1997,
+            floor(col("l_quantity"))).otherwise(0L)).as("qty97"))
+      val pf = t(s, dir, "part")
+        .filter(col("p_name").like("small%")).select(col("p_partkey"))
+      val excess = qty
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"), "left_semi")
+        .filter(col("total_qty") > col("qty97") * 2)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("n_name"))
+    }),
     // TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
     // revenue view is aggregated once, its scalar max broadcasts back
     // as a 1-row frame, and ties all surface (both engines agree on
@@ -2918,6 +3034,73 @@ object SparkEntry {
           |                  WHERE o_custkey = c_custkey
           |                    AND o_orderpriority = '1-URGENT')
           |GROUP BY cntrycode""".stripMargin,
+      "tpch_q2" ->
+        """WITH supplies AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         cast(min(cast(floor(l_extendedprice) as bigint)) as bigint) AS ps_cost
+          |  FROM lineitem GROUP BY 1, 2),
+          |eu AS (
+          |  SELECT s_suppkey, s_name, n_name
+          |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |                JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE'),
+          |cand AS (
+          |  SELECT p_partkey, s_name, n_name, ps_cost,
+          |         min(ps_cost) OVER (PARTITION BY p_partkey) AS min_cost
+          |  FROM part JOIN supplies ON p_partkey = ps_partkey
+          |            JOIN eu ON ps_suppkey = s_suppkey
+          |  WHERE p_size <= 25 AND p_type = 'LARGE')
+          |SELECT p_partkey, s_name, n_name, ps_cost AS cost
+          |FROM cand WHERE ps_cost = min_cost""".stripMargin,
+      "tpch_q9" ->
+        """SELECT n_name, cast(year(o_orderdate) as bigint) AS o_year,
+          |       cast(sum(cast(floor(l_extendedprice * (1 - l_discount)) as bigint)
+          |              - cast(floor(p_retailprice) as bigint)
+          |                * cast(floor(l_quantity) as bigint)) as bigint) AS profit
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |     JOIN supplier ON l_suppkey = s_suppkey
+          |     JOIN nation ON s_nationkey = n_nationkey
+          |     JOIN orders ON l_orderkey = o_orderkey
+          |WHERE p_name LIKE '%widget%'
+          |GROUP BY 1, 2""".stripMargin,
+      "tpch_q11" ->
+        """WITH supplies AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         cast(sum(cast(floor(l_extendedprice) as bigint)) as bigint) AS val
+          |  FROM lineitem GROUP BY 1, 2),
+          |asia AS (SELECT s_suppkey FROM supplier
+          |         JOIN nation ON s_nationkey = n_nationkey
+          |         JOIN region ON n_regionkey = r_regionkey
+          |         WHERE r_name = 'ASIA'),
+          |pv AS (SELECT ps_partkey, cast(sum(val) as bigint) AS value
+          |       FROM supplies JOIN asia ON ps_suppkey = s_suppkey GROUP BY 1)
+          |SELECT ps_partkey, value FROM pv
+          |WHERE value > (SELECT cast(2 * sum(value) // count(*) as bigint) FROM pv)""".stripMargin,
+      "tpch_q16" ->
+        """WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+          |SELECT p_brand, p_type, p_size,
+          |       count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM part JOIN supplies ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          |  AND l_suppkey IN (SELECT s_suppkey FROM supplier
+          |                    WHERE s_name NOT LIKE '%7')
+          |GROUP BY 1, 2, 3""".stripMargin,
+      "tpch_q20" ->
+        """WITH qty AS (
+          |  SELECT l_partkey, l_suppkey,
+          |         cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS total_qty,
+          |         cast(sum(CASE WHEN year(l_shipdate) = 1997
+          |                       THEN cast(floor(l_quantity) as bigint)
+          |                       ELSE 0 END) as bigint) AS qty97
+          |  FROM lineitem GROUP BY 1, 2),
+          |excess AS (
+          |  SELECT l_suppkey FROM qty JOIN part ON l_partkey = p_partkey
+          |  WHERE p_name LIKE 'small%' AND total_qty > 2 * qty97
+          |  GROUP BY 1)
+          |SELECT s_name, n_name
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE s_suppkey IN (SELECT l_suppkey FROM excess)""".stripMargin,
       "tpch_q15" ->
         """WITH rev AS (
           |  SELECT l_suppkey,

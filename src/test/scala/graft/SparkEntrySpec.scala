@@ -14,6 +14,20 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
+  test("every query is oracle-gated (no rows-only checks left)") {
+    val ungated = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(ungated.isEmpty, s"queries without an oracle: $ungated")
+  }
+
+  test("README query counts match the registry (no drift)") {
+    val n = SparkEntry.queries.size
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(readme.contains(s"$n named queries"),
+      s"README does not state '$n named queries' — registry has $n")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name returns rows on sf0.001") {
       assert(fn(spark, sfDir).count() > 0, s"$name returned 0 rows")
