@@ -409,6 +409,36 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+    // the HARD variant case: a HETEROGENEOUS variant — an array mixing
+    // long / string / nested object, plus a nested object branch — all
+    // parsed once and extracted by typed path (array index, nested
+    // field, wrong-type probe). The JSON is constructed from base
+    // columns so the oracle can recompute every extraction without a
+    // JSON reader: sum_a0/sum_d prove the long extractions, s_ok proves
+    // the nested string path, n_wrong_nonnull proves try_variant_get
+    // yields NULL (not an error, not a coercion) when the target type
+    // mismatches the actual element ('$.a[1]' is a string)
+    "func_variant_array" -> ((s, dir) => {
+      val vk = floor(col("value") * 1000).cast("long")
+      val j = concat(lit("{\"a\": ["), vk, lit(", \"t\", {\"d\": "),
+        (vk + lit(7L)), lit("}], \"b\": {\"s\": \""), col("event_type"),
+        lit("\"}}"))
+      val v = parse_json(j)
+      Engine.eventsTable(s, dir)
+        .select(col("event_type"),
+          variant_get(v, "$.a[0]", "long").as("a0"),
+          variant_get(v, "$.a[2].d", "long").as("d"),
+          variant_get(v, "$.b.s", "string").as("sv"),
+          try_variant_get(v, "$.a[1]", "long").as("wrong"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a0")).as("sum_a0"),
+          sum(col("d")).as("sum_d"),
+          sum(when(col("wrong").isNotNull, 1L).otherwise(0L)).as("n_wrong_nonnull"),
+          sum(when(col("sv") === col("event_type"), 0L).otherwise(1L)).as("bad_s"))
+        .select(col("event_type"), col("n"), col("sum_a0"), col("sum_d"),
+          col("n_wrong_nonnull"), (col("bad_s") === 0L).as("s_ok"))
+    }),
     // map-type scalar surface: build a map per row, transform its
     // values with a lambda HOF, read entries back — the gate flattens
     // everything to longs the oracle recomputes from the base columns,
@@ -440,6 +470,33 @@ object SparkEntry {
           |SELECT node, max(depth) AS depth_to_root,
           |       sum(cur) AS ancestor_key_sum
           |FROM chain GROUP BY node""".stripMargin)
+    }),
+    // the HARD recursive case: transitive closure over a deliberately
+    // CYCLIC graph (functional graph with 2 out-edges per node, incl. a
+    // self-loop at node 24) — naive recursion never terminates; the
+    // simple-path guard (NOT array_contains(path, dst)) plus a depth cap
+    // makes the fixed point finite. This is the cycle-guarded recursion
+    // pattern (frontier join per round; the path array is the visited
+    // set, carried per row — no global state)
+    "sql_recursive_cyclic" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("rcg_nation")
+      s.sql(
+        """WITH edges AS (
+          |  SELECT n_nationkey AS src, (2 * n_nationkey + 1) % 25 AS dst
+          |  FROM rcg_nation
+          |  UNION ALL
+          |  SELECT n_nationkey, (3 * n_nationkey + 2) % 25 FROM rcg_nation)
+          |SELECT * FROM (
+          |  WITH RECURSIVE reach(start, node, path) AS (
+          |    SELECT n_nationkey, n_nationkey, array(n_nationkey)
+          |    FROM rcg_nation
+          |    UNION ALL
+          |    SELECT r.start, e.dst, array_append(r.path, e.dst)
+          |    FROM reach r JOIN edges e ON r.node = e.src
+          |    WHERE NOT array_contains(r.path, e.dst) AND size(r.path) < 6)
+          |  SELECT start, count(DISTINCT node) AS n_reachable,
+          |         max(size(path)) AS max_path_len
+          |  FROM reach GROUP BY start)""".stripMargin)
     }),
     // fixed-width integer histogram (group on a computed bucket key —
     // single shuffle, min/max/count per bucket)
@@ -2384,6 +2441,29 @@ object SparkEntry {
           |SELECT node, max(depth) AS depth_to_root,
           |       cast(sum(cur) as bigint) AS ancestor_key_sum
           |FROM chain GROUP BY node""".stripMargin,
+      "sql_recursive_cyclic" ->
+        """WITH RECURSIVE reach(start, node, path) AS (
+          |    SELECT n_nationkey, n_nationkey, [n_nationkey]
+          |    FROM nation
+          |  UNION ALL
+          |    SELECT r.start, e.dst, list_append(r.path, e.dst)
+          |    FROM reach r JOIN (
+          |      SELECT n_nationkey AS src, (2 * n_nationkey + 1) % 25 AS dst
+          |      FROM nation
+          |      UNION ALL
+          |      SELECT n_nationkey, (3 * n_nationkey + 2) % 25 FROM nation
+          |    ) e ON r.node = e.src
+          |    WHERE NOT list_contains(r.path, e.dst) AND len(r.path) < 6)
+          |SELECT start, count(DISTINCT node) AS n_reachable,
+          |       cast(max(len(path)) as bigint) AS max_path_len
+          |FROM reach GROUP BY start""".stripMargin,
+      "func_variant_array" ->
+        """SELECT event_type, count(*) AS n,
+          |       cast(sum(cast(floor(value * 1000) as bigint)) as bigint) AS sum_a0,
+          |       cast(sum(cast(floor(value * 1000) as bigint) + 7) as bigint) AS sum_d,
+          |       cast(0 as bigint) AS n_wrong_nonnull,
+          |       true AS s_ok
+          |FROM events GROUP BY 1""".stripMargin,
       "agg_mode" ->
         """SELECT l_returnflag, mode_qty, n FROM (
           |  SELECT l_returnflag, cast(floor(l_quantity) as bigint) AS mode_qty,
