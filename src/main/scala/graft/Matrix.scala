@@ -85,8 +85,8 @@ object Matrix {
     // Unknown values fail fast: a typo would otherwise run the wrong
     // plan and write the typo into the CSV as if it were a real mode.
     val p2Plan = sys.env.getOrElse("SPARK_GRAFT_P2_PLAN", "auto")
-    require(Set("auto", "partial", "bypass", "bucketed")(p2Plan),
-      s"SPARK_GRAFT_P2_PLAN must be auto|partial|bypass|bucketed, got '$p2Plan'")
+    require(Set("auto", "partial", "bypass", "packed", "bucketed", "joined_bucketed")(p2Plan),
+      s"SPARK_GRAFT_P2_PLAN must be auto|partial|bypass|packed|bucketed|joined_bucketed, got '$p2Plan'")
     // part-1 join layout: auto (dense array probe / broadcast hash by
     // build size, as before) | bucketed (BOTH tables stored bucketed +
     // sorted on the join key — the sort-merge join then needs neither
@@ -231,6 +231,21 @@ object Matrix {
             spark.table("orders_bkt").as[graft.model.Order].cache()
           } else Q4112Gen.orders(spark, cfg).cache()
         items.count(); orders.count()
+        // composed two-layout experiment (round-6, cfg17): materialize
+        // the JOINED slim projection (group, v) bucketed on the group
+        // key — the dense-probe join runs once at ingest over the fat
+        // 32-partition scan (the layout the join likes), and every later
+        // aggregate is exchange-free over 256 buckets (the layout the
+        // aggregate likes). The write is untimed + logged like every
+        // other ingest-time layout; NOTE this materialization is
+        // QUERY-SPECIFIC (it bakes in the join and projection), unlike
+        // the orders-bucketed layout which serves any group-key query.
+        if (part == 2 && p2Plan == "joined_bucketed")
+          writeBucketedTable(
+            Q4112.groupedValues(items.toDF(), orders.toDF(),
+              "id", "itemId", "price", "quantity", "storeId",
+              dense = cfg.innerTuples > 10000000L),
+            "joined_bkt", "storeId")
         // independent oracle, computed once per config: collections on
         // the driver at small scale, the RDD path (still independent of
         // the Catalyst plan under test) once a collect would be abusive
@@ -275,6 +290,29 @@ object Matrix {
                 case "bypass" => Q4112.part2Bypass(items.toDF(), orders.toDF(),
                   "id", "itemId", "price", "quantity", "storeId",
                   Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense)
+                // packed raw exchange (8 B/row): checked=false is sound
+                // here because the generator caps price/quantity at
+                // innerValMax/outerValMax ≤ 99999 (v < 2^34) and groups
+                // < 2^29 for every matrix shape — and the oracle assert
+                // below would catch any corruption
+                case "packed" => Q4112.part2BypassPacked(items.toDF(), orders.toDF(),
+                  "id", "itemId", "price", "quantity", "storeId",
+                  Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense,
+                  checked = false)
+                // steady-state repeat-query cost over the pre-joined
+                // bucketed layout: exchange-free two-level aggregate,
+                // no join at query time
+                case "joined_bucketed" =>
+                  spark.table("joined_bkt")
+                    .groupBy(col("storeId"))
+                    .agg(org.apache.spark.sql.functions.sum(col("v")).as("s"),
+                      org.apache.spark.sql.functions.count(
+                        org.apache.spark.sql.functions.lit(1)).as("c"))
+                    .select(org.apache.spark.sql.functions.expr("s div c").as("avg_value"))
+                    .agg(org.apache.spark.sql.functions.sum(col("avg_value")).as("ss"),
+                      org.apache.spark.sql.functions.count(
+                        org.apache.spark.sql.functions.lit(1)).as("cc"))
+                    .select(org.apache.spark.sql.functions.expr("ss div cc").as("avg_avg_value"))
                 case _ => // "partial": Catalyst's default partial/final split
                   if (dense) Q4112.part2Dense(items.toDF(), orders.toDF(),
                     "id", "itemId", "price", "quantity", "storeId")
@@ -322,6 +360,8 @@ object Matrix {
           spark.sql("DROP TABLE IF EXISTS orders_bkt")
           spark.sql("DROP TABLE IF EXISTS items_bkt")
         }
+        if (p2Plan == "joined_bucketed")
+          spark.sql("DROP TABLE IF EXISTS joined_bkt")
         // the NEXT config's data replaces this one's (possibly under an
         // identical catalog-table plan) — relation-keyed caches must not
         // survive the boundary; this also destroys the per-config dense

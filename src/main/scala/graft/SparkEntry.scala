@@ -285,6 +285,28 @@ object SparkEntry {
           .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
         Seq(col("l_returnflag")), 3,
         col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
+    // Spark 4.1's approx_top_k sketch (two-phase: per-partition
+    // accumulate, merge, estimate). The quantity domain (~50 distinct)
+    // sits far under maxItemsTracked, so the sketch is provably exact
+    // here and the gate pins its output against the exact counts; the
+    // emitted sum-of-top-5 counts is tie-permutation-invariant (ties
+    // between equal counts may surface in any order)
+    "agg_approx_topk" -> ((s, dir) => {
+      val sk = t(s, dir, "lineitem")
+        .select(floor(col("l_quantity")).as("q"))
+        .agg(expr("approx_top_k(q, 5, 4096)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.count").cast("long").as("cnt"))
+        .agg(count(lit(1)).as("k"), sum(col("cnt")).as("top5_mass"))
+      val exact = t(s, dir, "lineitem")
+        .select(floor(col("l_quantity")).as("q"))
+        .groupBy(col("q")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc).limit(5)
+        .agg(sum(col("cnt")).as("exact_top5_mass"))
+      sk.crossJoin(exact)
+        .select(col("k"), col("exact_top5_mass"),
+          (col("top5_mass") === col("exact_top5_mass")).as("topk_ok"))
+    }),
     "agg_window_running" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // default RANGE frame: peers (tied order keys) share the cumulative
@@ -791,6 +813,21 @@ object SparkEntry {
       val pairs = b.select(col("sk").as("id_a"), (col("pk") + 1000000L).as("id_b"))
       Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10)
     }),
+    // exact triangle count over the co-supplier graph (suppliers sharing
+    // a part, 5% part slice to bound the clique density at bench scale):
+    // the classic edge-oriented wedge enumeration — orient low→high,
+    // join wedges on the middle node, close with a semi-join; each
+    // triangle counted once. Two slim equi-join shuffles, no all-pairs.
+    "graph_triangles" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 20 === 0)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = ps.as("x").join(ps.as("y"), Seq("p"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+        .filter(col("src") < col("dst"))
+      Graph.triangleCount(pairs, "src", "dst")
+    }),
     // exact all-pairs baseline for the LSH form below (ids only — see
     // Dedup.embeddingPairsExact on why the cosine value stays out of
     // the hash-exact gate)
@@ -972,6 +1009,26 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"),
         "doc_id", "text", n = 3)),
+    // cross-document EXACT-SUBSTRING duplication signal (the ExactSubstr
+    // dedup measure of Lee et al. 2022, arXiv:2107.06499): per doc, how
+    // many of its distinct char-20-grams also occur in at least one
+    // OTHER document. The gate ships literal substrings so DuckDB can
+    // replay it verbatim; the production form (benchOverrides) ships
+    // 8-byte rolling-hash grams instead — same plan shape, slim shuffle
+    "text_dup_substrings" -> ((s, dir) => {
+      val L = 20
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          when(length(col("text")) >= L,
+            expr(s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
+            .otherwise(array()))).as("g"))
+      val dfg = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("docs"))
+      grams.join(dfg, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
+    }),
     // the full training-data prep pipeline as ONE declarative plan:
     // language filter → quality floor → exact dedup keep-first →
     // benchmark decontamination → chunk count. Single-pass scoring in
@@ -2097,6 +2154,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
     }),
+    // per-user integer EWMA (alpha = 1/2, fixed-point: s := (s + v) div 2)
+    // over the event stream in (ts, event_id) order — a SEQUENTIAL
+    // recurrence no window frame can express, run as an ordered fold
+    // inside the row after one groupBy (collect_list + aggregate HOF,
+    // all codegen'd). Seeded with the first element so the fold matches
+    // DuckDB's list_reduce semantics exactly; integer arithmetic keeps
+    // the result order-deterministic
+    "ts_ewma" -> ((s, dir) => {
+      val vs = Engine.eventsTable(s, dir)
+        .select(col("user_id"),
+          struct(unix_millis(col("ts")).as("t"), col("event_id").as("e"),
+            floor(col("value") * 1000).cast("long").as("v")).as("x"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("x"))).as("xs"))
+        .select(col("user_id"),
+          expr("transform(xs, x -> x.v)").as("l"))
+      vs.select(col("user_id"), size(col("l")).cast("long").as("n_events"),
+        expr("aggregate(slice(l, 2, size(l) - 1), l[0], (acc, x) -> (acc + x) div 2)")
+          .as("ewma_milli"))
+    }),
     // rank-statistics window functions (percent_rank/cume_dist share
     // one sort with dense_rank — a single Window physical node)
     "window_rank_stats" -> ((s, dir) => {
@@ -2163,6 +2240,34 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         size(TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4))
           .cast("long").as("n_fingerprints"))),
+    // bench scope: the sf0.1 co-supplier graph at a 5% part slice is
+    // ~300k edges / 35M triangles (~15 s of genuine wedge enumeration);
+    // the bench times the same operator on the 1% slice so one row
+    // doesn't dominate the 140-query total. The gate keeps the 5% form.
+    "graph_triangles" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 100 === 0)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = ps.as("x").join(ps.as("y"), Seq("p"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+        .filter(col("src") < col("dst"))
+      Graph.triangleCount(pairs, "src", "dst")
+    }),
+    // production form: the shuffle carries 8-byte rolling-hash grams
+    // (one codegen'd kernel pass per doc), not 20-char substrings —
+    // same two-aggregate plan shape as the gate
+    "text_dup_substrings" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.shingleHashes(col("text"), 20)).as("g"))
+      val dfg = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("docs"))
+      grams.join(dfg, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
+    }),
     // production form: broadcast 8-byte gram hashes, not gram strings
     "text_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2253,6 +2358,18 @@ object SparkEntry {
       s"WITH $prEdges,\n$prIters\nSELECT node, score AS pagerank FROM it10"
     Map(
       "graph_pagerank" -> prSql,
+      "graph_triangles" ->
+        """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+          |            FROM lineitem WHERE l_partkey % 20 = 0),
+          |e AS (SELECT DISTINCT x.s AS lo, y.s AS hi
+          |      FROM ps x JOIN ps y USING (p) WHERE x.s < y.s),
+          |tri AS (SELECT count(*) AS n_triangles
+          |        FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+          |                  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+          |n AS (SELECT count(DISTINCT u) AS n_nodes FROM (
+          |        SELECT lo AS u FROM e UNION ALL SELECT hi FROM e)),
+          |m AS (SELECT count(*) AS n_edges FROM e)
+          |SELECT n_nodes, n_edges, n_triangles FROM n, m, tri""".stripMargin,
       "sql_subqueries" ->
         """WITH big AS (SELECT o_custkey, count(*) AS n_orders
           |             FROM orders GROUP BY o_custkey)
@@ -3503,6 +3620,37 @@ object SparkEntry {
           |       len(list_distinct(gr))::BIGINT AS n_distinct_grams,
           |       coalesce(top.top_cnt, 0)::BIGINT AS top_gram_count
           |FROM g LEFT JOIN top ON g.doc_id = top.doc_id""".stripMargin,
+      "text_dup_substrings" ->
+        """WITH grams AS (
+          |  SELECT DISTINCT doc_id, g FROM (
+          |    SELECT doc_id,
+          |           unnest(list_transform(generate_series(1, greatest(len(text) - 19, 0)),
+          |                                 i -> substr(text, i, 20))) AS g
+          |    FROM documents)),
+          |dfg AS (SELECT g, count(DISTINCT doc_id) AS docs FROM grams GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_grams,
+          |       cast(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) as bigint) AS n_shared_grams
+          |FROM grams JOIN dfg USING (g) GROUP BY 1""".stripMargin,
+      "ts_ewma" ->
+        """WITH ev AS (
+          |  SELECT user_id, epoch_ns(ts) // 1000000 AS t, event_id,
+          |         cast(floor(value * 1000) as bigint) AS v
+          |  FROM events),
+          |agg AS (
+          |  SELECT user_id, list(v ORDER BY t, event_id) AS l
+          |  FROM ev GROUP BY 1)
+          |SELECT user_id, cast(len(l) as bigint) AS n_events,
+          |       cast(list_reduce(l, (acc, x) -> (acc + x) // 2) as bigint) AS ewma_milli
+          |FROM agg""".stripMargin,
+      // sketch gate (same recipe as distinct_fm): the oracle recomputes
+      // the exact top-5 mass and expects the sketch's to equal it
+      "agg_approx_topk" ->
+        """SELECT cast(5 as bigint) AS k,
+          |       (SELECT cast(sum(cnt) as bigint) FROM (
+          |          SELECT count(*) AS cnt
+          |          FROM lineitem GROUP BY cast(floor(l_quantity) as bigint)
+          |          ORDER BY cnt DESC LIMIT 5)) AS exact_top5_mass,
+          |       true AS topk_ok""".stripMargin,
 
       // starts 1, 1+stride, … ≤ length on both sides (Spark sequence is
       // stop-inclusive; DuckDB range is stop-exclusive, hence length+1)

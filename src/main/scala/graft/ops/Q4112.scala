@@ -375,7 +375,7 @@ object Q4112 {
     * array probe when the build side is a contiguous-key dimension, else
     * a broadcast hash join — the common front half of every part-2 plan.
     */
-  private def groupedValues(
+  private[graft] def groupedValues(
       items: DataFrame,
       orders: DataFrame,
       itemKey: String,

@@ -61,6 +61,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("winnowPairs equals the all-pairs winnow screen (lossless inverted index)") {
+    import graft.ops.TextAnalysis
+    // production inverted-index form vs the exhaustive cross-join over
+    // the same fingerprints: the shared-fingerprint screen is lossless
+    // for threshold > 0, so the two pair sets must be EQUAL
+    val got = Dedup.winnowPairs(docs, "doc_id", "text", k = 5, w = 4, threshold = 0.3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val prep = docs.select(col("doc_id").as("id"),
+      TextAnalysis.winnowFingerprint(col("text"), k = 5, w = 4).as("fp"))
+    val a = prep.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = prep.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), graft.functions.TextHashFunctions
+        .jaccardSorted(col("fp_a"), col("fp_b")).as("j"))
+      .filter(col("j") >= 0.3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got === want, s"missed ${want.diff(got)} / extra ${got.diff(want)}")
+    assert(want.contains((1L, 4L)), s"near-dup pair absent from baseline: $want")
+  }
+
+  test("winnowPairs maxDocFreq drops only boilerplate-bridged pairs") {
+    // cap 1: every fingerprint shared by >1 doc is dropped, so NO pairs
+    // survive the screen — the valve's extreme setting, proving it
+    // bounds posting lists rather than corrupting surviving pairs
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 5, w = 4, threshold = 0.3, maxDocFreq = 1)
+    assert(capped.count() === 0L)
+  }
+
   test("embedding LSH near-dup finds planted duplicate vectors") {
     val dim = 16
     def vec(seed: Int): Array[Float] =
