@@ -813,6 +813,36 @@ object SparkEntry {
       val pairs = b.select(col("sk").as("id_a"), (col("pk") + 1000000L).as("id_b"))
       Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10)
     }),
+    // the bucketed LAYOUT itself as an oracle-gated invariant — the
+    // 100 TB answer the scaling campaign leans on (SCALING.md): write a
+    // slim projection bucketed+sorted on the group key, read it back,
+    // and prove (a) the round-trip lost nothing (the oracle recomputes
+    // n_groups/total_qty from the RAW table) and (b) the grouped
+    // aggregate over the bucketed scan plans with ZERO Exchange nodes —
+    // the exchange-free plan part2Adaptive auto-detects via clusteredOn
+    "layout_bucketed" -> ((s, dir) => {
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val tbl = "layout_bkt_gate"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-layout-gate").getAbsolutePath
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), floor(col("l_quantity")).as("qty"))
+        .repartition(8, col("l_suppkey")) // one file per bucket
+        .write.mode("overwrite").option("path", path)
+        .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
+        .format("parquet").saveAsTable(tbl)
+      val bt = s.table(tbl)
+      val agg = bt.groupBy(col("l_suppkey")).agg(sum(col("qty")).as("sum_qty"))
+      val exchangeFree = Q4112.clusteredOn(bt, "l_suppkey") &&
+        !agg.queryExecution.executedPlan.toString.contains("Exchange")
+      agg.agg(count(lit(1)).as("n_groups"), sum(col("sum_qty")).as("total_qty"))
+        .select(col("n_groups"), col("total_qty"),
+          lit(exchangeFree).as("exchange_free_ok"))
+    }),
     // exact triangle count over the co-supplier graph (suppliers sharing
     // a part, 5% part slice to bound the clique density at bench scale):
     // the classic edge-oriented wedge enumeration — orient low→high,
@@ -946,6 +976,24 @@ object SparkEntry {
     }),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+    // frequency-based quality signal (the KenLM-free cousin of
+    // perplexity filtering): score each doc by the corpus frequency of
+    // its tokens — rare-token-heavy docs (garbled text, codes, OCR
+    // noise) score low. Integer surface: per-doc token count, summed
+    // corpus frequency, and their integer quotient. One explode, one
+    // frequency aggregate, one re-join keyed on the token
+    "text_token_freq_score" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[\\t\\n\\x0B\\f\\r ]+")).as("term"))
+        .filter(col("term") =!= "")
+      val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("f"))
+      toks.join(freq, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("f")).as("sum_tok_freq"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_tok_freq"),
+          expr("sum_tok_freq div n_tokens").as("avg_tok_freq"))
+    }),
     // corpus vocabulary: top terms by document frequency
     "text_topterms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 30)),
@@ -1096,6 +1144,22 @@ object SparkEntry {
     // n_orphan_* = 0 gates the testdata's integrity; the _halfdim
     // column PROVES the probe detects breaks (dim restricted to even
     // keys → real orphan count)
+    // one-pass expectation suite (the Deequ/great-expectations shape):
+    // null / range / set-membership / uniqueness checks all ride ONE
+    // scan of the fact table as conditional aggregates — no rule pays
+    // its own pass; referential rules stay in dq_orphans (they need an
+    // anti-join, not a scan)
+    "dq_rules" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_nonpos_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("n_bad_status"),
+        sum(when(col("o_orderdate").isNull ||
+          col("o_orderdate") < to_timestamp(lit("1990-01-01")), 1L).otherwise(0L))
+          .as("n_bad_date"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_keys"))),
     "dq_orphans" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
@@ -1761,6 +1825,41 @@ object SparkEntry {
         .select(col("probe_id"), col("n_results"), col("ranks_ok"),
           col("recall_ok"), lit(monotone).as("pq_error_monotone_ok"))
     }),
+    // the COMPOSED FAISS-style index — IVF coarse routing AND PQ-ADC
+    // screening AND exact re-rank in one serving path
+    // (Quantization.ivfPqTopK). Gate: per-probe result-structure
+    // invariants plus a recall floor vs brute force; the floor is the
+    // IVF routing mass (nProbe/nCentroids = 0.375) times a conservative
+    // PQ-shortlist factor — measured recall@10 = 0.45-0.55 across
+    // sfs (27-33 of 60 brute-force hits on uniform-random vectors,
+    // PQ's worst case), gate at 0.2
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") <= 5)
+      val model = Quantization.trainPq(e, "vec_id", "embedding",
+        m = 16, k = 64, maxIter = 4)
+      val ivfpq = Quantization.ivfPqTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", model,
+        nCentroids = 8, nProbe = 3, shortlist = 50, topK = 10)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("corpus_id"))
+      val structure = ivfpq.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_results"),
+          (count(lit(1)) === 10 && min(col("rank")) === 1 &&
+            max(col("rank")) === 10 && countDistinct(col("rank")) === 10)
+            .as("ranks_ok"))
+      val hits = brute.join(ivfpq.select(col("probe_id"), col("corpus_id")),
+        Seq("probe_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val denom = brute.agg(count(lit(1)).as("n_brute"))
+      val recall = hits.crossJoin(denom)
+        .select((col("n_hit") > col("n_brute") * 0.2).as("recall_ok"))
+      structure.crossJoin(recall)
+        .select(col("probe_id"), col("n_results"), col("ranks_ok"),
+          col("recall_ok"))
+    }),
     // exact fixed-radius neighbors (ids only — see Similarity.rangeSearch
     // on why the cosine value stays out of the hash-exact gate)
     "sim_range_search" -> ((s, dir) => {
@@ -2310,6 +2409,16 @@ object SparkEntry {
         k = 5, nCentroids = 8, nProbe = 3)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
     }),
+    // production form: the composed IVF-PQ serving path alone
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Quantization.trainPq(e, "vec_id", "embedding",
+        m = 16, k = 64, maxIter = 4)
+      Quantization.ivfPqTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding", model,
+        nCentroids = 8, nProbe = 3, shortlist = 50, topK = 10)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
     // production form: the raw ANN neighbor list, without the
     // brute-force comparison the gate runs
     "sim_topk_ivf" -> ((s, dir) => {
@@ -2358,6 +2467,35 @@ object SparkEntry {
       s"WITH $prEdges,\n$prIters\nSELECT node, score AS pagerank FROM it10"
     Map(
       "graph_pagerank" -> prSql,
+      "dq_rules" ->
+        """SELECT count(*) AS n_rows,
+          |       cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_cust,
+          |       cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) as bigint) AS n_nonpos_price,
+          |       cast(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) as bigint) AS n_bad_status,
+          |       cast(sum(CASE WHEN o_orderdate IS NULL
+          |                       OR o_orderdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END) as bigint) AS n_bad_date,
+          |       count(*) - count(DISTINCT o_orderkey) AS n_dup_keys
+          |FROM orders""".stripMargin,
+      "text_token_freq_score" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+')) AS term
+          |  FROM documents),
+          |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+          |freq AS (SELECT term, count(*) AS f FROM t2 GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |       cast(sum(f) as bigint) AS sum_tok_freq,
+          |       cast(sum(f) // count(*) as bigint) AS avg_tok_freq
+          |FROM t2 JOIN freq USING (term)
+          |GROUP BY doc_id""".stripMargin,
+      // layout gate: the oracle recomputes the aggregate from the RAW
+      // table — equality proves the bucketed write/read round-trip; the
+      // boolean proves the exchange-free plan
+      "layout_bucketed" ->
+        """SELECT count(DISTINCT l_suppkey) AS n_groups,
+          |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS total_qty,
+          |       true AS exchange_free_ok
+          |FROM lineitem""".stripMargin,
       "graph_triangles" ->
         """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
           |            FROM lineitem WHERE l_partkey % 20 = 0),
@@ -2656,6 +2794,10 @@ object SparkEntry {
         """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
           |       true AS ranks_ok, true AS recall_ok,
           |       true AS pq_error_monotone_ok
+          |FROM embeddings WHERE vec_id <= 5""".stripMargin,
+      "sim_topk_ivfpq" ->
+        """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
+          |       true AS ranks_ok, true AS recall_ok
           |FROM embeddings WHERE vec_id <= 5""".stripMargin,
       // gated trained k-means: constant expected shape; the booleans are
       // computed Spark-side (monotone Lloyd's inertia, codegen-vs-HOF

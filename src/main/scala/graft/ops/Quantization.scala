@@ -193,4 +193,52 @@ object Quantization {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
+
+  /** The composed FAISS-style IVF-PQ serving path — both index layers at
+    * once: the coarse quantizer routes each probe to its `nProbe`
+    * nearest of `nCentroids` buckets, the PQ-ADC score screens ONLY the
+    * codes inside probed buckets down to a `shortlist`, and the exact
+    * cosine re-ranks the shortlist on raw vectors. Output:
+    * (probe_id, corpus_id, rank).
+    *
+    * 100 TB profile: the compressed corpus (ids + 96-bit codes + bucket)
+    * is the only full-size relation touched; the ADC pass scans
+    * ~nProbe/nCentroids of it (vs ALL of it in [[adcTopK]]); raw
+    * vectors are fetched for shortlist×probes rows only, a slim id
+    * equi-join. Probe side (lut + bucket fan-out) broadcasts.
+    */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      model: PqModel, nCentroids: Int, nProbe: Int,
+      shortlist: Int, topK: Int): DataFrame = {
+    require(shortlist >= topK)
+    val encB = encode(corpus.select(col(corpusId), col(corpusVec)), corpusVec, model)
+      .select(col(corpusId).as("corpus_id"), col("pq_code"),
+        Similarity.centroidId(col(corpusVec), nCentroids).as("bucket"))
+    val probeB = probes
+      .select(col(probeId).as("probe_id"), col(probeVec).as("pv"))
+      .withColumn("bucket", explode(
+        graft.functions.VectorLshFunctions.topCentroids(col("pv"), nCentroids, nProbe)))
+      .select(col("probe_id"), col("bucket"), adcLut(col("pv"), model).as("lut"))
+    val screened = encB.join(broadcast(probeB), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        PqKernels.pqAdcScore(col("pq_code"), col("lut"), model.k).as("adc_dist"))
+    val ws = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("corpus_id").asc)
+    val cand = screened.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("probe_id"), col("corpus_id"))
+    val cv = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    val pv = probes.select(col(probeId).as("probe_id"), col(probeVec).as("pv"))
+    val exact = cand
+      .join(cv, Seq("corpus_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("cv"), col("pv"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
 }
