@@ -31,7 +31,12 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val fn = SparkEntry.queries(name)
+    // `bench` anywhere in args → inspect the benchOverrides form (what
+    // Bench actually times) instead of the oracle-gated form
+    val fn =
+      if (args.contains("bench"))
+        SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
+      else SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
     val df = fn(spark, sfDir)
     df.collect()

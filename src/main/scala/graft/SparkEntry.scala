@@ -2354,15 +2354,18 @@ object SparkEntry {
       Graph.triangleCount(pairs, "src", "dst")
     }),
     // production form: the shuffle carries 8-byte rolling-hash grams
-    // (one codegen'd kernel pass per doc), not 20-char substrings —
-    // same two-aggregate plan shape as the gate
+    // (one codegen'd kernel pass per doc), not 20-char substrings; the
+    // per-gram doc count is a WINDOW over the posting list (postings
+    // are distinct per (doc, gram), so count(*) = doc count) — one
+    // gram-keyed exchange + one doc-keyed aggregate exchange, instead
+    // of the gate's groupBy + re-join (three)
     "text_dup_substrings" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val grams = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(Dedup.shingleHashes(col("text"), 20)).as("g"))
-      val dfg = grams.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("docs"))
-      grams.join(dfg, Seq("g"))
+      grams
+        .withColumn("docs", count(lit(1)).over(Window.partitionBy(col("g"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
