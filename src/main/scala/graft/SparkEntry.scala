@@ -2117,6 +2117,32 @@ object SparkEntry {
     // full-outer hash join on the key; at 100 TB both sides shuffle
     // once on c_custkey (or ride a shared bucketed layout), and the
     // coalesce projection is codegen'd — no driver-side diffing
+    // CDC changelog apply WITH deletes — the missing third of the
+    // maintenance family (merge_upsert APPLIES upserts, scd2 keeps
+    // history, this one compacts an ordered I/U/D log): last-op-wins
+    // compaction is ONE window shuffle on the key (at 100 TB the log
+    // compacts before ever touching the base table), then one co-keyed
+    // full-outer apply; a trailing D tombstone drops the key
+    "merge_cdc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), floor(col("c_acctbal")).as("balance"))
+      val log = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderdate").as("ts"), col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+          floor(col("o_totalprice")).as("new_balance"))
+      val lastOp = log.withColumn("rn", row_number().over(
+          Window.partitionBy(col("c_custkey"))
+            .orderBy(col("ts").desc, col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("op"), col("new_balance"))
+      base.join(lastOp, Seq("c_custkey"), "full_outer")
+        .filter(coalesce(col("op"), lit("K")) =!= "D")
+        .select(col("c_custkey"),
+          coalesce(col("new_balance"), col("balance")).as("balance"),
+          coalesce(col("op"), lit("K")).as("last_op"))
+    }),
     "merge_upsert" -> ((s, dir) => {
       val base = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
@@ -3501,6 +3527,24 @@ object SparkEntry {
           |SELECT s.user_id, epoch_ms(s.day) AS day_ms,
           |       cast(coalesce(d.n_events, 0) as bigint) AS n_events
           |FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+      "merge_cdc" ->
+        """WITH base AS (SELECT c_custkey,
+          |         cast(floor(c_acctbal) as bigint) AS balance FROM customer),
+          |log AS (SELECT o_custkey AS c_custkey,
+          |          o_orderdate AS ts, o_orderkey,
+          |          CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+          |          cast(floor(o_totalprice) as bigint) AS new_balance
+          |        FROM orders),
+          |last_op AS (
+          |  SELECT c_custkey, op, new_balance FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+          |      ORDER BY ts DESC, o_orderkey DESC) AS rn FROM log)
+          |  WHERE rn = 1)
+          |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+          |       coalesce(l.new_balance, b.balance) AS balance,
+          |       coalesce(l.op, 'K') AS last_op
+          |FROM base b FULL OUTER JOIN last_op l ON b.c_custkey = l.c_custkey
+          |WHERE coalesce(l.op, 'K') <> 'D'""".stripMargin,
       "merge_upsert" ->
         """WITH base AS (SELECT c_custkey, c_nationkey::BIGINT AS nation,
           |         cast(floor(c_acctbal) as bigint) AS balance
