@@ -1050,6 +1050,36 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 8)
     }),
+    // token-budget source mixing (the training-data curriculum weighting
+    // step): each source is assigned a share of a global TOKEN budget
+    // (40/30/20/10% of a 30%-of-corpus budget, in integer basis points),
+    // and docs are admitted per source in deterministic md5-priority
+    // order until the source's budget fills. Admission is a per-source
+    // cumulative window over slim (source, prio, n_tok) rows — the
+    // corpus text itself never shuffles, and the priority is engine-
+    // independent (md5, not a Spark-private hash), so re-runs and the
+    // oracle admit IDENTICAL docs
+    "sample_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).cast("int").as("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("prio"))
+      val total = d.agg(sum(col("n_tok")).as("total_tok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("prio"), col("doc_id"))
+      d.crossJoin(broadcast(total))
+        .withColumn("bp", expr(
+          "CASE source WHEN 0 THEN 1200 WHEN 1 THEN 900 WHEN 2 THEN 600 ELSE 300 END"))
+        .withColumn("budget_tok", expr("(total_tok * bp) div 10000"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .filter(col("cum") <= col("budget_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tok")).as("n_tokens_kept"),
+          max(col("budget_tok")).as("budget_tok"))
+    }),
     // within-doc repetition signals (Gopher dup-n-gram quality filters):
     // unigram + word-3-gram duplicate counts and the top-gram
     // multiplicity, all computed inside the row (no explode/shuffle);
@@ -3809,6 +3839,26 @@ object SparkEntry {
           |       len(list_distinct(gr))::BIGINT AS n_distinct_grams,
           |       coalesce(top.top_cnt, 0)::BIGINT AS top_gram_count
           |FROM g LEFT JOIN top ON g.doc_id = top.doc_id""".stripMargin,
+      "sample_token_budget" ->
+        """WITH d AS (
+          |  SELECT doc_id, cast(doc_id % 4 as int) AS source,
+          |         len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::BIGINT AS n_tok,
+          |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS prio
+          |  FROM documents),
+          |tot AS (SELECT cast(sum(n_tok) as bigint) AS total_tok FROM d),
+          |b AS (SELECT d.*, total_tok,
+          |        CASE source WHEN 0 THEN 1200 WHEN 1 THEN 900
+          |                    WHEN 2 THEN 600 ELSE 300 END AS bp,
+          |        cast((total_tok * CASE source WHEN 0 THEN 1200 WHEN 1 THEN 900
+          |                          WHEN 2 THEN 600 ELSE 300 END) // 10000 as bigint)
+          |          AS budget_tok,
+          |        cast(sum(n_tok) OVER (PARTITION BY source
+          |          ORDER BY prio, doc_id) as bigint) AS cum
+          |      FROM d, tot)
+          |SELECT source, count(*) AS n_docs_kept,
+          |       cast(sum(n_tok) as bigint) AS n_tokens_kept,
+          |       cast(max(budget_tok) as bigint) AS budget_tok
+          |FROM b WHERE cum <= budget_tok GROUP BY source""".stripMargin,
       "text_dup_substrings" ->
         """WITH grams AS (
           |  SELECT DISTINCT doc_id, g FROM (
