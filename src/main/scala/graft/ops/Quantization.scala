@@ -215,11 +215,14 @@ object Quantization {
     val encB = encode(corpus.select(col(corpusId), col(corpusVec)), corpusVec, model)
       .select(col(corpusId).as("corpus_id"), col("pq_code"),
         Similarity.centroidId(col(corpusVec), nCentroids).as("bucket"))
+    // LUT computed BEFORE the bucket explode: one m×k table per probe
+    // in the broadcast, not nProbe duplicate copies of it
     val probeB = probes
-      .select(col(probeId).as("probe_id"), col(probeVec).as("pv"))
-      .withColumn("bucket", explode(
-        graft.functions.VectorLshFunctions.topCentroids(col("pv"), nCentroids, nProbe)))
-      .select(col("probe_id"), col("bucket"), adcLut(col("pv"), model).as("lut"))
+      .select(col(probeId).as("probe_id"),
+        adcLut(col(probeVec), model).as("lut"),
+        graft.functions.VectorLshFunctions
+          .topCentroids(col(probeVec), nCentroids, nProbe).as("buckets"))
+      .select(col("probe_id"), col("lut"), explode(col("buckets")).as("bucket"))
     val screened = encB.join(broadcast(probeB), Seq("bucket"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .select(col("probe_id"), col("corpus_id"),
