@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ts_ewma fold is order-deterministic and matches the hand recurrence") {
+    // s0 = v0; s := (s + v) div 2 in (ts, event_id) order — input rows
+    // shuffled to prove the sort_array(collect_list(struct)) ordering,
+    // not input order, decides the fold
+    val rows = Seq(
+      (7L, 30L, 3L, 100L), (7L, 10L, 1L, 8L), (7L, 20L, 2L, 4L),
+      (8L, 10L, 1L, 42L)) // single-event user: ewma = the value itself
+      .toDF("user_id", "ts_ms", "event_id", "v")
+    import org.apache.spark.sql.functions._
+    val got = rows
+      .select(col("user_id"), struct(col("ts_ms").as("t"),
+        col("event_id").as("e"), col("v")).as("x"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .select(col("user_id"), expr("transform(xs, x -> x.v)").as("l"))
+      .select(col("user_id"),
+        expr("aggregate(slice(l, 2, size(l) - 1), l[0], (acc, x) -> (acc + x) div 2)")
+          .as("ewma"))
+      .as[(Long, Long)].collect().toMap
+    // user 7: s=8 → (8+4)/2=6 → (6+100)/2=53
+    assert(got === Map(7L -> 53L, 8L -> 42L))
+  }
+
   test("gap-fill densifies each key's own span and zero-fills gaps") {
     val day = 86400000L
     val events = Seq(
