@@ -22,7 +22,9 @@ object Verify {
     // queries that way): collect failures and write _errors.json beside
     // oracle_sql.json so the driver (and any human) sees a red row.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // sorted: deterministic run order, so any cross-query session effect
+    // (cache warmth, conf, catalog state) reproduces identically per run
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
