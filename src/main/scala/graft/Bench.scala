@@ -61,15 +61,25 @@ object Bench {
       }
     }
     calibrate() // warm the probe's own codegen path
-    val calibPre = calibrate()
+    val calibPoints = scala.collection.mutable.ArrayBuffer[Double]()
+    calibPoints += calibrate()
 
     // best-of-2 per query, like the reference's best-of-5 CSV convention
     // (BASELINE.md): run 1 absorbs first-touch costs (parquet footers,
     // codegen, JIT) that are not steady-state engine throughput.
     // A query that throws reports -1 (never a fast "success") and its
     // error lands in the "errors" map.
+    // Query order is a SEEDED SHUFFLE, not alphabetical: external load at
+    // the start of a run would otherwise systematically inflate the same
+    // alphabetical prefix every round (round 6's driver run inflated
+    // agg_*/dedup_winnow exactly this way). The fixed seed keeps the
+    // order reproducible run-to-run; the calibration probe re-runs every
+    // 25 queries so load bursts are localizable to a window of the run.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, gated) =>
+    val ordered = new scala.util.Random(20260814L)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+    val results = ordered.zipWithIndex.map { case ((name, gated), idx) =>
+      if (idx > 0 && idx % 25 == 0) calibPoints += calibrate()
       // time the production form where the queries entry is an oracle
       // gate (sketch + exhaustive verification) — see benchOverrides
       val fn = SparkEntry.benchOverrides.getOrElse(name, gated)
@@ -86,7 +96,7 @@ object Bench {
       val b = once
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -95,14 +105,20 @@ object Bench {
     // every timing to 9 error messages) — keep the stdout line minimal:
     // timings + failed query NAMES only. Full error messages go to a
     // sidecar file and stderr.
-    val calibPost = calibrate()
-    val calib = f""""calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f"""
+    calibPoints += calibrate()
+    val calibArr = calibPoints.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calib = f""""calib_pre":${calibPoints.head}%.3f,"calib_post":${calibPoints.last}%.3f,"calib":$calibArr"""
     val errNames = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"failed":$errNames,"n_failed":${errors.size},"sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft-bench.json"), full)
-    catch { case _: Throwable => () }
+    // the stdout line is tail-captured with finite length (round 6 lost
+    // ~60 timings + the calib fields to truncation) — persist the FULL
+    // payload both to /tmp and to the repo working dir, where the
+    // round's end-of-session commit archives it as a tracked file
+    for (p <- Seq("/tmp/graft-bench.json", "BENCH_full_latest.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full)
+      catch { case _: Throwable => () }
+    }
     errors.foreach { case (k, v) => System.err.println(s"[bench] $k failed: $v") }
     println(line)
     spark.stop()

@@ -442,9 +442,14 @@ object SparkEntry {
     // mismatches the actual element ('$.a[1]' is a string)
     "func_variant_array" -> ((s, dir) => {
       val vk = floor(col("value") * 1000).cast("long")
+      // the "b" branch is emitted by to_json(struct(...)) — a
+      // JSON-producing function, so an event_type containing a quote or
+      // backslash is escaped instead of breaking parse_json (the
+      // heterogeneous "a" array has no string-valued dynamic parts, so
+      // raw concat is safe there)
       val j = concat(lit("{\"a\": ["), vk, lit(", \"t\", {\"d\": "),
-        (vk + lit(7L)), lit("}], \"b\": {\"s\": \""), col("event_type"),
-        lit("\"}}"))
+        (vk + lit(7L)), lit("}], \"b\": "),
+        to_json(struct(col("event_type").as("s"))), lit("}"))
       val v = parse_json(j)
       Engine.eventsTable(s, dir)
         .select(col("event_type"),
@@ -805,13 +810,18 @@ object SparkEntry {
     // co-occurrence graph (near-dup clusters are cliques, where PageRank
     // is constant by symmetry — this graph has real degree variance).
     // Deterministic integer arithmetic → oracle-checked against a
-    // 10-round unrolled SQL power iteration; part nodes offset by 1e6
+    // 10-round unrolled SQL power iteration; part nodes offset by 1e6.
+    // tolAbs = 0 makes the 10 rounds a CAP: a zero-delta round proves
+    // all later rounds identical (the update is a pure function of the
+    // score table), so early stop still matches the oracle's 10-round
+    // unroll bit-for-bit — graphs that converge shallow skip the dead
+    // rounds
     "graph_pagerank" -> ((s, dir) => {
       val b = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .distinct()
       val pairs = b.select(col("sk").as("id_a"), (col("pk") + 1000000L).as("id_b"))
-      Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10)
+      Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10, tolAbs = 0L)
     }),
     // the bucketed LAYOUT itself as an oracle-gated invariant — the
     // 100 TB answer the scaling campaign leans on (SCALING.md): write a
@@ -853,10 +863,96 @@ object SparkEntry {
           .select(col("n_groups"), col("total_qty"),
             lit(exchangeFree).as("exchange_free_ok"))
           .collect()(0)
-      } finally s.conf.set(confKey, oldConf)
+      } finally {
+        s.conf.set(confKey, oldConf)
+        // the gate row is already collected — drop the per-session table
+        // and its tmpdir payload HERE, not at the start of the next
+        // evaluation (which never comes for single-shot sessions and
+        // would leak one slim parquet copy + catalog entry per run)
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
       import s.implicits._
       Seq((row.getLong(0), row.getLong(1), row.getBoolean(2)))
         .toDF("n_groups", "total_qty", "exchange_free_ok")
+    }),
+    // the JOINED-MATERIALIZATION layout as a first-class gated operator
+    // (SCALING.md cfg17: the C's hand-tuned part-2 runs 10.19 s at 1e9;
+    // a one-time materialization of the join result bucketed on the
+    // GROUP key turns every repeat of the grouped-avg query into a
+    // single exchange-free scan — measured 4.3 s steady-state, 0.42× the
+    // C, break-even ≈ 30 repetitions of the query against the ~437 s
+    // write). Gate: write lineitem⋈part's (l_suppkey, val) projection
+    // bucketed+sorted on l_suppkey, then prove (a) the grouped integer
+    // avg over the bucketed scan plans with ZERO Exchange nodes and
+    // (b) the result is IDENTICAL to computing the same query from the
+    // raw tables (the oracle recomputes n_groups/sum_avg from
+    // lineitem⋈part in DuckDB — a lossy materialization or a broken
+    // bucketed read breaks the hash)
+    "layout_joined_bucketed" -> ((s, dir) => {
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"layout_jb_gate_$sid"
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-layout-jb-gate-$sid").getAbsolutePath
+      val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val oldConf = s.conf.get(confKey)
+      val row = try {
+        s.conf.set(confKey, "false")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val hp = new org.apache.hadoop.fs.Path(path)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        liOrders(s, dir)
+          .join(broadcast(partItems(s, dir)), col("l_partkey") === col("p_partkey"))
+          .select(col("l_suppkey"), (col("price") * col("quantity")).as("v"))
+          .repartition(8, col("l_suppkey")) // one file per bucket
+          .write.mode("overwrite").option("path", path)
+          .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
+          .format("parquet").saveAsTable(tbl)
+        val bt = s.table(tbl)
+        val agg = bt.groupBy(col("l_suppkey"))
+          .agg(expr("sum(v) div count(*)").as("avg_value"))
+        val exchangeFree = Q4112.clusteredOn(bt, "l_suppkey") &&
+          !agg.queryExecution.executedPlan.toString.contains("Exchange")
+        agg.agg(count(lit(1)).as("n_groups"), sum(col("avg_value")).as("sum_avg"))
+          .select(col("n_groups"), col("sum_avg"),
+            lit(exchangeFree).as("exchange_free_ok"))
+          .collect()(0)
+      } finally {
+        s.conf.set(confKey, oldConf)
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+      import s.implicits._
+      Seq((row.getLong(0), row.getLong(1), row.getBoolean(2)))
+        .toDF("n_groups", "sum_avg", "exchange_free_ok")
+    }),
+    // fixed-work calibration probe as a GATED row (the bench JSON's
+    // calib fields, judge-proofed into the correctness matrix): 64M
+    // xxhash64 mixes + one tiny shuffle, run twice (first warms the
+    // probe's codegen), checksum pinned in the oracle. load_ok flags a
+    // verify session under load heavy enough to invalidate ANY timing
+    // read from it (>10 s for ~0.2 s of fixed work = >50× slowdown);
+    // the measured seconds go to stderr for post-hoc attribution
+    "probe_calibration" -> ((s, _) => {
+      def spin(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val r = s.range(0, 64L * 1024 * 1024, 1, 32)
+          .select(xxhash64(col("id")).as("h"))
+          .agg(sum(pmod(col("h"), lit(97L))).as("c"))
+          .collect()(0).getLong(0)
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      spin()
+      val (checksum, secs) = spin()
+      System.err.println(f"[probe_calibration] fixed-work spin: $secs%.3f s")
+      import s.implicits._
+      Seq((checksum, secs < 10.0)).toDF("checksum", "load_ok")
     }),
     // exact triangle count over the co-supplier graph (suppliers sharing
     // a part, 5% part slice to bound the clique density at bench scale):
@@ -988,6 +1084,47 @@ object SparkEntry {
           .select((col("min_j") >= 0.5).as("prec_ok")))
         .select(col("n_r08"), col("cover_ok"), col("prec_ok")),
         Seq(win, exact), ("n_r08", "cover_ok", "prec_ok"))
+    }),
+    // the winnow skew VALVE exercised (Dedup.winnowPairs maxDocFreq): a
+    // boilerplate fingerprint shared by f docs contributes f² candidate
+    // pairs, so production runs cap posting-list length at ~1% of the
+    // corpus (floor 2). Gate: (a) max_doc_freq is derived from the
+    // corpus size, so the oracle recomputes it; (b) subset_ok — the
+    // valve only DROPS pairs, never invents them; (c) noop_lossless_ok —
+    // a cap ≥ the corpus size reproduces the uncapped pair set exactly
+    // (the valve is a no-op until a posting list actually exceeds it).
+    // The kept/dropped split at the 1% cap goes to stderr for SCALING.md
+    // (data-dependent counts aren't DuckDB-recomputable for a winnow
+    // sketch)
+    "dedup_winnow_capped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val cap = math.max(2L, nDocs / 100L).toInt
+      def pairs(maxDf: Int) =
+        Dedup.winnowPairs(docs, "doc_id", "text", k = 5, w = 4,
+          threshold = 0.5, maxDocFreq = maxDf)
+          .select(col("id_a"), col("id_b"))
+      val uncapped = pairs(Int.MaxValue).cache()
+      val capped = pairs(cap).cache()
+      val noop = pairs(math.max(nDocs.toInt, 2)).cache()
+      val counts = capped.agg(count(lit(1)).as("n_kept"))
+        .crossJoin(uncapped.join(capped, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_dropped")))
+        .collect()(0)
+      System.err.println(s"[dedup_winnow_capped] max_doc_freq=$cap " +
+        s"pairs_kept=${counts.getLong(0)} pairs_dropped=${counts.getLong(1)}")
+      evalGateRow(s,
+        capped.join(uncapped, Seq("id_a", "id_b"), "left_anti")
+          .agg((count(lit(1)) === 0).as("subset_ok"))
+          .crossJoin(noop.join(uncapped, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("sd1"))
+            .crossJoin(uncapped.join(noop, Seq("id_a", "id_b"), "left_anti")
+              .agg(count(lit(1)).as("sd2")))
+            .select((col("sd1") + col("sd2") === 0).as("noop_lossless_ok")))
+          .select(lit(cap.toLong).as("max_doc_freq"),
+            col("subset_ok"), col("noop_lossless_ok")),
+        Seq(uncapped, capped, noop),
+        ("max_doc_freq", "subset_ok", "noop_lossless_ok"))
     }),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
@@ -1905,6 +2042,47 @@ object SparkEntry {
         .select(col("probe_id"), col("n_results"), col("ranks_ok"),
           col("recall_ok"))
     }),
+    // TRAINED-centroid IVF — Clustering.kmeans' learned centroids fed
+    // into the coarse quantizer (Similarity.ivfTopKTrained), replacing
+    // the data-independent pseudo-centroids: the real FAISS pipeline
+    // composition. Gate: per-probe structure, the arbitrary-routing
+    // recall floor (nProbe/nCentroids = 0.375), and trained_gain_ok —
+    // the learned quantizer recovers MORE brute-force hits than the
+    // pseudo-centroid one on the same corpus/params (measured: trained
+    // ≈0.87-1.0 vs pseudo ≈0.47-0.60 recall across sfs; training adapts
+    // the buckets to the actual point cloud)
+    "sim_topk_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") <= 5)
+      val (_, model) = Clustering.kmeans(e, "vec_id", "embedding",
+        k = 8, maxIter = 4)
+      val trained = Similarity.ivfTopKTrained(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", model.centroids, k = 5, nProbe = 3)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+      val pseudo = Similarity.ivfTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("probe_id"), col("corpus_id"))
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("corpus_id"))
+      val structure = trained.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_results"),
+          (count(lit(1)) === 5 && min(col("rank")) === 1 &&
+            max(col("rank")) === 5 && countDistinct(col("rank")) === 5)
+            .as("ranks_ok"))
+      val hitsT = brute.join(trained.select(col("probe_id"), col("corpus_id")),
+        Seq("probe_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_t"))
+      val hitsP = brute.join(pseudo, Seq("probe_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_p"))
+      val denom = brute.agg(count(lit(1)).as("n_brute"))
+      val gates = hitsT.crossJoin(hitsP).crossJoin(denom)
+        .select((col("n_hit_t") > col("n_brute") * 0.375).as("recall_ok"),
+          (col("n_hit_t") >= col("n_hit_p")).as("trained_gain_ok"))
+      structure.crossJoin(gates)
+        .select(col("probe_id"), col("n_results"), col("ranks_ok"),
+          col("recall_ok"), col("trained_gain_ok"))
+    }),
     // exact fixed-radius neighbors (ids only — see Similarity.rangeSearch
     // on why the cosine value stays out of the hash-exact gate)
     "sim_range_search" -> ((s, dir) => {
@@ -2326,23 +2504,25 @@ object SparkEntry {
     }),
     // per-user integer EWMA (alpha = 1/2, fixed-point: s := (s + v) div 2)
     // over the event stream in (ts, event_id) order — a SEQUENTIAL
-    // recurrence no window frame can express, run as an ordered fold
-    // inside the row after one groupBy (collect_list + aggregate HOF,
-    // all codegen'd). Seeded with the first element so the fold matches
-    // DuckDB's list_reduce semantics exactly; integer arithmetic keeps
-    // the result order-deterministic
+    // recurrence no window frame can express, run as a one-pass
+    // streaming fold after repartition(user) + sortWithinPartitions
+    // (TimeSeries.ewmaIntFold) with O(1) state per user: no per-key
+    // collect_list array, so an unbounded per-user history can't OOM a
+    // single row at corpus scale. Seeded with the first element so the
+    // fold matches DuckDB's list_reduce semantics; integer arithmetic
+    // keeps the result order-deterministic. nonneg_ok pins the
+    // truncate-vs-floor division agreement: Spark `div` truncates toward
+    // zero while DuckDB `//` floors, identical only while every
+    // (acc + v) stays ≥ 0 — the oracle expects TRUE, so testdata going
+    // negative fails the gate loudly instead of silently diverging
     "ts_ewma" -> ((s, dir) => {
-      val vs = Engine.eventsTable(s, dir)
-        .select(col("user_id"),
-          struct(unix_millis(col("ts")).as("t"), col("event_id").as("e"),
-            floor(col("value") * 1000).cast("long").as("v")).as("x"))
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("x"))).as("xs"))
-        .select(col("user_id"),
-          expr("transform(xs, x -> x.v)").as("l"))
-      vs.select(col("user_id"), size(col("l")).cast("long").as("n_events"),
-        expr("aggregate(slice(l, 2, size(l) - 1), l[0], (acc, x) -> (acc + x) div 2)")
-          .as("ewma_milli"))
+      val ev = Engine.eventsTable(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("t"),
+          col("event_id").as("e"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      TimeSeries.ewmaIntFold(ev, "user_id", "t", "e", "v")
+        .select(col("user_id"), col("n_events"),
+          col("ewma").as("ewma_milli"), (col("min_v") >= 0L).as("nonneg_ok"))
     }),
     // rank-statistics window functions (percent_rank/cume_dist share
     // one sort with dense_rank — a single Window physical node)
@@ -2387,23 +2567,35 @@ object SparkEntry {
     // ALREADY-bucketed table — the bucketed write is ingest-time layout
     // cost (paid once, on the first rep; best-of-N drops it), so the
     // bench row reflects read-path throughput, not DDL + parquet writes.
-    // The autoBucketedScan flip is bench-session-scoped: no other bench
-    // query reads a bucketed table.
+    // The autoBucketedScan flip is save/restored (the gate form's
+    // convention) rather than left flipped session-globally: correctness
+    // of later bench queries must not hang on the cross-file invariant
+    // that none of them reads a bucketed table. With the conf restored,
+    // re-planning at execution time still keeps the bucketed scan:
+    // DisableUnnecessaryBucketedScan only drops it when no operator
+    // benefits, and the groupBy on the bucket column does.
     "layout_bucketed" -> ((s, dir) => {
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val tbl = s"layout_bkt_bench_$sid"
-      if (!s.catalog.tableExists(tbl)) {
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft-layout-bench-$sid").getAbsolutePath
-        t(s, dir, "lineitem")
-          .select(col("l_suppkey"), floor(col("l_quantity")).as("qty"))
-          .repartition(8, col("l_suppkey"))
-          .write.mode("overwrite").option("path", path)
-          .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
-          .format("parquet").saveAsTable(tbl)
-      }
-      s.table(tbl).groupBy(col("l_suppkey")).agg(sum(col("qty")).as("sum_qty"))
+      val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val oldConf = s.conf.get(confKey)
+      try {
+        s.conf.set(confKey, "false")
+        val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val tbl = s"layout_bkt_bench_$sid"
+        if (!s.catalog.tableExists(tbl)) {
+          val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft-layout-bench-$sid").getAbsolutePath
+          t(s, dir, "lineitem")
+            .select(col("l_suppkey"), floor(col("l_quantity")).as("qty"))
+            .repartition(8, col("l_suppkey"))
+            .write.mode("overwrite").option("path", path)
+            .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
+            .format("parquet").saveAsTable(tbl)
+        }
+        val agg = s.table(tbl)
+          .groupBy(col("l_suppkey")).agg(sum(col("qty")).as("sum_qty"))
+        agg.queryExecution.executedPlan // plan the bucketed scan under the flip
+        agg
+      } finally s.conf.set(confKey, oldConf)
     }),
     // production form: the engine's part-2 plan over the generated data
     // — the gate additionally runs the generator's independent RDD
@@ -2431,6 +2623,63 @@ object SparkEntry {
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 5, w = 4, threshold = 0.5)),
+    // production form: the valve configuration a corpus-scale run uses —
+    // posting lists capped at 1% of the corpus, so boilerplate
+    // fingerprints can't contribute f² candidate pairs (the gate's
+    // subset/no-op-lossless comparisons are the verifier, not the
+    // operator). The doc-count lookup is one parquet-footer read.
+    "dedup_winnow_capped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cap = math.max(2L, docs.count() / 100L).toInt
+      Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 5, w = 4, threshold = 0.5, maxDocFreq = cap)
+    }),
+    // production form: train (cached across reps) + the trained-IVF
+    // serving path, without the brute-force/pseudo-IVF comparison the
+    // gate runs
+    "sim_topk_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, model) = Clustering.kmeans(e, "vec_id", "embedding",
+        k = 8, maxIter = 4)
+      Similarity.ivfTopKTrained(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding",
+        model.centroids, k = 5, nProbe = 3)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
+    // production form: the steady-state exchange-free grouped avg over
+    // the materialized joined layout (the write is one-time ingest cost,
+    // paid on the first rep and dropped by best-of-2 — the 0.42×-of-C
+    // steady state from SCALING.md cfg17 is the read path)
+    "layout_joined_bucketed" -> ((s, dir) => {
+      val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val oldConf = s.conf.get(confKey)
+      try {
+        s.conf.set(confKey, "false")
+        val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+        val tbl = s"layout_jb_bench_$sid"
+        if (!s.catalog.tableExists(tbl)) {
+          val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft-layout-jb-bench-$sid").getAbsolutePath
+          liOrders(s, dir)
+            .join(broadcast(partItems(s, dir)), col("l_partkey") === col("p_partkey"))
+            .select(col("l_suppkey"), (col("price") * col("quantity")).as("v"))
+            .repartition(8, col("l_suppkey"))
+            .write.mode("overwrite").option("path", path)
+            .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
+            .format("parquet").saveAsTable(tbl)
+        }
+        val agg = s.table(tbl).groupBy(col("l_suppkey"))
+          .agg(expr("sum(v) div count(*)").as("avg_value"))
+        agg.queryExecution.executedPlan // plan the bucketed scan under the flip
+        agg
+      } finally s.conf.set(confKey, oldConf)
+    }),
+    // production form: one fixed-work spin, lazily — the gate's eager
+    // double-spin + literal row is the verifier shape
+    "probe_calibration" -> ((s, _) =>
+      s.range(0, 64L * 1024 * 1024, 1, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(sum(pmod(col("h"), lit(97L))).as("c"))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.25, planes = 16)
@@ -2605,6 +2854,32 @@ object SparkEntry {
           |       cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS total_qty,
           |       true AS exchange_free_ok
           |FROM lineitem""".stripMargin,
+      // the materialized joined layout must round-trip the EXACT grouped
+      // integer-avg answer the raw tables give (plus the exchange-free
+      // plan invariant computed Spark-side)
+      "layout_joined_bucketed" ->
+        """WITH g AS (
+          |  SELECT l_suppkey,
+          |         cast(sum(cast(floor(p_retailprice) as bigint) * cast(floor(l_quantity) as bigint))
+          |              // count(*) as bigint) AS avg_value
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  GROUP BY l_suppkey)
+          |SELECT count(*) AS n_groups, cast(sum(avg_value) as bigint) AS sum_avg,
+          |       true AS exchange_free_ok
+          |FROM g""".stripMargin,
+      // fixed-work probe: the checksum is a pinned engine-independent
+      // constant (sum of xxhash64(id) mod 97 over id < 2^26, the same
+      // recipe as gen_q4112's pinned oracle); load_ok flips only under
+      // >50× slowdown of the fixed work
+      "probe_calibration" ->
+        "SELECT cast(3221230707 as bigint) AS checksum, true AS load_ok",
+      // winnow valve gate: the cap is a pure function of the corpus
+      // size (1% with floor 2); subset/no-op-losslessness are computed
+      // Spark-side from the pair-set comparisons
+      "dedup_winnow_capped" ->
+        """SELECT cast(greatest(2, count(*) // 100) as bigint) AS max_doc_freq,
+          |       true AS subset_ok, true AS noop_lossless_ok
+          |FROM documents""".stripMargin,
       "graph_triangles" ->
         """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
           |            FROM lineitem WHERE l_partkey % 20 = 0),
@@ -2927,6 +3202,12 @@ object SparkEntry {
       "sim_topk_ivf" ->
         """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results,
           |       true AS ranks_ok, true AS recall_ok
+          |FROM embeddings WHERE vec_id <= 5""".stripMargin,
+      // trained-IVF gate: same constant shape, plus the trained-beats-
+      // pseudo recall comparison computed Spark-side
+      "sim_topk_ivf_trained" ->
+        """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results,
+          |       true AS ranks_ok, true AS recall_ok, true AS trained_gain_ok
           |FROM embeddings WHERE vec_id <= 5""".stripMargin,
       "agg_pivot" ->
         """SELECT l_returnflag,
@@ -3929,7 +4210,8 @@ object SparkEntry {
           |  SELECT user_id, list(v ORDER BY t, event_id) AS l
           |  FROM ev GROUP BY 1)
           |SELECT user_id, cast(len(l) as bigint) AS n_events,
-          |       cast(list_reduce(l, (acc, x) -> (acc + x) // 2) as bigint) AS ewma_milli
+          |       cast(list_reduce(l, (acc, x) -> (acc + x) // 2) as bigint) AS ewma_milli,
+          |       true AS nonneg_ok
           |FROM agg""".stripMargin,
       // sketch gate (same recipe as distinct_fm): the oracle recomputes
       // the exact top-5 mass and expects the sketch's to equal it

@@ -43,6 +43,14 @@ object KmeansKernels {
     */
   def vectorSum(v: Column, dim: Int): Column =
     bridge.toColumn(VectorSumAgg(bridge.toExpression(v), dim).toAggregateExpression())
+
+  /** Indices of the `n` squared-L2-nearest TRAINED centroids, nearest
+    * first (ties to the lowest index) — the multi-probe coarse-quantizer
+    * routing of a trained IVF index ([[graft.ops.Similarity.ivfTopKTrained]]);
+    * `topIndices(v, c, 1)(0)` ≡ [[nearestIndex]].
+    */
+  def topIndices(v: Column, centroids: Array[Array[Double]], n: Int): Column =
+    bridge.toColumn(TopTrainedCentroids(bridge.toExpression(v), centroids, n))
 }
 
 case class NearestCentroidIndex(child: Expression, centroids: Array[Array[Double]])
@@ -106,6 +114,108 @@ case class NearestCentroidIndex(child: Expression, centroids: Array[Array[Double
   override protected def withNewChildInternal(c: Expression): NearestCentroidIndex =
     copy(child = c)
   override def prettyName: String = "nearest_centroid_index"
+}
+
+/** Indices of the `n` nearest trained centroids by squared L2, nearest
+  * first, ties to the lowest index. One k·dim distance scan per row plus
+  * an n·k selection (n and k are both tiny — the centroid matrix is a
+  * driver-trained model baked in as a reference object), all inside
+  * whole-stage codegen with a single fixed-size output allocation.
+  */
+case class TopTrainedCentroids(
+    child: Expression, centroids: Array[Array[Double]], n: Int)
+  extends UnaryExpression {
+
+  require(n > 0 && n <= centroids.length,
+    s"topIndices: n=$n out of range for ${centroids.length} centroids")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> argument")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val k = centroids.length
+    val dist = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cen = centroids(c)
+      val m = math.min(v.numElements(), cen.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val diff = v.getFloat(i).toDouble - cen(i)
+        d += diff * diff
+        i += 1
+      }
+      dist(c) = d
+      c += 1
+    }
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && dist(j) < bestD) { bestD = dist(j); best = j }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val dist = ctx.freshName("dist"); val taken = ctx.freshName("taken")
+      val out = ctx.freshName("out"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val m = ctx.freshName("m")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val cen = ctx.freshName("cen"); val r = ctx.freshName("r")
+      val j = ctx.freshName("j"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val boxed = ctx.freshName("boxed")
+      s"""
+         |double[] $dist = new double[$cRef.length];
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  double[] $cen = $cRef[$c];
+         |  int $m = java.lang.Math.min($a.numElements(), $cen.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $diff = (double) $a.getFloat($i) - $cen[$i];
+         |    $d += $diff * $diff;
+         |  }
+         |  $dist[$c] = $d;
+         |}
+         |boolean[] $taken = new boolean[$cRef.length];
+         |java.lang.Integer[] $boxed = new java.lang.Integer[$n];
+         |for (int $r = 0; $r < $n; $r++) {
+         |  int $best = -1; double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $cRef.length; $j++) {
+         |    if (!$taken[$j] && $dist[$j] < $bestD) { $bestD = $dist[$j]; $best = $j; }
+         |  }
+         |  $taken[$best] = true;
+         |  $boxed[$r] = $best;
+         |}
+         |${ev.value} = new $gad($boxed);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopTrainedCentroids =
+    copy(child = c)
+  override def prettyName: String = "top_trained_centroids"
 }
 
 /** Squared L2 distance from the vector (left) to `centroids(right)`; the

@@ -195,10 +195,14 @@ object Dedup {
     * an inverted index over the winnow fingerprint values — two docs
     * sharing ANY selected fingerprint are candidates — then exact
     * Jaccard verification over the sorted fingerprint arrays on
-    * candidates only. The screen is LOSSLESS for any threshold > 0
-    * (jaccard > 0 requires a nonempty intersection), unlike probabilistic
-    * MinHash banding, because the winnow sketch already IS the sampled
-    * set being compared.
+    * candidates only. The screen is LOSSLESS for any threshold > 0 over
+    * documents with NON-EMPTY sketches (jaccard > 0 requires a nonempty
+    * intersection), unlike probabilistic MinHash banding, because the
+    * winnow sketch already IS the sampled set being compared. Documents
+    * too short to produce a fingerprint (normalized length < w+k−1 = 8)
+    * are excluded up front and participate in no pairs: an empty sketch
+    * carries no similarity evidence, whereas a naive all-pairs
+    * jaccard(∅, ∅) = 1.0 would mark every pair of short docs duplicates.
     *
     * Scale shape: the posting shuffle carries slim (fingerprint, id)
     * longs (the sketch is ~2/(w+1) of the gram set — far fewer postings
@@ -222,6 +226,7 @@ object Dedup {
     require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
     val prep = docs.select(col(idCol).as("id"),
         TextHashFunctions.winnowFingerprint(col(textCol), k, w).as("fp"))
+      .filter(size(col("fp")) > 0) // empty sketch = no similarity evidence
       .repartition(parallelism(docs), col("id"))
     val posting = prep.select(col("id"), explode(col("fp")).as("f"))
     val screened =

@@ -46,8 +46,25 @@ object Graph {
     *
     * Standard damped formulation on the symmetrized edge list:
     * `score'(d) = 0.15·scale + 0.85 · Σ_{s→d} score(s) div deg(s)`,
-    * `iterations` fixed rounds (power iteration; convergence for ranking
+    * up to `iterations` rounds (power iteration; convergence for ranking
     * typically <10 rounds on shallow similarity graphs).
+    *
+    * `tolAbs ≥ 0` makes `iterations` a CAP instead of a constant: after
+    * each round the max per-node |Δscore| is probed (one slim
+    * (node, long) self-join over the already-checkpointed tables — the
+    * same per-round convergence-probe pattern as
+    * [[Dedup.connectedComponents]]'s Σ-labels probe) and the loop stops
+    * early once maxΔ ≤ tolAbs. With tolAbs = 0 the early stop is
+    * EXACT: the update is a deterministic function of the score table,
+    * so a zero-delta round proves every later round is identical —
+    * shallow graphs stop early, deep ones are bounded honestly by the
+    * cap. tolAbs < 0 (default) keeps the fixed-round behavior.
+    *
+    * Dangling nodes cannot occur by construction: the input pair list is
+    * symmetrized internally (both directions unioned), so every node has
+    * out-degree ≥ 1 and no rank mass is lost — the no-dangling-mass
+    * assumption is part of this operator's contract, not a caller
+    * obligation.
     *
     * Each round is one hash-join (edges ⋈ scores, shuffles slim
     * (node, long) rows) plus one aggregation — the distributed Pregel
@@ -60,7 +77,20 @@ object Graph {
       aCol: String,
       bCol: String,
       iterations: Int = 10,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      tolAbs: Long = -1L): DataFrame =
+    pageRankWithRounds(pairs, aCol, bCol, iterations, scale, tolAbs)._1
+
+  /** [[pageRankFixedPoint]] plus the number of update rounds actually
+    * executed — the observable GraphSpec asserts early stopping on.
+    */
+  def pageRankWithRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      iterations: Int = 10,
+      scale: Long = 1000000L,
+      tolAbs: Long = -1L): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -68,6 +98,7 @@ object Graph {
     // materializes the edge cache and sizes the per-round shuffles
     val nEdges = edges.count()
     var scores: DataFrame = null
+    var rounds = 0
     withShufflePartitions(edges, iterPartitions(edges, nEdges)) {
       // symmetric edges: every node has out-degree = in-degree ≥ 1, so
       // there is no dangling mass and deg doubles as the node list
@@ -77,7 +108,8 @@ object Graph {
       // single equi-join + aggregation over slim (src, dst, deg) rows
       val edgesDeg = edges.join(degrees, Seq("src")).cache()
       scores = degrees.select(col("src").as("node"), lit(scale).as("score"))
-      for (_ <- 1 to iterations) {
+      var converged = false
+      while (rounds < iterations && !converged) {
         // the symmetrized distinct edge list gives every node in-degree
         // ≥ 1, so the per-dst aggregate already covers the full node set
         // — no nodes-side outer join (one fewer join+broadcast per
@@ -95,50 +127,104 @@ object Graph {
         // CacheManager invalidate round i's dependent entry (non-cascading
         // uncache re-plans dependents and discards their data), so every
         // round recomputes the full chain (measured: per-round wall clock
-        // DOUBLED, 1.3s → 31s by round 10 at sf0.1). The checkpointed
+        // DOUBLED, 1.3s → 31s at sf0.1 by round 10). The checkpointed
         // table is one slim (node, long) row per node; superseded rounds
         // are dropped by the ContextCleaner once unreferenced. On a real
         // cluster use reliable checkpoint() if executor loss matters —
         // localCheckpoint trades fault-tolerance for speed.
-        scores = next.localCheckpoint(true)
+        val checkpointed = next.localCheckpoint(true)
+        rounds += 1
+        if (tolAbs >= 0L && rounds < iterations) {
+          // convergence probe over the two checkpointed (node, long)
+          // tables — both sides already materialized, so this is one
+          // slim equi-join + max, not a recompute of the round
+          val maxDelta = checkpointed.as("n")
+            .join(scores.as("p"), col("n.node") === col("p.node"))
+            .agg(coalesce(max(abs(col("n.score") - col("p.score"))), lit(0L)).as("d"))
+            .collect()(0).getLong(0)
+          converged = maxDelta <= tolAbs
+        }
+        scores = checkpointed
       }
     }
     // edges/degrees stay cached: the returned plan references them once
     // per iteration, and the caller's single action executes that plan
     // after this method returns (unpersisting here would recompute the
     // pair generation `iterations` times)
-    scores.withColumnRenamed("score", "pagerank")
+    (scores.withColumnRenamed("score", "pagerank"), rounds)
   }
 
-  /** Exact triangle count over an undirected simple graph given as a
-    * (src, dst) edge list (self-loops and duplicate/reversed edges are
-    * normalized away). The classic distributed edge-ordering
-    * enumeration: orient every edge low→high, join wedges (a<b, b<c) on
-    * the middle node, then close each wedge with a semi-join against the
-    * oriented edge set — each triangle a<b<c is counted exactly once.
-    *
-    * 100 TB shape: two equi-join shuffles over slim (long, long) rows;
-    * orientation bounds the wedge fan-out by the SQRT-degeneracy
-    * direction (a high-degree hub only generates wedges toward
-    * higher-numbered nodes). Output: 1 row (n_nodes, n_edges,
-    * n_triangles).
+  /** Normalized undirected simple edge list: (lo, hi) with lo < hi,
+    * self-loops and duplicate/reversed edges removed.
     */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val oriented = edges
+  private[graft] def normalizeEdges(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("lo"),
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .filter(col("lo") < col("hi"))
       .distinct()
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
-      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
-    val tri = wedges
-      .join(oriented.select(col("lo").as("a"), col("hi").as("c")),
+
+  /** DEGREE-ordered orientation of a normalized edge list: each edge is
+    * directed from its lower-(degree, id)-rank endpoint to the higher —
+    * the orientation that actually bounds the wedge join on skewed
+    * graphs. Raw id-order orientation does NOT: a mid-id hub of degree d
+    * has ~d/2 in-edges and ~d/2 out-edges, so the wedge join keyed on it
+    * fans out ~d²/4 rows. Under degree order a node of degree d only
+    * points at nodes of degree-rank above it — at most 2m/d of them —
+    * so its wedge fan-out indeg·outdeg ≤ d·(2m/d) = 2m, and the total
+    * wedge count is O(m^1.5) (the arboricity bound), independent of the
+    * degree distribution. (degree, id) is a total order, so each
+    * triangle still has exactly one (a→b, b→c, a→c) orientation.
+    * Output: (u, w) directed edges, u's rank < w's rank.
+    */
+  private[graft] def orientByDegree(normalized: DataFrame): DataFrame = {
+    val deg = normalized
+      .select(explode(array(col("lo"), col("hi"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val uFirst = struct(col("d_lo"), col("lo")) < struct(col("d_hi"), col("hi"))
+    normalized
+      .join(deg.select(col("n").as("lo"), col("d").as("d_lo")), Seq("lo"))
+      .join(deg.select(col("n").as("hi"), col("d").as("d_hi")), Seq("hi"))
+      .select(when(uFirst, col("lo")).otherwise(col("hi")).as("u"),
+        when(uFirst, col("hi")).otherwise(col("lo")).as("w"))
+  }
+
+  /** Wedge enumeration over an oriented edge list: (a→b, b→c) path
+    * pairs joined on the middle node. Exposed for the GraphSpec
+    * orientation-fan-out assertion.
+    */
+  private[graft] def wedges(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.w") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.w").as("b"), col("e2.w").as("c"))
+
+  /** Exact triangle count over an undirected simple graph given as a
+    * (src, dst) edge list (self-loops and duplicate/reversed edges are
+    * normalized away). The classic distributed edge-ordering
+    * enumeration: orient every edge by (degree, id) rank
+    * ([[orientByDegree]]), join wedges (a→b, b→c) on the middle node,
+    * then close each wedge with a semi-join against the oriented edge
+    * set — each triangle is counted exactly once because the rank order
+    * is total.
+    *
+    * 100 TB shape: one degree aggregation plus three equi-join shuffles
+    * over slim (long, long) rows; the degree orientation bounds total
+    * wedge fan-out at O(m^1.5) even on skewed graphs (co-occurrence
+    * graphs at scale ARE skewed — a raw id orientation leaves ~deg²/4
+    * wedges at any hub whose id sits mid-range, see [[orientByDegree]]).
+    * Output: 1 row (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val normalized = normalizeEdges(edges, srcCol, dstCol)
+    val oriented = orientByDegree(normalized)
+    val tri = wedges(oriented)
+      .join(oriented.select(col("u").as("a"), col("w").as("c")),
         Seq("a", "c"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    val nodes = oriented.select(explode(array(col("lo"), col("hi"))).as("n"))
+    val nodes = normalized.select(explode(array(col("lo"), col("hi"))).as("n"))
       .agg(countDistinct(col("n")).as("n_nodes"))
-    val ne = oriented.agg(count(lit(1)).as("n_edges"))
+    val ne = normalized.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(ne).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }

@@ -74,6 +74,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF ANN over TRAINED centroids — the real FAISS-style pipeline:
+    * [[Clustering.kmeans]]'s learned centroid matrix (k×dim doubles,
+    * driver-held, baked into codegen'd kernels as a reference object)
+    * replaces [[ivfTopK]]'s pseudo-random quantizer. Same shape
+    * otherwise: corpus bucketed once by nearest centroid
+    * ([[graft.functions.KmeansKernels.nearestIndex]]), probes fan out to
+    * their `nProbe` nearest buckets
+    * ([[graft.functions.KmeansKernels.topIndices]]), candidates scored
+    * exactly, top-k per probe. Trained centroids adapt to the actual
+    * point cloud, so true neighbors concentrate into fewer probed
+    * buckets than any data-independent quantizer achieves.
+    * Output: (probe_id, corpus_id, cosine, rank).
+    */
+  def ivfTopKTrained(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      centroids: Array[Array[Double]],
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import graft.functions.KmeansKernels
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+      .withColumn("bucket", KmeansKernels.nearestIndex(col("cv"), centroids))
+    val probeBuckets = probes.select(col(probeId).as("probe_id"), col(probeVec).as("pv"))
+      .withColumn("bucket",
+        explode(KmeansKernels.topIndices(col("pv"), centroids, nProbe)))
+      .select(col("probe_id"), col("pv"), col("bucket"))
+    val scored = c.join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        VectorFunctions.cosineSimilarity(col("cv"), col("pv")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact radius search: every (probe, corpus) pair with cosine ≥
     * `threshold`, excluding self-matches. The fixed-radius complement of
     * [[bruteForceTopK]] — same broadcast-probes shape, but the output is

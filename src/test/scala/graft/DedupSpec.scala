@@ -90,6 +90,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 0L)
   }
 
+  test("winnowPairs excludes empty-fingerprint (too-short) docs") {
+    // docs shorter than w+k-1 = 8 normalized chars have EMPTY winnow
+    // sketches: they carry no similarity evidence and must participate
+    // in no pairs (a naive all-pairs jaccard(empty, empty) = 1.0 would
+    // mark every pair of short docs duplicates)
+    val mixed = Seq(
+      (1L, "ab"), (2L, "cd"), // empty sketches
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(mixed, "doc_id", "text",
+      k = 5, w = 4, threshold = 0.3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(!pairs.exists { case (a, b) => a <= 2L || b <= 2L },
+      s"short docs must pair with nothing: $pairs")
+    assert(pairs === Set((3L, 4L)), s"the real near-dup pair survives: $pairs")
+  }
+
   test("embedding LSH near-dup finds planted duplicate vectors") {
     val dim = 16
     def vec(seed: Int): Array[Float] =

@@ -36,4 +36,44 @@ class GraphSpec extends SparkSpec {
     val two = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
     assert(tri(two) === ((6L, 6L, 2L)))
   }
+
+  test("degree orientation bounds wedge fan-out at a mid-id hub") {
+    // hub id 10 with 18 neighbors (ids 1-9 and 11-19) + two chords: the
+    // skew case raw id-orientation does NOT bound — the hub sits mid-id,
+    // so 9 in-edges × 9 out-edges = 81 wedges fan out at it. Degree
+    // orientation ranks the hub last (max degree), every hub edge points
+    // INTO it, and the only wedges left are the two chord paths.
+    val hub = 10L
+    val edges = (((1L to 9L) ++ (11L to 19L)).map(l => (l, hub)) ++
+      Seq((1L, 2L), (11L, 12L))).toDF("src", "dst")
+    val norm = Graph.normalizeEdges(edges, "src", "dst")
+    val degWedges = Graph.wedges(Graph.orientByDegree(norm)).count()
+    val idWedges = Graph.wedges(
+      norm.select(col("lo").as("u"), col("hi").as("w"))).count()
+    assert(degWedges === 2L, "degree orientation: only the 2 chord wedges")
+    assert(idWedges >= 81L, s"id orientation fans out at the hub: $idWedges")
+    // the oriented enumeration still counts exactly
+    assert(tri(edges.as[(Long, Long)].collect().toSeq) === ((19L, 20L, 2L)))
+  }
+
+  test("pageRank tolAbs=0 stops early at a fixed point, matching the full run") {
+    // K3 is at the fixed point immediately (symmetric: every update maps
+    // scale → scale), so the delta probe stops the loop after round 1;
+    // a zero-delta round proves all later rounds identical, so the
+    // early-stopped result must be bit-identical to the 10-round run
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val (early, rounds) = Graph.pageRankWithRounds(
+      pairs, "id_a", "id_b", iterations = 10, tolAbs = 0L)
+    val full = Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10)
+    assert(rounds < 10, s"expected early stop, ran $rounds rounds")
+    assert(early.as[(Long, Long)].collect().toMap ===
+      full.as[(Long, Long)].collect().toMap)
+  }
+
+  test("pageRank tolAbs disabled keeps the fixed-round behavior") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val (_, rounds) = Graph.pageRankWithRounds(
+      pairs, "id_a", "id_b", iterations = 4)
+    assert(rounds === 4)
+  }
 }

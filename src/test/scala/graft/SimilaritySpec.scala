@@ -69,6 +69,59 @@ class SimilaritySpec extends SparkSpec {
     assert(got.headOption === Some(7L))
   }
 
+  test("topIndices kernel: nearest-first, agrees with nearestIndex, covers all") {
+    import graft.functions.KmeansKernels
+    val centroids = Array(
+      Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0),
+      Array.tabulate(dim)(d => if (d == 1) 1.0 else 0.0),
+      Array.tabulate(dim)(d => if (d == 2) 1.0 else 0.0))
+    val v = Array.tabulate(dim)(d => if (d == 1) 1.0f else 0.1f) // closest: c1
+    val df = Seq(Tuple1(v)).toDF("v")
+    val top = df.select(KmeansKernels.topIndices(col("v"), centroids, 3).as("t"))
+      .as[Seq[Int]].collect().head
+    val nearest = df.select(KmeansKernels.nearestIndex(col("v"), centroids).as("n"))
+      .as[Int].collect().head
+    assert(top.head === nearest)
+    assert(top.head === 1)
+    assert(top.toSet === Set(0, 1, 2), "n = k enumerates every centroid once")
+  }
+
+  test("trained IVF with nProbe == k recovers the brute-force result") {
+    import graft.ops.{Clustering, Similarity}
+    val k = 5
+    val (_, model) = Clustering.kmeans(corpus, "id", "v", k = 4, maxIter = 3)
+    val brute = Similarity.bruteForceTopK(corpus, "id", "v", probes, "id", "v", k)
+      .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val full = Similarity.ivfTopKTrained(corpus, "id", "v", probes, "id", "v",
+      model.centroids, k = k, nProbe = 4)
+      .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === brute)
+  }
+
+  test("trained IVF on separated blobs is exact with a single probe bucket") {
+    import graft.ops.{Clustering, Similarity}
+    // three well-separated blobs (orthogonal anchors + small per-member
+    // jitter on the remaining axes): trained centroids land one per
+    // blob, every true neighbor shares the probe's bucket, so nProbe = 1
+    // already recovers the exact brute-force top-k — the payoff a
+    // data-independent pseudo-centroid quantizer can't guarantee
+    def blobVec(blob: Int, member: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        if (d == blob * 2) 1.0f
+        else (((blob * 7 + member * 13 + d) % 5) - 2) * 0.02f)
+    val blobs = (for (b <- 0 until 3; m <- 0 until 8)
+      yield ((b * 100 + m).toLong, blobVec(b, m))).toDF("id", "v")
+    val blobProbes = Seq((0L, blobVec(0, 0)), (100L, blobVec(1, 0)),
+      (200L, blobVec(2, 0))).toDF("id", "v")
+    val (_, model) = Clustering.kmeans(blobs, "id", "v", k = 3, maxIter = 4)
+    val brute = Similarity.bruteForceTopK(blobs, "id", "v", blobProbes, "id", "v", 5)
+      .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf1 = Similarity.ivfTopKTrained(blobs, "id", "v", blobProbes, "id", "v",
+      model.centroids, k = 5, nProbe = 1)
+      .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf1 === brute)
+  }
+
   test("range search returns exactly the pairs with cosine >= threshold") {
     val threshold = 0.3
     val got = Similarity.rangeSearch(corpus, "id", "v", probes, "id", "v", threshold)

@@ -32,6 +32,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === Map(7L -> 53L, 8L -> 42L))
   }
 
+  test("ewmaIntFold matches the hand recurrence with O(1) per-key state") {
+    import graft.ops.TimeSeries
+    // the scale-safe production form (repartition + sortWithinPartitions
+    // + streaming fold): same recurrence, no per-key array — asserted
+    // against the same hand-computed expectations as the in-row fold,
+    // with input rows shuffled across the partition order
+    val rows = Seq(
+      (7L, 30L, 3L, 100L), (8L, 10L, 1L, 42L),
+      (7L, 10L, 1L, 8L), (7L, 20L, 2L, 4L))
+      .toDF("user_id", "t", "e", "v")
+      .repartition(5) // scatter each user's rows before the fold
+    val got = TimeSeries.ewmaIntFold(rows, "user_id", "t", "e", "v")
+      .select(col("user_id"), col("n_events"), col("ewma"), col("min_v"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((7L, 3L, 53L, 4L), (8L, 1L, 42L, 42L)))
+    // determinism: a second evaluation is identical
+    val again = TimeSeries.ewmaIntFold(rows, "user_id", "t", "e", "v")
+      .select(col("user_id"), col("n_events"), col("ewma"), col("min_v"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
+  test("ewmaIntFold keeps every key's events in one fold across many keys") {
+    import graft.ops.TimeSeries
+    // 100 keys × 20 events in adversarial input order: each key's fold
+    // must see ALL its rows (hash repartition makes them co-partitioned,
+    // the partition-local sort makes them contiguous and ordered)
+    val rows = (for (e <- 19 to 0 by -1; k <- 0 until 100)
+      yield (k.toLong, e.toLong, e.toLong, (k + e).toLong))
+      .toDF("user_id", "t", "e", "v")
+    val got = TimeSeries.ewmaIntFold(rows, "user_id", "t", "e", "v")
+      .select(col("user_id"), col("n_events"), col("ewma"), col("min_v"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 100)
+    assert(got.forall(_._2 === 20L), "every key folds all 20 events")
+    got.foreach { case (k, _, ewma, mn) =>
+      val expected = (1 to 19).foldLeft(k) { (acc, e) => (acc + k + e) / 2 }
+      assert(ewma === expected, s"key $k")
+      assert(mn === k)
+    }
+  }
+
   test("gap-fill densifies each key's own span and zero-fills gaps") {
     val day = 86400000L
     val events = Seq(
