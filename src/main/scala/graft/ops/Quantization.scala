@@ -210,18 +210,43 @@ object Quantization {
   def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       probes: DataFrame, probeId: String, probeVec: String,
       model: PqModel, nCentroids: Int, nProbe: Int,
+      shortlist: Int, topK: Int): DataFrame =
+    ivfPqCore(corpus, corpusId, corpusVec, probes, probeId, probeVec, model,
+      Similarity.centroidId(col(corpusVec), nCentroids),
+      graft.functions.VectorLshFunctions
+        .topCentroids(col(probeVec), nCentroids, nProbe),
+      shortlist, topK)
+
+  /** [[ivfPqTopK]] with a TRAINED coarse quantizer: the k-means centroid
+    * matrix ([[Clustering.kmeans]]) routes both the corpus bucketing and
+    * the probe fan-out, completing the full FAISS composition
+    * (trained IVF routing ∘ PQ-ADC screen ∘ exact re-rank) — the same
+    * plan shape, with both routing kernels codegen'd against the
+    * driver-held model.
+    */
+  def ivfPqTopKTrained(corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      model: PqModel, coarse: Array[Array[Double]], nProbe: Int,
+      shortlist: Int, topK: Int): DataFrame =
+    ivfPqCore(corpus, corpusId, corpusVec, probes, probeId, probeVec, model,
+      graft.functions.KmeansKernels.nearestIndex(col(corpusVec), coarse),
+      graft.functions.KmeansKernels.topIndices(col(probeVec), coarse, nProbe),
+      shortlist, topK)
+
+  private def ivfPqCore(corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      model: PqModel, corpusBucket: Column, probeBuckets: Column,
       shortlist: Int, topK: Int): DataFrame = {
     require(shortlist >= topK)
     val encB = encode(corpus.select(col(corpusId), col(corpusVec)), corpusVec, model)
       .select(col(corpusId).as("corpus_id"), col("pq_code"),
-        Similarity.centroidId(col(corpusVec), nCentroids).as("bucket"))
+        corpusBucket.as("bucket"))
     // LUT computed BEFORE the bucket explode: one m×k table per probe
     // in the broadcast, not nProbe duplicate copies of it
     val probeB = probes
       .select(col(probeId).as("probe_id"),
         adcLut(col(probeVec), model).as("lut"),
-        graft.functions.VectorLshFunctions
-          .topCentroids(col(probeVec), nCentroids, nProbe).as("buckets"))
+        probeBuckets.as("buckets"))
       .select(col("probe_id"), col("lut"), explode(col("buckets")).as("bucket"))
     val screened = encB.join(broadcast(probeB), Seq("bucket"))
       .filter(col("corpus_id") =!= col("probe_id"))

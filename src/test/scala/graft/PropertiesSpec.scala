@@ -44,6 +44,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("topIndices equals brute-force argsort for random vectors/centroids") {
+    val genVec: Gen[Array[Float]] =
+      Gen.listOfN(6, Gen.choose(-15, 15)).map(_.map(_.toFloat / 3f).toArray)
+    forAll(genVec, Gen.listOfN(5, genVec)) { (v, cs) =>
+      val cents = cs.map(_.map(_.toDouble)).toArray
+      whenever(cents.nonEmpty) {
+        val got = Seq(Tuple1(v)).toDF("v")
+          .select(graft.functions.KmeansKernels
+            .topIndices(col("v"), cents, cents.length).as("t"))
+          .as[Seq[Int]].collect().head
+        val dist = cents.map(c =>
+          v.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+            val d = x.toDouble - y; acc + d * d
+          })
+        val want = dist.zipWithIndex.sortBy { case (d, i) => (d, i) }
+          .map(_._2).toSeq
+        assert(got === want)
+      }
+    }
+  }
+
   test("shingle hashes are sorted, distinct, whitespace-collapse invariant") {
     forAll(smallText) { (a: String) =>
       val s = ShingleHashes.compute(UTF8String.fromString(a), 4)

@@ -69,6 +69,28 @@ class QuantizationSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("trained and pseudo IVF-PQ agree when every bucket is probed") {
+    // with nProbe = nCentroids the routing layer screens nothing — both
+    // quantizers deliver the ENTIRE code corpus to the ADC shortlist, so
+    // the trained-routing and pseudo-routing serving paths must produce
+    // the identical top-k (bucket boundaries differ, coverage doesn't)
+    import graft.ops.Clustering
+    val probes = emb.filter(col("vec_id") <= 3)
+    val (_, km) = Clustering.kmeans(emb, "vec_id", "embedding", k = 4, maxIter = 3)
+    val trained = Quantization.ivfPqTopKTrained(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", model, km.centroids,
+      nProbe = 4, shortlist = 30, topK = 5)
+      .select("probe_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val pseudo = Quantization.ivfPqTopK(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding", model,
+      nCentroids = 4, nProbe = 4, shortlist = 30, topK = 5)
+      .select("probe_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(trained === pseudo)
+    assert(trained.nonEmpty)
+  }
+
   test("ADC+rerank recall@10 clears the gate floor at EVERY test sf") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")) {
