@@ -113,9 +113,15 @@ object Bench {
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
     // the stdout line is tail-captured with finite length (round 6 lost
     // ~60 timings + the calib fields to truncation) — persist the FULL
-    // payload both to /tmp and to the repo working dir, where the
-    // round's end-of-session commit archives it as a tracked file
-    for (p <- Seq("/tmp/graft-bench.json", "BENCH_full_latest.json")) {
+    // payload both to /tmp and to the repo root, where the round's
+    // end-of-session commit archives it as a tracked file. The repo copy
+    // is only written when cwd actually IS the sbt project root
+    // (build.sbt present): a bench launched elsewhere must not scatter
+    // stray files or leave a stale tracked archive looking fresh.
+    val sinks = Seq("/tmp/graft-bench.json") ++
+      (if (new java.io.File("build.sbt").isFile) Seq("BENCH_full_latest.json")
+       else Seq.empty)
+    for (p <- sinks) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full)
       catch { case _: Throwable => () }
     }

@@ -446,10 +446,14 @@ object SparkEntry {
       // JSON-producing function, so an event_type containing a quote or
       // backslash is escaped instead of breaking parse_json (the
       // heterogeneous "a" array has no string-valued dynamic parts, so
-      // raw concat is safe there)
+      // raw concat is safe there). ignoreNullFields=false keeps the "s"
+      // field present as JSON null for a NULL event_type, and the s_ok
+      // comparison below is null-safe (<=>) so the null round-trips as
+      // "extracted s equals source" instead of flipping the gate
       val j = concat(lit("{\"a\": ["), vk, lit(", \"t\", {\"d\": "),
         (vk + lit(7L)), lit("}], \"b\": "),
-        to_json(struct(col("event_type").as("s"))), lit("}"))
+        to_json(struct(col("event_type").as("s")),
+          Map("ignoreNullFields" -> "false")), lit("}"))
       val v = parse_json(j)
       Engine.eventsTable(s, dir)
         .select(col("event_type"),
@@ -462,7 +466,7 @@ object SparkEntry {
           sum(col("a0")).as("sum_a0"),
           sum(col("d")).as("sum_d"),
           sum(when(col("wrong").isNotNull, 1L).otherwise(0L)).as("n_wrong_nonnull"),
-          sum(when(col("sv") === col("event_type"), 0L).otherwise(1L)).as("bad_s"))
+          sum(when(col("sv") <=> col("event_type"), 0L).otherwise(1L)).as("bad_s"))
         .select(col("event_type"), col("n"), col("sum_a0"), col("sum_d"),
           col("n_wrong_nonnull"), (col("bad_s") === 0L).as("s_ok"))
     }),
@@ -1099,21 +1103,21 @@ object SparkEntry {
     "dedup_winnow_capped" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.count()
-      val cap = math.max(2L, nDocs / 100L).toInt
+      // clamp, never truncate: nDocs > Int.MaxValue must saturate the
+      // cap (an uncapped screen), not wrap negative and cap everything
+      def toCap(l: Long) = math.min(l, Int.MaxValue.toLong).toInt
+      val cap = toCap(math.max(2L, nDocs / 100L))
       def pairs(maxDf: Int) =
         Dedup.winnowPairs(docs, "doc_id", "text", k = 5, w = 4,
           threshold = 0.5, maxDocFreq = maxDf)
           .select(col("id_a"), col("id_b"))
       val uncapped = pairs(Int.MaxValue).cache()
       val capped = pairs(cap).cache()
-      val noop = pairs(math.max(nDocs.toInt, 2)).cache()
-      val counts = capped.agg(count(lit(1)).as("n_kept"))
-        .crossJoin(uncapped.join(capped, Seq("id_a", "id_b"), "left_anti")
-          .agg(count(lit(1)).as("n_dropped")))
-        .collect()(0)
-      System.err.println(s"[dedup_winnow_capped] max_doc_freq=$cap " +
-        s"pairs_kept=${counts.getLong(0)} pairs_dropped=${counts.getLong(1)}")
-      evalGateRow(s,
+      val noop = pairs(toCap(math.max(nDocs, 2L))).cache()
+      // ONE collected row carries the gate booleans AND the kept/dropped
+      // split (stderr-reported for SCALING.md); the cached inputs are
+      // unpersisted in the same finally whatever throws
+      val row = try {
         capped.join(uncapped, Seq("id_a", "id_b"), "left_anti")
           .agg((count(lit(1)) === 0).as("subset_ok"))
           .crossJoin(noop.join(uncapped, Seq("id_a", "id_b"), "left_anti")
@@ -1121,10 +1125,19 @@ object SparkEntry {
             .crossJoin(uncapped.join(noop, Seq("id_a", "id_b"), "left_anti")
               .agg(count(lit(1)).as("sd2")))
             .select((col("sd1") + col("sd2") === 0).as("noop_lossless_ok")))
+          .crossJoin(capped.agg(count(lit(1)).as("n_kept")))
+          .crossJoin(uncapped.join(capped, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("n_dropped")))
           .select(lit(cap.toLong).as("max_doc_freq"),
-            col("subset_ok"), col("noop_lossless_ok")),
-        Seq(uncapped, capped, noop),
-        ("max_doc_freq", "subset_ok", "noop_lossless_ok"))
+            col("subset_ok"), col("noop_lossless_ok"),
+            col("n_kept"), col("n_dropped"))
+          .collect()(0)
+      } finally Seq(uncapped, capped, noop).foreach(_.unpersist())
+      System.err.println(s"[dedup_winnow_capped] max_doc_freq=$cap " +
+        s"pairs_kept=${row.getLong(3)} pairs_dropped=${row.getLong(4)}")
+      import s.implicits._
+      Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
+        .toDF("max_doc_freq", "subset_ok", "noop_lossless_ok")
     }),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
@@ -2642,10 +2655,12 @@ object SparkEntry {
     // The autoBucketedScan flip is save/restored (the gate form's
     // convention) rather than left flipped session-globally: correctness
     // of later bench queries must not hang on the cross-file invariant
-    // that none of them reads a bucketed table. With the conf restored,
-    // re-planning at execution time still keeps the bucketed scan:
-    // DisableUnnecessaryBucketedScan only drops it when no operator
-    // benefits, and the groupBy on the bucket column does.
+    // that none of them reads a bucketed table. The flip only needs to
+    // cover the setup DDL: the timed noop write plans its OWN
+    // QueryExecution after the restore, where (auto = default true)
+    // DisableUnnecessaryBucketedScan still KEEPS the bucketed scan —
+    // it only drops one no operator benefits from, and the groupBy on
+    // the bucket column benefits.
     "layout_bucketed" -> ((s, dir) => {
       val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val oldConf = s.conf.get(confKey)
@@ -2663,10 +2678,8 @@ object SparkEntry {
             .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
             .format("parquet").saveAsTable(tbl)
         }
-        val agg = s.table(tbl)
+        s.table(tbl)
           .groupBy(col("l_suppkey")).agg(sum(col("qty")).as("sum_qty"))
-        agg.queryExecution.executedPlan // plan the bucketed scan under the flip
-        agg
       } finally s.conf.set(confKey, oldConf)
     }),
     // production form: the engine's part-2 plan over the generated data
@@ -2688,27 +2701,24 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.7)),
-    // production form: inverted-index winnow pair search over the FULL
-    // corpus at the production valve setting (maxDocFreq = 1% of the
-    // corpus — the MOSS-style posting-list cap; measured at sf0.1:
-    // 1.4 s vs 3.4 s unbounded, kept 94 / dropped 162 boilerplate-only
-    // pairs, SCALING.md round 7). The unbounded lossless form is the
-    // dedup_winnow_capped gate's baseline and stays available via
-    // maxDocFreq = MaxValue.
-    "dedup_winnow" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cap = math.max(2L, docs.count() / 100L).toInt
-      Dedup.winnowPairs(docs, "doc_id", "text",
-        k = 5, w = 4, threshold = 0.5, maxDocFreq = cap)
-    }),
+    // production form: the UNBOUNDED lossless inverted-index winnow pair
+    // search (the name this row has carried since round 6 — keeping it
+    // uncapped preserves round-over-round comparability; the 1%-capped
+    // valve configuration is the dedup_winnow_capped row below, so the
+    // two bench rows time two DIFFERENT operators, not one twice)
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, threshold = 0.5)),
     // production form: the valve configuration a corpus-scale run uses —
-    // posting lists capped at 1% of the corpus, so boilerplate
-    // fingerprints can't contribute f² candidate pairs (the gate's
-    // subset/no-op-lossless comparisons are the verifier, not the
-    // operator). The doc-count lookup is one parquet-footer read.
+    // posting lists capped at 1% of the corpus (clamped, never
+    // Int-truncated), so boilerplate fingerprints can't contribute f²
+    // candidate pairs (the gate's subset/no-op-lossless comparisons are
+    // the verifier, not the operator). Measured at sf0.1: 1.4 s vs the
+    // uncapped row's 3.4 s. The doc-count lookup is one footer read.
     "dedup_winnow_capped" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cap = math.max(2L, docs.count() / 100L).toInt
+      val cap = math.min(math.max(2L, docs.count() / 100L),
+        Int.MaxValue.toLong).toInt
       Dedup.winnowPairs(docs, "doc_id", "text",
         k = 5, w = 4, threshold = 0.5, maxDocFreq = cap)
     }),
@@ -2746,10 +2756,10 @@ object SparkEntry {
             .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
             .format("parquet").saveAsTable(tbl)
         }
-        val agg = s.table(tbl).groupBy(col("l_suppkey"))
+        // the timed noop write re-plans under the restored conf; the
+        // bucketed scan survives (see the layout_bucketed note above)
+        s.table(tbl).groupBy(col("l_suppkey"))
           .agg(expr("sum(v) div count(*)").as("avg_value"))
-        agg.queryExecution.executedPlan // plan the bucketed scan under the flip
-        agg
       } finally s.conf.set(confKey, oldConf)
     }),
     // production form: one fixed-work spin, lazily — the gate's eager

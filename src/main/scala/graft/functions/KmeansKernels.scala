@@ -154,18 +154,26 @@ case class TopTrainedCentroids(
         d += diff * diff
         i += 1
       }
-      dist(c) = d
+      // NaN (corrupt vector/centroid) ranks last, never poisons the
+      // comparison chain
+      dist(c) = if (java.lang.Double.isNaN(d)) Double.PositiveInfinity else d
       c += 1
     }
     val out = new Array[Int](n)
     val taken = new Array[Boolean](k)
     var r = 0
     while (r < n) {
+      // best starts at the first untaken index, not -1: if every
+      // remaining distance is NaN (a corrupt vector), the row routes to
+      // the lowest untaken bucket instead of crashing — the same
+      // degrade-don't-throw contract as NearestCentroidIndex's default 0
       var best = -1
       var bestD = Double.MaxValue
       var j = 0
       while (j < k) {
-        if (!taken(j) && dist(j) < bestD) { bestD = dist(j); best = j }
+        if (!taken(j) && (best < 0 || dist(j) < bestD)) {
+          bestD = dist(j); best = j
+        }
         j += 1
       }
       taken(best) = true
@@ -196,14 +204,16 @@ case class TopTrainedCentroids(
          |    double $diff = (double) $a.getFloat($i) - $cen[$i];
          |    $d += $diff * $diff;
          |  }
-         |  $dist[$c] = $d;
+         |  $dist[$c] = Double.isNaN($d) ? Double.POSITIVE_INFINITY : $d;
          |}
          |boolean[] $taken = new boolean[$cRef.length];
          |java.lang.Integer[] $boxed = new java.lang.Integer[$n];
          |for (int $r = 0; $r < $n; $r++) {
          |  int $best = -1; double $bestD = Double.MAX_VALUE;
          |  for (int $j = 0; $j < $cRef.length; $j++) {
-         |    if (!$taken[$j] && $dist[$j] < $bestD) { $bestD = $dist[$j]; $best = $j; }
+         |    if (!$taken[$j] && ($best < 0 || $dist[$j] < $bestD)) {
+         |      $bestD = $dist[$j]; $best = $j;
+         |    }
          |  }
          |  $taken[$best] = true;
          |  $boxed[$r] = $best;
