@@ -594,6 +594,19 @@ object SparkEntry {
     }),
     "distinct_exact" -> ((s, dir) =>
       Aggregates.distinctExact(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
+    // KMV (bottom-k theta) distinct-count sketch — unlike FM/HLL the
+    // priorities are md5-derived and engine-portable, so the DuckDB
+    // oracle recomputes the ESTIMATE itself bit-for-bit (a hash-checked
+    // sketch, not a bounds-gated one); err_ok additionally pins the
+    // estimate within ±25% of exact (k=256 ⇒ σ ≈ 6.3%, so ±25% ≈ 4σ)
+    "distinct_kmv" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = Kmv.ndvEstimate(Kmv.sketch(li, col("l_orderkey"), 256), 256)
+      est.crossJoin(li.agg(countDistinct(col("l_orderkey")).as("ndv_exact")))
+        .select(col("ndv_est"), col("ndv_exact"),
+          (abs(col("ndv_est") - col("ndv_exact")) * 100
+            <= col("ndv_exact") * 25).as("err_ok"))
+    }),
     // A5: FM/PCSA estimator (reference-faithful), upgraded from a
     // rows-only check to a CHECKED INVARIANT: the query emits the exact
     // ndv plus a boolean asserting the FM output honours its sizing
@@ -1215,6 +1228,39 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 8)
     }),
+    // corpus-overlap ESTIMATION (the scale path decontaminate can't
+    // take): KMV-sketch the 5-gram shingle sets of the train and eval
+    // splits and estimate their Jaccard from two k=1024 sketches —
+    // at 100 TB the exact shingle join is the thing you cannot afford,
+    // and HLL can union but not intersect. The estimate is md5-based
+    // and deterministic, so the oracle recomputes it EXACTLY; the query
+    // also computes the exact Jaccard (affordable at sf, the verifier —
+    // benchOverrides times the sketch-only production form) and gates
+    // |est − exact| ≤ 300 bp (k=1024 ⇒ σ ≈ 39 bp at J ≈ 1.6%, so ~7σ)
+    "set_overlap_kmv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = Sampling.hashBucket(col("doc_id"))
+      def grams(df: DataFrame) = df.select(explode(array_distinct(
+        graft.functions.TextHashFunctions.wordGrams(col("text"), 5))).as("gram"))
+      val ga = grams(docs.filter(b < 80))
+      val gb = grams(docs.filter(b >= 80))
+      val est = Kmv.jaccardEstimate(
+        Kmv.sketch(ga, col("gram"), 1024),
+        Kmv.sketch(gb, col("gram"), 1024), k = 1024)
+      val da = ga.distinct()
+      val db = gb.distinct()
+      val exact = da.agg(count(lit(1)).as("na"))
+        .crossJoin(db.agg(count(lit(1)).as("nb")))
+        .crossJoin(da.join(db, Seq("gram"), "left_semi")
+          .agg(count(lit(1)).as("ni")))
+        .select(expr("10000 * ni div greatest(na + nb - ni, 1)")
+          .as("jaccard_bp_exact"))
+      est.crossJoin(exact)
+        .select(col("n_union_sk"), col("n_both"), col("jaccard_bp_est"),
+          col("jaccard_bp_exact"),
+          (abs(col("jaccard_bp_est") - col("jaccard_bp_exact")) <= 300)
+            .as("err_ok"))
+    }),
     // token-budget source mixing (the training-data curriculum weighting
     // step): each source is assigned a share of a global TOKEN budget
     // (40/30/20/10% of a 30%-of-corpus budget, in integer basis points),
@@ -1406,6 +1452,15 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("n_chars"))),
+
+    // exactly-k-per-group deterministic sample (reservoir semantics,
+    // RNG-free): rank by md5(doc_id) within each source, keep the 10
+    // lowest — the "k docs per source" curation/eyeball sample, stable
+    // across runs and engines; the oracle replays the identical ranking
+    "sample_bottomk" -> ((s, dir) =>
+      Sampling.bottomKPerGroup(t(s, dir, "documents"), col("doc_id"),
+          col("source"), k = 10)
+        .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))),
 
     // stratified deterministic sample: per-stratum keep percentage
     // (downsample the boilerplate strata, keep the rare ones)
@@ -2645,6 +2700,23 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.05).as("hll"))),
+    // production form: the sketch estimate alone — the exact
+    // countDistinct in the gate is the verifier, not the operator
+    "distinct_kmv" -> ((s, dir) =>
+      Kmv.ndvEstimate(
+        Kmv.sketch(t(s, dir, "lineitem"), col("l_orderkey"), 256), 256)),
+    // production form: sketch-vs-sketch overlap estimate only — at
+    // corpus scale the exact shingle join (the gate's verifier) is
+    // precisely the plan this operator exists to avoid
+    "set_overlap_kmv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = Sampling.hashBucket(col("doc_id"))
+      def grams(df: DataFrame) = df.select(explode(array_distinct(
+        graft.functions.TextHashFunctions.wordGrams(col("text"), 5))).as("gram"))
+      Kmv.jaccardEstimate(
+        Kmv.sketch(grams(docs.filter(b < 80)), col("gram"), 1024),
+        Kmv.sketch(grams(docs.filter(b >= 80)), col("gram"), 1024), k = 1024)
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 5, maxHamming = 3)),
@@ -3181,6 +3253,21 @@ object SparkEntry {
         """SELECT count(DISTINCT l_orderkey * 10 + l_linenumber) AS n_distinct_rowkey,
           |       true AS fm_ok
           |FROM lineitem""".stripMargin,
+      // KMV: md5 priorities are engine-portable, so the oracle replays
+      // the WHOLE estimator (not just the exact side + a true literal)
+      "distinct_kmv" ->
+        """WITH p AS (SELECT DISTINCT
+          |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS pri
+          |  FROM lineitem),
+          |sk AS (SELECT pri FROM p ORDER BY pri LIMIT 256),
+          |st AS (SELECT count(*) AS n_sk, max(pri) AS v_k FROM sk),
+          |est AS (SELECT CASE WHEN n_sk < 256 THEN CAST(n_sk AS BIGINT)
+          |    ELSE CAST((255::HUGEINT * 1152921504606846976::HUGEINT) // v_k AS BIGINT)
+          |  END AS ndv_est FROM st),
+          |e AS (SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem)
+          |SELECT ndv_est, CAST(exact AS BIGINT) AS ndv_exact,
+          |       abs(ndv_est - exact) * 100 <= exact * 25 AS err_ok
+          |FROM est, e""".stripMargin,
       "distinct_hll" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct,
           |       true AS hll_ok
@@ -4274,6 +4361,43 @@ object SparkEntry {
           |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
           |SELECT tr.doc_id, count(*)::BIGINT AS n_contaminated
           |FROM tr JOIN b USING (gram) GROUP BY 1""".stripMargin,
+      // the oracle replays BOTH the exact Jaccard and the full KMV
+      // estimator (bottom-1024 md5 priorities per split, union bottom-k,
+      // both-membership fraction) — the estimate is deterministic, so it
+      // hash-checks, and err_ok re-derives on the oracle side too
+      "set_overlap_kmv" ->
+        """WITH t AS (SELECT
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+          |    list_filter(string_split_regex(lower(text), '[\t\n\x0b\f\r ]+'),
+          |                x -> x <> '') AS w
+          |  FROM documents),
+          |g AS (SELECT b,
+          |        unnest([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS gram
+          |      FROM t WHERE len(w) >= 5),
+          |pa AS (SELECT DISTINCT
+          |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS pri FROM g WHERE b < 80),
+          |pb AS (SELECT DISTINCT
+          |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS pri FROM g WHERE b >= 80),
+          |ska AS (SELECT pri FROM pa ORDER BY pri LIMIT 1024),
+          |skb AS (SELECT pri FROM pb ORDER BY pri LIMIT 1024),
+          |u AS (SELECT pri, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+          |        SELECT pri, 1 AS in_a, 0 AS in_b FROM ska
+          |        UNION ALL SELECT pri, 0, 1 FROM skb) x
+          |      GROUP BY pri ORDER BY pri LIMIT 1024),
+          |est AS (SELECT count(*)::BIGINT AS n_union_sk,
+          |        coalesce(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_both
+          |      FROM u),
+          |ex AS (SELECT
+          |    (SELECT count(DISTINCT gram) FROM g WHERE b < 80) AS na,
+          |    (SELECT count(DISTINCT gram) FROM g WHERE b >= 80) AS nb,
+          |    (SELECT count(*) FROM (SELECT DISTINCT gram FROM g WHERE b < 80) a
+          |       JOIN (SELECT DISTINCT gram FROM g WHERE b >= 80) e2 USING (gram)) AS ni)
+          |SELECT n_union_sk, n_both,
+          |       CAST(10000 * n_both // greatest(n_union_sk, 1) AS BIGINT) AS jaccard_bp_est,
+          |       CAST(10000 * ni // greatest(na + nb - ni, 1) AS BIGINT) AS jaccard_bp_exact,
+          |       abs(10000 * n_both // greatest(n_union_sk, 1)
+          |           - 10000 * ni // greatest(na + nb - ni, 1)) <= 300 AS err_ok
+          |FROM est, ex""".stripMargin,
 
       // the oracle replays the repetition signals as the naive
       // unnest + groupBy plan the Spark side deliberately avoids
@@ -4447,6 +4571,13 @@ object SparkEntry {
           |       count(*) AS n_docs,
           |       cast(sum(length(text)) as bigint) AS n_chars
           |FROM d GROUP BY 1""".stripMargin,
+      "sample_bottomk" ->
+        """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+          |  SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents)
+          |WHERE rk <= 10""".stripMargin,
 
       "events_window_agg" ->
         """SELECT cast(floor(epoch(ts) / 300) * 300 as bigint) AS window_start_s,

@@ -67,4 +67,28 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, id: Column, weightPct: Column): DataFrame =
     df.filter(hashBucket(id) < weightPct)
+
+  /** Exactly-k-per-group deterministic sample (the reservoir-sampling
+    * use case, minus the RNG): rank each group's rows by md5(id) — a
+    * uniform, content-addressed priority — and keep the k lowest. "Give
+    * me exactly 10 documents per source" for mix curation / eyeballing,
+    * with the SAME k rows on every re-run, any partitioning, any engine.
+    *
+    * Scale shape: the rank-then-filter pair is recognized by Spark's
+    * InferWindowGroupLimit, which inserts a partial WindowGroupLimit
+    * BEFORE the exchange (see the agg_topk_per_group walkthrough in
+    * PLANS.md) — each map task forwards at most k rows per group it
+    * sees, so the shuffle is bounded by k·groups·partitions, not the
+    * corpus. Ties are impossible in practice (md5 collision) but the id
+    * tiebreak makes determinism unconditional.
+    *
+    * Output keeps all input columns plus the 1-based `rk` rank.
+    */
+  def bottomKPerGroup(df: DataFrame, id: Column, group: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group)
+      .orderBy(md5(id.cast("string")).asc, id.asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }
