@@ -185,4 +185,37 @@ class PropertiesSpec extends SparkSpec {
       assert(zq === gq, "z high bits must encode the grid quadrant")
     }
   }
+
+  test("KMV sketch = k smallest distinct JVM-md5 priorities, for random multisets") {
+    val genIds: Gen[List[Int]] =
+      Gen.listOfN(300, Gen.choose(0, 150)) // heavy duplication on purpose
+    forAll(genIds, n = 10) { ids =>
+      val df = ids.toDF("id").repartition(5)
+      val got = graft.ops.Kmv.sketch(df, col("id"), 32).as[Long].collect().toSeq
+      // independent replay: JVM md5, first 15 hex chars, distinct, sorted
+      val expect = ids.distinct.map { id =>
+        java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(id.toString).take(15), 16)
+      }.distinct.sorted.take(32)
+      assert(got == expect)
+    }
+  }
+
+  test("KMV jaccard estimate is exact when both sets fit in the sketch") {
+    // NDV(A), NDV(B) ≤ k ⇒ the sketches ARE the sets and the estimator
+    // degenerates to the exact Jaccard (floored to basis points)
+    val genA: Gen[List[Int]] = Gen.listOfN(60, Gen.choose(0, 40))
+    val genB: Gen[List[Int]] = Gen.listOfN(60, Gen.choose(20, 60))
+    forAll(genA, genB) { (a, b) =>
+      val k = 128
+      val skA = graft.ops.Kmv.sketch(a.toDF("id"), col("id"), k)
+      val skB = graft.ops.Kmv.sketch(b.toDF("id"), col("id"), k)
+      val est = graft.ops.Kmv.jaccardEstimate(skA, skB, k)
+        .select(col("jaccard_bp_est")).as[Long].collect().head
+      val (sa, sb) = (a.toSet, b.toSet)
+      val exact = 10000L * sa.intersect(sb).size / math.max(sa.union(sb).size, 1)
+      assert(est == exact)
+    }
+  }
 }
