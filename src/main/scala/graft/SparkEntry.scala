@@ -1038,6 +1038,12 @@ object SparkEntry {
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    // corpus-trained char-bigram LM quality score (the CCNet/KenLM
+    // stand-in) — integer log2 weights, so the oracle replays training
+    // AND scoring bit-for-bit via the naive explode+join plan the
+    // kernel-scored production form avoids
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
     // winnowing (MOSS) rolling-hash sketch. XXH64 is not reproducible in
     // the oracle engine, so the sketch SIZE is gated against its provable
     // bounds instead (upgraded from rows-only): per doc the query emits
@@ -3726,6 +3732,21 @@ object SparkEntry {
           |FROM s""".stripMargin,
 
       // stopword-token counts per language; argmax with ties to the
+      // full replay of BigramLm: identical normalization, training
+      // (length(bin(1+c))-1 = floor(log2(1+c))) and integer-average
+      // scoring — as the naive explode+join+groupBy plan
+      "text_lm_score" ->
+        """WITH nr AS (SELECT doc_id,
+          |    regexp_replace(regexp_replace(lower(text), '[\t\n\x0b\f\r ]', ' ', 'g'),
+          |                   '[^a-z ]', '#', 'g') AS t
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest([substr(t, i, 2) for i in range(1, len(t))]) AS bg
+          |      FROM nr WHERE len(t) >= 2),
+          |w AS (SELECT bg, length(bin(1 + count(*))) - 1 AS w FROM g GROUP BY bg),
+          |sc AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS nb
+          |       FROM g JOIN w USING (bg) GROUP BY doc_id)
+          |SELECT nr.doc_id, coalesce(sw // nb, 0)::BIGINT AS lm_score
+          |FROM nr LEFT JOIN sc USING (doc_id)""".stripMargin,
       // earlier language in (en,de,fr,es,it), 'und' when all zero —
       // exactly LangIdKernel's strict-> update order
       "text_langid" ->

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-bigram language-model scorer — the CCNet/KenLM-style
+  * "familiar text scores high, garbage scores low" quality filter
+  * (Wenzek et al., "CCNet", LREC 2020 §3.3), in exact integer
+  * arithmetic so the score is bit-identical across engines.
+  *
+  * The alphabet is the 28-class normalized ASCII domain produced by
+  * [[BigramLm.normalize]]: 'a'..'z' → 0..25, ' ' → 26, '#' (everything
+  * else) → 27. The model is a 784-entry long[] of
+  * floor(log2(1 + corpus_count(bigram))) weights — the integer stand-in
+  * for log-probabilities (both engines compute it as
+  * `length(bin(1 + c)) - 1`, no floats anywhere). A document's score
+  * is Σ w(bigram) over its consecutive bigrams; the caller divides by
+  * the bigram count (`div`) for the per-bigram average.
+  *
+  * Scale shape: training is ONE map-side-combined aggregation over
+  * exploded bigrams (≤ 784 distinct keys, so partial aggregation
+  * reduces each task's output to ≤ 784 rows) and the model is a
+  * bounded driver artifact (6 KB); scoring is this codegen'd kernel —
+  * one pass over the normalized bytes per row, an array index per
+  * bigram, no shuffle, no join. The explode+join+groupBy plan survives
+  * only as the DuckDB oracle.
+  */
+case class BigramScoreSum(child: Expression, model: Array[Long])
+  extends UnaryExpression {
+
+  require(model.length == 28 * 28,
+    s"bigram model must have 784 entries, got ${model.length}")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input (the normalized text)")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramLm.compute(input.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bigramModel", model, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramLm.compute($c, $m)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramScoreSum =
+    copy(child = c)
+  override def prettyName: String = "bigram_score_sum"
+}
+
+object BigramLm {
+
+  /** Class index of a normalized byte (see [[normalize]]): the input is
+    * guaranteed single-byte ASCII, so byte iteration IS char iteration.
+    */
+  @inline private def cls(b: Byte): Int =
+    if (b >= 'a' && b <= 'z') b - 'a' else if (b == ' ') 26 else 27
+
+  /** Static kernel so generated code and interpreted eval share it:
+    * Σ model[cls(c_i)*28 + cls(c_{i+1})] over consecutive byte pairs.
+    */
+  def compute(text: UTF8String, model: Array[Long]): Long = {
+    val n = text.numBytes()
+    if (n < 2) return 0L
+    var sum = 0L
+    var prev = cls(text.getByte(0))
+    var i = 1
+    while (i < n) {
+      val cur = cls(text.getByte(i))
+      sum += model(prev * 28 + cur)
+      prev = cur
+      i += 1
+    }
+    sum
+  }
+
+  /** The engine-portable normalization both the kernel input and the
+    * DuckDB oracle use: lowercase, fold every whitespace char to ' ',
+    * fold everything outside [a-z ] to '#'. Output is single-byte
+    * ASCII by construction.
+    */
+  def normalize(text: Column): Column = {
+    import org.apache.spark.sql.functions._
+    regexp_replace(
+      regexp_replace(lower(text), "[\\t\\n\\x0b\\f\\r ]", " "),
+      "[^a-z ]", "#")
+  }
+
+  /** Column wrapper: `scoreSum(model)(normalizedText)`. */
+  def scoreSum(model: Array[Long])(normalizedText: Column): Column =
+    bridge.toColumn(BigramScoreSum(bridge.toExpression(normalizedText), model))
+}

@@ -67,6 +67,44 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = TextProfileFunctions.langId(text)
 
+  /** Char-bigram LM quality score (the CCNet/KenLM stand-in — see
+    * [[graft.functions.BigramLm]]): trains floor(log2(1+count)) bigram
+    * weights on the corpus itself (one map-side-combined aggregation
+    * over ≤ 784 keys, model = a 6 KB driver artifact — the sanctioned
+    * bounded collect), then scores each document as the integer average
+    * weight of its consecutive bigrams via the codegen'd kernel — one
+    * pass per row, no shuffle, no join. Familiar prose scores high;
+    * rare-character garbage scores near 0. All-integer, so the DuckDB
+    * oracle (which replays training AND scoring as the naive
+    * explode+join plan) reproduces it bit-for-bit.
+    *
+    * Output: (doc_id, lm_score). Documents whose normalized text has
+    * fewer than 2 chars score 0.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.BigramLm
+    val normed = docs.select(col(idCol).as("doc_id"),
+      BigramLm.normalize(col(textCol)).as("t"))
+    def clsIdx(c: Char): Int =
+      if (c >= 'a' && c <= 'z') c - 'a' else if (c == ' ') 26 else 27
+    val model = new Array[Long](28 * 28)
+    normed.filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach { r =>
+        val bg = r.getString(0)
+        model(clsIdx(bg.charAt(0)) * 28 + clsIdx(bg.charAt(1))) =
+          63L - java.lang.Long.numberOfLeadingZeros(1L + r.getLong(1))
+      }
+    normed
+      .withColumn("sw", BigramLm.scoreSum(model)(col("t")))
+      .withColumn("nb", (length(col("t")) - 1).cast("long"))
+      .select(col("doc_id"),
+        when(col("nb") >= 1, expr("sw div nb")).otherwise(0L).as("lm_score"))
+  }
+
   /** \p{N} code-point count (decimal/letter/other numbers) — one-pass
     * kernel field, regex-portable (Java and RE2 agree on \p{N}).
     */

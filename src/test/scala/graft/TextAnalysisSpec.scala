@@ -240,4 +240,53 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"repetitionSignals shuffled:\n$plan")
   }
+
+  test("lmScore kernel agrees with the naive explode+join recomputation (the oracle plan)") {
+    val docs = Engine.table(spark, sfDir, "documents")
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text")
+    // independent replay through the shuffle-based plan the kernel avoids
+    val norm = graft.functions.BigramLm.normalize(col("text")).as("t")
+    val g = docs.select(col("doc_id"), norm)
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
+    val w = g.groupBy(col("bg"))
+      .agg((length(bin(count(lit(1)) + 1)) - 1).cast("long").as("w"))
+    val naive = docs.select(col("doc_id"))
+      .join(g.join(w, Seq("bg"))
+          .groupBy(col("doc_id"))
+          .agg(expr("sum(w) div count(*)").as("naive_score")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("naive_score"), lit(0L)).as("naive_score"))
+    val diff = got.join(naive, Seq("doc_id"))
+      .filter(col("lm_score") =!= col("naive_score"))
+    assert(diff.isEmpty, diff.collect().take(5).mkString(","))
+    // scoring is one kernel pass: ordinary prose outscores punctuation soup
+    val scores = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores.values.exists(_ > 0))
+  }
+
+  test("lmScore: degenerate docs score 0 and garbage scores below prose") {
+    import spark.implicits._
+    // the model is CORPUS-trained, so "familiar" means familiar to the
+    // training mix — a prose-dominated corpus makes prose high-weight
+    // all-letter prose (digits would normalize to '#' and feed the
+    // symbol-soup bigram's own weight), long enough that the common
+    // english bigrams train well clear of the garbage ones
+    val sentence = "the cat sat on the mat and the dog sat on the log " +
+      "while the bird flew over the tree and the fish swam in the sea"
+    val prose = (1L to 20L).map(i => (i, sentence))
+    val docs = (prose ++ Seq(
+      (96L, "@@@ ###$$$ %%%^^^ &&&***"),
+      (97L, "qzxj vkwq jxqz wvkq zzxx qqvv"),
+      (98L, "x"),
+      (99L, ""))).toDF("doc_id", "text")
+    val s = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(98L) == 0L && s(99L) == 0L)
+    // symbol soup AND rare-letter gibberish both fall below every prose doc
+    val minProse = prose.map(p => s(p._1)).min
+    assert(s(96L) < minProse && s(97L) < minProse,
+      s"prose must outscore garbage: garbage=${s(96L)},${s(97L)} minProse=$minProse")
+  }
 }
