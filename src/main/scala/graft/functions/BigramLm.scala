@@ -1,10 +1,15 @@
 package graft.functions
 
+import java.nio.ByteBuffer
+
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Character-bigram language-model scorer — the CCNet/KenLM-style
@@ -58,6 +63,60 @@ case class BigramScoreSum(child: Expression, model: Array[Long])
   override def prettyName: String = "bigram_score_sum"
 }
 
+/** One-pass bigram histogram over the whole corpus — the training side
+  * of [[BigramLm]]. Accumulates the full 784-bin count array in a fixed
+  * 6 KB buffer per task (update walks the normalized bytes exactly like
+  * [[BigramLm.compute]]; merge is elementwise add), so training is a
+  * single scan whose shuffle carries one array per map task instead of
+  * one exploded row per character of the corpus. Returns array<long>[784]
+  * indexed by cls(first)*28 + cls(second).
+  */
+case class BigramCountsAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](28 * 28)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BigramLm.countInto(v.asInstanceOf[UTF8String], buffer)
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(28 * 28)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BigramCountsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BigramCountsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BigramCountsAgg =
+    copy(child = c.head)
+  override def prettyName: String = "bigram_counts"
+}
+
 object BigramLm {
 
   /** Class index of a normalized byte (see [[normalize]]): the input is
@@ -96,7 +155,28 @@ object BigramLm {
       "[^a-z ]", "#")
   }
 
+  /** Bump `counts` by the bigram histogram of `text` (shared by
+    * [[BigramCountsAgg.update]]; same traversal as [[compute]]).
+    */
+  def countInto(text: UTF8String, counts: Array[Long]): Unit = {
+    val n = text.numBytes()
+    if (n < 2) return
+    var prev = cls(text.getByte(0))
+    var i = 1
+    while (i < n) {
+      val cur = cls(text.getByte(i))
+      counts(prev * 28 + cur) += 1L
+      prev = cur
+      i += 1
+    }
+  }
+
   /** Column wrapper: `scoreSum(model)(normalizedText)`. */
   def scoreSum(model: Array[Long])(normalizedText: Column): Column =
     bridge.toColumn(BigramScoreSum(bridge.toExpression(normalizedText), model))
+
+  /** Column wrapper: corpus-wide bigram histogram (one array<long>[784]). */
+  def bigramCounts(normalizedText: Column): Column =
+    bridge.toColumn(
+      BigramCountsAgg(bridge.toExpression(normalizedText)).toAggregateExpression())
 }

@@ -85,19 +85,13 @@ object TextAnalysis {
     import graft.functions.BigramLm
     val normed = docs.select(col(idCol).as("doc_id"),
       BigramLm.normalize(col(textCol)).as("t"))
-    def clsIdx(c: Char): Int =
-      if (c >= 'a' && c <= 'z') c - 'a' else if (c == ' ') 26 else 27
-    val model = new Array[Long](28 * 28)
-    normed.filter(length(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
-      .collect()
-      .foreach { r =>
-        val bg = r.getString(0)
-        model(clsIdx(bg.charAt(0)) * 28 + clsIdx(bg.charAt(1))) =
-          63L - java.lang.Long.numberOfLeadingZeros(1L + r.getLong(1))
-      }
+    // training: ONE scan through the 784-bin histogram aggregate — the
+    // shuffle carries one 6 KB array per map task, never exploded grams
+    val counts = normed
+      .agg(BigramLm.bigramCounts(col("t")).as("c"))
+      .head().getSeq[Long](0)
+    val model = counts.map(c =>
+      63L - java.lang.Long.numberOfLeadingZeros(1L + c)).toArray
     normed
       .withColumn("sw", BigramLm.scoreSum(model)(col("t")))
       .withColumn("nb", (length(col("t")) - 1).cast("long"))
