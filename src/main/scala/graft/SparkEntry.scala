@@ -2071,6 +2071,38 @@ object SparkEntry {
         .select(lit(5L).as("k"), lit(0.375).as("recall_floor"),
           (col("n_hit") > col("n_brute") * 0.375).as("recall_ok"))
     }),
+    // corpus-wide kNN GRAPH (every vector's top-k neighbors — the
+    // SemDeDup/dataset-cartography primitive) as a GATED surface. The
+    // probe side is the whole corpus, so unlike sim_topk_ivf nothing is
+    // broadcast: sources replicate into their nProbe nearest buckets
+    // and equi-join the home-bucketed corpus. Gates: per-SOURCE
+    // structure (exactly k results, ranks a permutation of 1..k — every
+    // source's home bucket is among its probed buckets, so candidates
+    // ≥ |home| − 1 ≥ k on this data) and the global recall floor vs the
+    // exact all-pairs graph (scanned fraction nProbe/nCentroids =
+    // 0.375; with n sources the global average concentrates, so
+    // exceeding the floor is a stronger statement than per-probe).
+    "sim_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val g = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("src_id"), col("dst_id"), col("rank"))
+      val structure = g.groupBy(col("src_id"))
+        .agg(count(lit(1)).as("n_results"),
+          (count(lit(1)) === 5 && min(col("rank")) === 1 &&
+            max(col("rank")) === 5 && countDistinct(col("rank")) === 5).as("ranks_ok"))
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5)
+        .select(col("probe_id").as("src_id"), col("corpus_id").as("dst_id"))
+      val hits = brute.join(g.select(col("src_id"), col("dst_id")),
+        Seq("src_id", "dst_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val denom = brute.agg(count(lit(1)).as("n_brute"))
+      val recall = hits.crossJoin(denom)
+        .select((col("n_hit") > col("n_brute") * 0.375).as("recall_ok"))
+      structure.crossJoin(recall)
+        .select(col("src_id"), col("n_results"), col("ranks_ok"), col("recall_ok"))
+    }),
     // Product quantization (Jégou TPAMI'11) as a GATED surface: 96-bit
     // codes (m=16, k=64 — 21× compression) + ADC shortlist-50 + exact
     // re-rank. Gates: (a) per-probe STRUCTURE (exactly 10 results,
@@ -2800,6 +2832,12 @@ object SparkEntry {
       Dedup.winnowPairs(docs, "doc_id", "text",
         k = 5, w = 4, threshold = 0.5, maxDocFreq = cap)
     }),
+    // production form: the raw neighbor-list graph, without the
+    // brute-force verifier the gate runs
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("src_id"), col("dst_id"), col("rank"))),
     // production form: train (cached across reps) + the trained-IVF
     // serving path, without the brute-force/pseudo-IVF comparison the
     // gate runs
@@ -3427,6 +3465,13 @@ object SparkEntry {
         """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_results,
           |       true AS ranks_ok, true AS recall_ok
           |FROM embeddings WHERE vec_id <= 5""".stripMargin,
+      // kNN-graph gate: constant shape over EVERY vector (each source
+      // must produce exactly k well-ranked neighbors and the global
+      // recall floor must hold)
+      "sim_knn_graph" ->
+        """SELECT vec_id AS src_id, CAST(5 AS BIGINT) AS n_results,
+          |       true AS ranks_ok, true AS recall_ok
+          |FROM embeddings""".stripMargin,
       // trained-IVF gate: same constant shape, plus the trained-beats-
       // pseudo recall comparison computed Spark-side
       "sim_topk_ivf_trained" ->

@@ -108,6 +108,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Corpus-wide k-nearest-neighbor graph: for EVERY vector, its k most
+    * similar other vectors — the candidate-generation primitive behind
+    * SemDeDup-style semantic dedup, dataset cartography, and
+    * graph-based diversity sampling. Unlike [[ivfTopK]] the probe side
+    * IS the corpus, so nothing is broadcast: each vector is replicated
+    * to its `nProbe` nearest centroid buckets as a SOURCE
+    * (`topCentroids`), equi-joined (shuffle join on the 4-byte bucket
+    * id) against the single-home-bucket CANDIDATE side, scored exactly,
+    * and top-k'd per source. Candidate pairs are Σ_b |b|·|srcProbes_b|
+    * ≈ n²·nProbe/nCentroids, never n²; the per-source ranking shuffle
+    * is capped by WindowGroupLimit (rank ≤ k pushes below the
+    * exchange). A true neighbor is found iff its home bucket is among
+    * the source's `nProbe` nearest — the same recall contract as
+    * [[ivfTopK]], so the scanned fraction nProbe/nCentroids is the
+    * arbitrary-routing recall floor. At 100 TB, `nCentroids` scales
+    * with the corpus (√n is the FAISS rule of thumb) so per-bucket
+    * candidate blocks stay bounded. Output: (src_id, dst_id, cosine,
+    * rank).
+    */
+  def knnGraph(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val home = corpus.select(col(idCol).as("dst_id"), col(vecCol).as("dv"))
+      .withColumn("bucket", centroidId(col("dv"), nCentroids))
+    val src = corpus.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+      .withColumn("bucket", explode(
+        graft.functions.VectorLshFunctions.topCentroids(col("sv"), nCentroids, nProbe)))
+    val scored = home.join(src, Seq("bucket"))
+      .filter(col("dst_id") =!= col("src_id"))
+      .select(col("src_id"), col("dst_id"),
+        VectorFunctions.cosineSimilarity(col("dv"), col("sv")).as("cosine"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("dst_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact radius search: every (probe, corpus) pair with cosine ≥
     * `threshold`, excluding self-matches. The fixed-radius complement of
     * [[bruteForceTopK]] — same broadcast-probes shape, but the output is

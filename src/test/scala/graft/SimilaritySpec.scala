@@ -136,4 +136,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("knnGraph with nProbe == nCentroids recovers the exact all-pairs graph") {
+    val k = 4
+    val n = 4
+    val exact = Similarity.bruteForceTopK(corpus, "id", "v", corpus, "id", "v", k)
+      .select(col("probe_id").as("src_id"), col("corpus_id").as("dst_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Similarity.knnGraph(corpus, "id", "v",
+      k = k, nCentroids = n, nProbe = n)
+      .select("src_id", "dst_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("knnGraph structure: every source gets exactly k ranked neighbors, no self-loops") {
+    val k = 5
+    val g = Similarity.knnGraph(corpus, "id", "v", k = k, nCentroids = 4, nProbe = 2)
+      .select("src_id", "dst_id", "rank").as[(Long, Long, Int)].collect()
+    assert(!g.exists(e => e._1 == e._2), "self-loop")
+    val bySrc = g.groupBy(_._1)
+    assert(bySrc.keySet === (1L to 50L).toSet, "every vector is a source")
+    bySrc.foreach { case (src, edges) =>
+      assert(edges.map(_._3).sorted.toSeq === (1 to k), s"ranks for src $src")
+      assert(edges.map(_._2).distinct.length == k, s"distinct dsts for src $src")
+    }
+  }
 }
