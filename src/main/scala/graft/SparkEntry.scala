@@ -1219,6 +1219,17 @@ object SparkEntry {
     "text_boilerplate" -> ((s, dir) =>
       TextAnalysis.repeatedPhrases(t(s, dir, "documents"), "doc_id", "text",
         n = 8, minDocs = 2, k = 20)),
+    // cross-doc segment dedup (CCNet's "drop duplicated lines",
+    // generalized to 5-word segments — this corpus has no newlines):
+    // segments appearing in >= 3 distinct docs are dropped everywhere
+    // and each doc is reassembled from its kept segments in order. The
+    // oracle replays the whole thing string-for-string (split, slice,
+    // doc-frequency, filter, ordered reassembly); the benchOverride
+    // times the hashed production form (8-byte keys in the frequency
+    // shuffle, Zipf-head dropped set broadcast)
+    "text_seg_dedup" -> ((s, dir) =>
+      TextAnalysis.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        w = 5, maxDocs = 3)),
     // context-window packing: fixed-char chunks with overlap
     "text_chunks" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
@@ -2943,6 +2954,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
     }),
+    // production form: the frequency shuffle carries (xxhash64(seg),
+    // doc_id) — 16 bytes/row instead of segment text — and the
+    // Zipf-head dropped set is broadcast back over one corpus re-scan
+    // (the gate form shuffles raw segments so DuckDB can replay them)
+    "text_seg_dedup" -> ((s, dir) =>
+      TextAnalysis.segmentDedupHashed(t(s, dir, "documents"),
+        "doc_id", "text", w = 5, maxDocs = 3)),
     // production form: broadcast 8-byte gram hashes, not gram strings
     "text_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -4543,6 +4561,28 @@ object SparkEntry {
           |          FROM lineitem GROUP BY cast(floor(l_quantity) as bigint)
           |          ORDER BY cnt DESC LIMIT 5)) AS exact_top5_mass,
           |       true AS topk_ok""".stripMargin,
+
+      // string-for-string replay of the exact segment-dedup form:
+      // same 5-word split (both engines split on literal space), same
+      // doc-frequency threshold, same ordered reassembly. count(*)
+      // FILTER is BIGINT like Spark's sum(when); string_agg over zero
+      // kept rows is NULL, coalesced to '' to match concat_ws
+      "text_seg_dedup" ->
+        """WITH words AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |segs AS (
+          |  SELECT doc_id, g AS seg_no,
+          |         array_to_string(ws[(g*5+1):((g+1)*5)], ' ') AS seg
+          |  FROM words, unnest(range(0, (len(ws)+4)//5)) AS t(g)),
+          |freq AS (
+          |  SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+          |SELECT s.doc_id,
+          |       count(*) AS n_segs,
+          |       count(*) FILTER (WHERE f.nd < 3) AS n_kept,
+          |       coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_no)
+          |                  FILTER (WHERE f.nd < 3), '') AS clean
+          |FROM segs s JOIN freq f USING (seg)
+          |GROUP BY s.doc_id""".stripMargin,
 
       // starts 1, 1+stride, … ≤ length on both sides (Spark sequence is
       // stop-inclusive; DuckDB range is stop-exclusive, hence length+1)

@@ -254,6 +254,91 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("n_total").desc, col("gram").asc)
       .limit(k)
 
+  /** (doc_id, seg_no, seg): consecutive `w`-word segments of each
+    * document, ragged tail kept. Segment count is computed explicitly
+    * and empty texts guarded — Spark's `sequence(a, b)` DESCENDS when
+    * b < a, so `transform(sequence(0, nseg-1), …)` must never see
+    * nseg = 0.
+    */
+  private def wordSegments(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    require(w >= 1, "segment width must be >= 1")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .withColumn("nseg",
+        ((size(col("ws")) + lit(w - 1)) / lit(w)).cast("int"))
+      .select(col("doc_id"), posexplode(
+        when(col("nseg") <= 0, typedlit(Seq.empty[String]))
+          .otherwise(transform(sequence(lit(0), col("nseg") - 1),
+            g => array_join(slice(col("ws"), g * lit(w) + 1, lit(w)), " ")))))
+      .toDF("doc_id", "seg_no", "seg")
+  }
+
+  /** Cross-document segment-level deduplication — the CCNet/RefinedWeb
+    * "drop duplicated lines" stage, generalized to fixed `w`-word
+    * segments because this corpus has no line structure. Every document
+    * is split into consecutive segments, segment document-frequency is
+    * counted corpus-wide, segments appearing in >= `maxDocs` distinct
+    * documents are dropped everywhere, and each document is reassembled
+    * from its kept segments in original order. Output per document:
+    * (doc_id, n_segs, n_kept, clean) with clean = '' when everything
+    * was boilerplate.
+    *
+    * This EXACT form keeps raw segment text in the frequency shuffle so
+    * an independent engine can replay it string-for-string; the
+    * corpus-scale form is [[segmentDedupHashed]], which shuffles 8-byte
+    * segment hashes and broadcasts the dropped set (bounded by the Zipf
+    * head — segments frequent enough to drop are few by construction).
+    * Reassembly is a per-doc groupBy (the corpus's own key); order is
+    * restored by sorting the collected (seg_no, seg) structs, never by
+    * a global sort.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, maxDocs: Int = 3): DataFrame = {
+    val segs = wordSegments(docs, idCol, textCol, w)
+    val freq = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    segs.join(freq, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("nd") < maxDocs, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("nd") < maxDocs,
+              struct(col("seg_no"), col("seg"))))),
+            x => x.getField("seg"))).as("clean"))
+  }
+
+  /** Production form of [[segmentDedup]]: identical semantics absent a
+    * 64-bit xxhash collision, but the document-frequency shuffle
+    * carries (hash, doc_id) — 16 bytes/row instead of the segment
+    * text — and the dropped-segment set (`nd >= maxDocs`, the Zipf
+    * head) is broadcast back, so reassembly never shuffles text at
+    * all: one corpus scan re-derives segments and left-joins the tiny
+    * dropped set. At 100 TB this is the difference between shuffling
+    * the corpus twice and shuffling 16-byte rows once.
+    */
+  def segmentDedupHashed(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, maxDocs: Int = 3): DataFrame = {
+    val segs = wordSegments(docs, idCol, textCol, w)
+      .withColumn("h", xxhash64(col("seg")))
+    val dropped = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= maxDocs)
+      .select(col("h"), lit(true).as("is_dup"))
+    segs.join(broadcast(dropped), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("is_dup").isNull,
+              struct(col("seg_no"), col("seg"))))),
+            x => x.getField("seg"))).as("clean"))
+  }
+
   /** Fixed-size character chunking with overlap — the context-window
     * packing step. One `sequence` + `explode` per doc (starts 1,
     * 1+stride, … ≤ length), substring per chunk; no shuffle, output

@@ -289,4 +289,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(96L) < minProse && s(97L) < minProse,
       s"prose must outscore garbage: garbage=${s(96L)},${s(97L)} minProse=$minProse")
   }
+
+  test("segmentDedup drops cross-doc segments at the threshold, keeps order") {
+    // segment width 2, maxDocs 2: "a b" appears in docs 1,2,3 → dropped;
+    // "c d" in docs 1,2 only → kept; ragged tails kept
+    val docs = Seq(
+      (1L, "a b c d x"),   // segs: "a b", "c d", "x"
+      (2L, "c d a b"),     // segs: "c d", "a b"
+      (3L, "a b q r"),     // segs: "a b", "q r"
+      (4L, "solo words here")).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentDedup(docs, "doc_id", "text", w = 2, maxDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 2L, "c d x")))
+    assert(got(2L) === ((2L, 1L, "c d")))
+    assert(got(3L) === ((2L, 1L, "q r")))
+    assert(got(4L) === ((2L, 2L, "solo words here")))
+  }
+
+  test("segmentDedup: fully-boilerplate doc reassembles to empty string") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentDedup(docs, "doc_id", "text", w = 2, maxDocs = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.forall(_ === ((1L, 0L, ""))))
+  }
+
+  test("segmentDedupHashed agrees with the exact form") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "dup seg dup seg tail " + i
+          else s"uniq $i words ${i * 7} more ${i * 13} text")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val exact = norm(TextAnalysis.segmentDedup(docs, "doc_id", "text", w = 3, maxDocs = 3))
+    val hashed = norm(TextAnalysis.segmentDedupHashed(docs, "doc_id", "text", w = 3, maxDocs = 3))
+    assert(exact === hashed)
+    assert(exact.exists(r => r._3 < r._2), "some segment must actually be dropped")
+  }
 }
