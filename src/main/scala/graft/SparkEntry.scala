@@ -1044,6 +1044,27 @@ object SparkEntry {
     // kernel-scored production form avoids
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+    // CCNet's perplexity-bucket split (head/middle/tail) on the trained
+    // LM score: bucket 1 = most-typical third. This gate form uses an
+    // exact global ntile (single-partition window — fine at gate scale,
+    // and the DuckDB oracle replays it tie-for-tie under the
+    // (score DESC, doc_id) total order); the benchOverride times the
+    // production form, which never globally sorts: one
+    // approx-percentile pass learns the two cut scores, a second scan
+    // buckets by comparison — the actual CCNet recipe (fixed thresholds
+    // from a sample), shuffle-free except the 3-row final aggregate
+    "text_ppl_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("lm_score").desc, col("doc_id").asc)
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text",
+          scale = 1000)
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_score")).as("min_score"),
+          max(col("lm_score")).as("max_score"),
+          sum(col("lm_score")).as("sum_score"))
+    }),
     // winnowing (MOSS) rolling-hash sketch. XXH64 is not reproducible in
     // the oracle engine, so the sketch SIZE is gated against its provable
     // bounds instead (upgraded from rows-only): per doc the query emits
@@ -2954,6 +2975,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
     }),
+    // production form: NO global sort — one approx-percentile partial
+    // aggregate learns the two tertile cut scores (a driver-side 2-long
+    // artifact, the CCNet sampled-thresholds recipe), then a second
+    // scan buckets every doc by comparison and the only exchange is the
+    // 3-row final aggregate. Tie docs at a cut go to the lower bucket —
+    // production mixing tolerates approximate tertile sizes; the gate
+    // form above is the exact verifier
+    "text_ppl_buckets" -> ((s, dir) => {
+      val scored = TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text",
+        scale = 1000)
+      val cuts = scored.agg(expr(
+        "approx_percentile(lm_score, array(0.3333333333333333d, 0.6666666666666666d), 10000)"))
+        .head().getSeq[Long](0)
+      scored
+        .withColumn("bucket",
+          when(col("lm_score") > cuts(1), 1L)
+            .when(col("lm_score") > cuts(0), 2L).otherwise(3L))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_score")).as("min_score"),
+          max(col("lm_score")).as("max_score"),
+          sum(col("lm_score")).as("sum_score"))
+    }),
     // production form: the frequency shuffle carries (xxhash64(seg),
     // doc_id) — 16 bytes/row instead of segment text — and the
     // Zipf-head dropped set is broadcast back over one corpus re-scan
@@ -3810,6 +3854,27 @@ object SparkEntry {
           |       FROM g JOIN w USING (bg) GROUP BY doc_id)
           |SELECT nr.doc_id, coalesce(sw // nb, 0)::BIGINT AS lm_score
           |FROM nr LEFT JOIN sc USING (doc_id)""".stripMargin,
+      // text_lm_score's training+scoring replay, then the same exact
+      // tertile split under the (score DESC, doc_id) total order
+      "text_ppl_buckets" ->
+        """WITH nr AS (SELECT doc_id,
+          |    regexp_replace(regexp_replace(lower(text), '[\t\n\x0b\f\r ]', ' ', 'g'),
+          |                   '[^a-z ]', '#', 'g') AS t
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest([substr(t, i, 2) for i in range(1, len(t))]) AS bg
+          |      FROM nr WHERE len(t) >= 2),
+          |w AS (SELECT bg, length(bin(1 + count(*))) - 1 AS w FROM g GROUP BY bg),
+          |sc AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS nb
+          |       FROM g JOIN w USING (bg) GROUP BY doc_id),
+          |scores AS (SELECT nr.doc_id, coalesce((sw * 1000) // nb, 0)::BIGINT AS lm_score
+          |           FROM nr LEFT JOIN sc USING (doc_id)),
+          |b AS (SELECT lm_score,
+          |             ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS bucket
+          |      FROM scores)
+          |SELECT cast(bucket as bigint) AS bucket, count(*) AS n_docs,
+          |       min(lm_score) AS min_score, max(lm_score) AS max_score,
+          |       cast(sum(lm_score) as bigint) AS sum_score
+          |FROM b GROUP BY 1""".stripMargin,
       // earlier language in (en,de,fr,es,it), 'und' when all zero —
       // exactly LangIdKernel's strict-> update order
       "text_langid" ->

@@ -81,7 +81,8 @@ object TextAnalysis {
     * Output: (doc_id, lm_score). Documents whose normalized text has
     * fewer than 2 chars score 0.
     */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      scale: Int = 1): DataFrame = {
     import graft.functions.BigramLm
     val normed = docs.select(col(idCol).as("doc_id"),
       BigramLm.normalize(col(textCol)).as("t"))
@@ -92,11 +93,16 @@ object TextAnalysis {
       .head().getSeq[Long](0)
     val model = counts.map(c =>
       63L - java.lang.Long.numberOfLeadingZeros(1L + c)).toArray
+    // scale > 1 scores in fixed-point (e.g. 1000 = milli-units): the
+    // plain integer average is so coarse on a homogeneous corpus that
+    // every document can land on one value — useless for quantile
+    // splits. Still exact integer arithmetic, oracle-replayable
     normed
       .withColumn("sw", BigramLm.scoreSum(model)(col("t")))
       .withColumn("nb", (length(col("t")) - 1).cast("long"))
       .select(col("doc_id"),
-        when(col("nb") >= 1, expr("sw div nb")).otherwise(0L).as("lm_score"))
+        when(col("nb") >= 1, expr(s"(sw * ${scale}L) div nb"))
+          .otherwise(0L).as("lm_score"))
   }
 
   /** \p{N} code-point count (decimal/letter/other numbers) — one-pass

@@ -290,6 +290,19 @@ class TextAnalysisSpec extends SparkSpec {
       s"prose must outscore garbage: garbage=${s(96L)},${s(97L)} minProse=$minProse")
   }
 
+  test("lmScore fixed-point scale refines the integer average consistently") {
+    val docs = (1L to 10L).map(i =>
+      (i, s"some plain words number ${i * 37} and more text here")).toDF("doc_id", "text")
+    val coarse = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val milli = TextAnalysis.lmScore(docs, "doc_id", "text", scale = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    coarse.foreach { case (id, s) =>
+      assert(milli(id) >= s * 1000 && milli(id) < (s + 1) * 1000,
+        s"doc $id: coarse=$s milli=${milli(id)}")
+    }
+  }
+
   test("segmentDedup drops cross-doc segments at the threshold, keeps order") {
     // segment width 2, maxDocs 2: "a b" appears in docs 1,2,3 → dropped;
     // "c d" in docs 1,2 only → kept; ragged tails kept
