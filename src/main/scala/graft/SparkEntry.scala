@@ -1491,6 +1491,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("n_chars"))),
 
+    // leakage-free split (GroupShuffleSplit over near-dup clusters): a
+    // hash split of raw doc_ids puts near-duplicates of training docs
+    // into the test set — the classic eval-contamination bug. Here the
+    // split key is the near-dup CLUSTER label (min doc_id per connected
+    // component of exact 5-gram-Jaccard >= 0.5 pairs; singletons label
+    // themselves), so a whole duplicate family lands in ONE split by
+    // construction. The oracle replays everything — pair generation,
+    // the transitive closure, the md5 split — so a wrong component
+    // label shifts a count and fails the hash. The benchOverride times
+    // the corpus-scale path (banded-LSH candidates instead of exact
+    // all-pairs) over the full table
+    "sample_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val labeled = docs
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("label", coalesce(col("cluster_id"), col("doc_id")))
+      Sampling.deterministicSplit(labeled, col("label"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("label")).as("n_groups"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+    }),
+
     // exactly-k-per-group deterministic sample (reservoir semantics,
     // RNG-free): rank by md5(doc_id) within each source, keep the 10
     // lowest — the "k docs per source" curation/eyeball sample, stable
@@ -3019,6 +3045,25 @@ object SparkEntry {
       val (assigned, _) = Clustering.kmeans(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, maxIter = 6)
       assigned
+    }),
+    // production form: the full corpus with banded-LSH candidate pairs
+    // (exact-Jaccard-verified on candidates) instead of the gate's
+    // exact all-pairs screen on the bounded slice — the shape a 100 TB
+    // split actually runs: minhash bands, verify, transitive closure,
+    // split by cluster label
+    "sample_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val labeled = docs
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("label", coalesce(col("cluster_id"), col("doc_id")))
+      Sampling.deterministicSplit(labeled, col("label"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("label")).as("n_groups"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
     }),
     // production form: the sampled rows themselves
     "sample_diverse" -> ((s, dir) => {
@@ -4742,6 +4787,40 @@ object SparkEntry {
           |       count(*) AS n_docs,
           |       cast(sum(length(text)) as bigint) AS n_chars
           |FROM d GROUP BY 1""".stripMargin,
+      // dedup_cluster's exact pair + transitive-closure replay, then
+      // the sample_split md5 bucketing applied to the CLUSTER label
+      "sample_split_safe" ->
+        """WITH RECURSIVE
+          |dd AS (SELECT doc_id, text,
+          |         lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t
+          |       FROM documents WHERE doc_id < 500),
+          |g AS (SELECT doc_id,
+          |        CASE WHEN length(t) < 5 THEN [t]
+          |             ELSE list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) END AS sh
+          |      FROM dd),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+          |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+          |reach(s, d) AS (SELECT s, d FROM e
+          |                UNION
+          |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+          |labels AS (SELECT s AS node, least(s, min(d)) AS cluster_id
+          |           FROM reach GROUP BY s),
+          |lab AS (SELECT dd.doc_id, dd.text,
+          |          coalesce(l.cluster_id, dd.doc_id) AS label
+          |        FROM dd LEFT JOIN labels l ON l.node = dd.doc_id),
+          |sp AS (SELECT text, label,
+          |         CAST(('0x' || substr(md5(CAST(label AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          |       FROM lab)
+          |SELECT CASE WHEN b < 80 THEN 'train'
+          |            WHEN b < 90 THEN 'valid'
+          |            ELSE 'test' END AS split,
+          |       count(*) AS n_docs,
+          |       count(DISTINCT label) AS n_groups,
+          |       cast(sum(length(text)) as bigint) AS n_chars
+          |FROM sp GROUP BY 1""".stripMargin,
       "sample_bottomk" ->
         """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
           |  SELECT source, doc_id,
