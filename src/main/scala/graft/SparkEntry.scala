@@ -186,6 +186,26 @@ object SparkEntry {
         bucketWidth = 7)
         .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_band_rows"))
     }),
+    // interval × interval overlap join: concurrent-session pairs across
+    // users (co-presence). Both sides are the sessionized events table
+    // (9.5k intervals at sf0.01), banded at 1 h so the join is a
+    // band-keyed equi-join with the overlap predicate as a residual —
+    // never a cross join — and each pair is emitted exactly once in the
+    // band of greatest(lo_a, lo_b). This IS the production form (no
+    // benchOverride); the oracle replays sessionization + the naive
+    // non-equi join and must agree pair-for-pair via the aggregate
+    "join_interval_overlap" -> ((s, dir) => {
+      val sess = streaming.Events.sessionizeBatch(Engine.eventsTable(s, dir))
+      val a = sess.select(col("user_id").as("user_a"),
+        col("session_start").as("lo_a"), col("session_end").as("hi_a"))
+      val b = sess.select(col("user_id").as("user_b"),
+        col("session_start").as("lo_b"), col("session_end").as("hi_b"))
+      Joins.intervalOverlapJoin(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+          bandWidth = 3600000L, extraOn = col("user_a") < col("user_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("hi_a"), col("hi_b")) -
+            greatest(col("lo_a"), col("lo_b"))).as("sum_overlap_ms"))
+    }),
     // fuzzy (edit-distance) self-join with two-level blocking: equi-join
     // on (brand, length-bucket) — |len diff| lower-bounds the edit
     // distance, so bucketing lengths at width 4 and exploding side b to
@@ -3327,6 +3347,28 @@ object SparkEntry {
           |FROM lineitem JOIN region
           |  ON l_quantity >= r_regionkey * 10 AND l_quantity < (r_regionkey + 1) * 10
           |GROUP BY r_regionkey""".stripMargin,
+      // sessionize replay (same CTE as events_sessionize), then the
+      // naive non-equi overlap self-join the banded plan must equal
+      "join_interval_overlap" ->
+        """WITH e AS (
+          |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,
+          |         lag(cast(epoch_ms(ts) as bigint)) OVER (
+          |           PARTITION BY user_id ORDER BY ts) AS prev_ms
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, ts_ms,
+          |         sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+          |                  THEN 1 ELSE 0 END) OVER (
+          |           PARTITION BY user_id ORDER BY ts_ms
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+          |  FROM e),
+          |sess AS (SELECT user_id, min(ts_ms) AS lo, max(ts_ms) AS hi
+          |         FROM s GROUP BY user_id, seq)
+          |SELECT count(*) AS n_pairs,
+          |       cast(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) as bigint)
+          |         AS sum_overlap_ms
+          |FROM sess a JOIN sess b
+          |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi""".stripMargin,
       "join_range_band" ->
         """SELECT r_regionkey, count(*) AS n_band_rows
           |FROM lineitem JOIN region

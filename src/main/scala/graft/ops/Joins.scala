@@ -195,6 +195,47 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** Interval × interval OVERLAP join (closed intervals:
+    * `aLo <= bHi && bLo <= aHi`) — the two-large-sides generalization
+    * of [[bandRangeJoin]], where BOTH inputs are interval sets (session
+    * co-presence, genomic region intersection, validity-period
+    * reconciliation). Never a cross join: each interval explodes to the
+    * fixed-width bands it touches, the sides meet in an equi-join on
+    * the band id, and the overlap predicate runs as a residual filter.
+    *
+    * A pair overlapping k shared bands would surface k times; instead
+    * of a `distinct` (a full extra shuffle of the output), each pair is
+    * emitted EXACTLY once — in the band containing `greatest(aLo,
+    * bLo)`, which both sides provably touch. `extraOn` pushes caller
+    * predicates (e.g. `user_a < user_b`) into the join itself.
+    *
+    * 100 TB shape: the only exchange is the band-keyed shuffle; band
+    * width trades replication (span/width copies per interval) against
+    * per-band block size — set it near the median interval span.
+    * Bounds must be non-negative (epoch-ms domain: `/` + cast
+    * truncation == floor division).
+    */
+  def intervalOverlapJoin(
+      a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      bandWidth: Long,
+      extraOn: Column = lit(true)): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    def bands(df: DataFrame, lo: String, hi: String, out: String) =
+      df.withColumn(out, explode(sequence(
+        (col(lo) / bandWidth).cast("long"),
+        (col(hi) / bandWidth).cast("long"))))
+    val ab = bands(a, aLo, aHi, "__band_a")
+    val bb = bands(b, bLo, bHi, "__band_b")
+    ab.join(bb,
+        col("__band_a") === col("__band_b") &&
+          col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+          col("__band_a") ===
+            (greatest(col(aLo), col(bLo)) / bandWidth).cast("long") &&
+          extraOn)
+      .drop("__band_a", "__band_b")
+  }
+
   /** Snapshot reconciliation: classify every key of two table versions
     * as added / removed / changed / unchanged and count each class —
     * the dataset-versioning diff (complementing [[mergeUpsert]] /

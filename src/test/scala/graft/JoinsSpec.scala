@@ -137,4 +137,38 @@ class JoinsSpec extends SparkSpec {
     assert(classes("changed") === changed.toLong)
     assert(classes.values.sum === 110L) // |keys(old) ∪ keys(new)|
   }
+
+  test("intervalOverlapJoin equals the naive cross-filter, each pair once") {
+    // deterministic pseudo-random intervals engineered to include:
+    // band-boundary starts (multiples of 10), spans over many bands,
+    // touching endpoints (closed-interval semantics), and disjoint pairs
+    val ivals = (1L to 60L).map { i =>
+      val lo = (i * 37) % 199
+      val span = (i * 13) % 45
+      (i, lo, lo + span)
+    }
+    val a = ivals.toDF("id_a", "lo_a", "hi_a")
+    val b = ivals.toDF("id_b", "lo_b", "hi_b")
+    val got = Joins.intervalOverlapJoin(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+        bandWidth = 10L, extraOn = col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val want = for {
+      (i, li, hi) <- ivals; (j, lj, hj) <- ivals
+      if i < j && li <= hj && lj <= hi
+    } yield (i, j)
+    assert(got.length === got.distinct.length, "a pair surfaced twice")
+    assert(got.toSet === want.toSet)
+    assert(want.nonEmpty && want.size < ivals.size * (ivals.size - 1) / 2,
+      "fixture must be neither empty nor all-pairs")
+  }
+
+  test("intervalOverlapJoin: touching endpoints overlap, adjacent bands don't leak") {
+    val a = Seq((1L, 0L, 10L), (2L, 25L, 30L)).toDF("id_a", "lo_a", "hi_a")
+    val b = Seq((10L, 10L, 20L), (20L, 31L, 40L)).toDF("id_b", "lo_b", "hi_b")
+    val got = Joins.intervalOverlapJoin(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+        bandWidth = 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // [0,10] meets [10,20] at the closed endpoint; [25,30] and [31,40] are disjoint
+    assert(got === Set((1L, 10L)))
+  }
 }
