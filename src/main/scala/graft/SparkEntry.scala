@@ -2091,6 +2091,26 @@ object SparkEntry {
         e.filter(col("vec_id") <= 5), "vec_id", "embedding", k = 5)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
     }),
+    // kNN classification over the labeled embedding corpus: every
+    // vector's label predicted by 5-NN majority vote (ties to the
+    // smaller label), accuracy reported per true label. The gate runs
+    // the EXACT neighbor graph — DuckDB replays cosine, ranking, vote,
+    // argmax end-to-end — while the benchOverride runs the same vote
+    // over the IVF-routed [[Similarity.knnGraph]], the corpus-scale
+    // candidate generator
+    "sim_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lab = e.select(col("vec_id"), col("label").cast("long").as("label"))
+      val knn = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("corpus_id"))
+      Similarity.majorityVote(knn, lab)
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+    }),
     // IVF top-k as a GATED surface (the raw neighbor list is the
     // benchOverrides production form — IVF ids are not DuckDB-derivable,
     // so the gate checks invariants instead): per-probe STRUCTURE
@@ -2909,6 +2929,22 @@ object SparkEntry {
         Int.MaxValue.toLong).toInt
       Dedup.winnowPairs(docs, "doc_id", "text",
         k = 5, w = 4, threshold = 0.5, maxDocFreq = cap)
+    }),
+    // production form: the same majority vote over IVF-routed
+    // candidates (knnGraph) instead of the gate's exact all-pairs
+    // neighbor graph — bucketed candidate generation end to end
+    "sim_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lab = e.select(col("vec_id"), col("label").cast("long").as("label"))
+      val knn = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id"))
+      Similarity.majorityVote(knn, lab)
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
     }),
     // production form: the raw neighbor-list graph, without the
     // brute-force verifier the gate runs
@@ -4451,6 +4487,34 @@ object SparkEntry {
           |  JOIN (SELECT * FROM embeddings WHERE vec_id <= 5) p
           |    ON c.vec_id <> p.vec_id)
           |WHERE "rank" <= 5""".stripMargin,
+
+      // full end-to-end replay: cosine (double), exact 5-NN ranking,
+      // per-probe label vote, (count DESC, label ASC) argmax, accuracy
+      "sim_knn_classify" ->
+        """WITH knn AS (
+          |  SELECT probe_id, corpus_id FROM (
+          |    SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+          |           row_number() OVER (PARTITION BY p.vec_id
+          |             ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+          |                                             p.embedding::DOUBLE[]) DESC,
+          |                      c.vec_id ASC) AS rk
+          |    FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id)
+          |  WHERE rk <= 5),
+          |votes AS (
+          |  SELECT k.probe_id, e.label AS nbr_label, count(*) AS v
+          |  FROM knn k JOIN embeddings e ON e.vec_id = k.corpus_id
+          |  GROUP BY 1, 2),
+          |pred AS (
+          |  SELECT probe_id AS vec_id, cast(nbr_label as bigint) AS pred FROM (
+          |    SELECT probe_id, nbr_label,
+          |           row_number() OVER (PARTITION BY probe_id
+          |             ORDER BY v DESC, nbr_label ASC) AS rk
+          |    FROM votes) WHERE rk = 1)
+          |SELECT cast(e.label as bigint) AS label, count(*) AS n_vecs,
+          |       cast(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) as bigint)
+          |         AS n_correct
+          |FROM pred p JOIN embeddings e USING (vec_id)
+          |GROUP BY 1""".stripMargin,
 
       // multimodal metadata stand-ins are LCG arithmetic on the id and
       // md5 content hashes — fully reproducible in SQL

@@ -144,6 +144,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** kNN majority-vote label prediction over a neighbor list: each
+    * probe's label is the most frequent label among its neighbors (ties
+    * broken toward the smaller label — a total order, so the argmax is
+    * deterministic and replayable). `knn` carries (probe_id, corpus_id)
+    * from any neighbor generator — exact [[bruteForceTopK]] for the
+    * oracle-replayable gate, [[knnGraph]] IVF routing at corpus scale —
+    * and `labels` carries (vec_id, label). Output: (vec_id, pred).
+    *
+    * Scale shape: the label attach is an equi-join on corpus_id (the
+    * label table is slim — broadcast when it fits); the vote is a
+    * two-level aggregate on (probe, label) then a WindowGroupLimit
+    * argmax per probe — k·n rows into the first aggregate, never n².
+    */
+  def majorityVote(knn: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = knn
+      .join(labels.select(col("vec_id").as("corpus_id"),
+        col("label").as("nbr_label")), Seq("corpus_id"))
+      .groupBy(col("probe_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("v").desc, col("nbr_label").asc)
+    votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("probe_id").as("vec_id"),
+        col("nbr_label").cast("long").as("pred"))
+  }
+
   /** Exact radius search: every (probe, corpus) pair with cosine ≥
     * `threshold`, excluding self-matches. The fixed-radius complement of
     * [[bruteForceTopK]] — same broadcast-probes shape, but the output is

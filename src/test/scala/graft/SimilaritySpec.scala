@@ -149,6 +149,18 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("majorityVote: plurality wins, ties break toward the smaller label") {
+    val knn = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),   // labels 7,7,3 → pred 7
+      (2L, 10L), (2L, 12L), (2L, 13L), (2L, 14L)) // 7,3,3,7 → tie → 3
+      .toDF("probe_id", "corpus_id")
+    val labels = Seq((10L, 7), (11L, 7), (12L, 3), (13L, 3), (14L, 7))
+      .toDF("vec_id", "label")
+    val got = Similarity.majorityVote(knn, labels)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 7L, 2L -> 3L))
+  }
+
   test("knnGraph structure: every source gets exactly k ranked neighbors, no self-loops") {
     val k = 5
     val g = Similarity.knnGraph(corpus, "id", "v", k = k, nCentroids = 4, nProbe = 2)
