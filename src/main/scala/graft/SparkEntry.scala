@@ -1056,6 +1056,30 @@ object SparkEntry {
     "text_subwords" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+    // per-source corpus report card — the observability surface a
+    // pipeline operator reads between prep stages: volume (docs, chars,
+    // tokens), language mix (en share via the langId kernel), and
+    // boilerplate exposure (docs with >= 1 segment shared by >= 3 docs,
+    // the text_seg_dedup signal). One kernel scan for the per-doc
+    // metrics + the slim segment-frequency shuffle; all-integer, every
+    // column replayed by the oracle
+    "report_sources" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val per = d.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nc"),
+        TextAnalysis.tokenCount(col("text")).as("nt"),
+        (TextAnalysis.langId(col("text")) === "en").as("is_en"))
+      val boiler = TextAnalysis.segmentDedup(d, "doc_id", "text",
+          w = 5, maxDocs = 3)
+        .select(col("doc_id"), (col("n_kept") < col("n_segs")).as("has_boiler"))
+      per.join(boiler, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("sum_chars"),
+          sum(col("nt")).as("sum_tokens"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("has_boiler"), 1L).otherwise(0L)).as("n_boiler_docs"))
+    }),
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     // corpus-trained char-bigram LM quality score (the CCNet/KenLM
@@ -3080,6 +3104,26 @@ object SparkEntry {
           max(col("lm_score")).as("max_score"),
           sum(col("lm_score")).as("sum_score"))
     }),
+    // production form: the boilerplate flag comes from the hashed
+    // segment-dedup path (16-byte frequency shuffle) instead of the
+    // gate's raw-string replay form
+    "report_sources" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val per = d.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nc"),
+        TextAnalysis.tokenCount(col("text")).as("nt"),
+        (TextAnalysis.langId(col("text")) === "en").as("is_en"))
+      val boiler = TextAnalysis.segmentDedupHashed(d, "doc_id", "text",
+          w = 5, maxDocs = 3)
+        .select(col("doc_id"), (col("n_kept") < col("n_segs")).as("has_boiler"))
+      per.join(boiler, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("sum_chars"),
+          sum(col("nt")).as("sum_tokens"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("has_boiler"), 1L).otherwise(0L)).as("n_boiler_docs"))
+    }),
     // production form: the frequency shuffle carries (xxhash64(seg),
     // doc_id) — 16 bytes/row instead of segment text — and the
     // Zipf-head dropped set is broadcast back over one corpus re-scan
@@ -4543,6 +4587,39 @@ object SparkEntry {
       // explicit [\t\n\x0B\f\r ] whitespace class and \p{N} digit class:
       // identical semantics in RE2 and in the one-pass TextStats kernel
       // (Java \s / Character.isWhitespace and RE2 \s disagree on Unicode)
+      // per-doc kernel replays (tokens, langid-en, seg boilerplate flag)
+      // aggregated per source; the langid branch mirrors text_langid's
+      // strict en >= others order
+      "report_sources" ->
+        """WITH w AS (SELECT doc_id, source, text, length(text) AS nc,
+          |    len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::BIGINT AS nt,
+          |    str_split(regexp_replace(lower(text), '[\t\n\x0b\f\r ]+', ' ', 'g'), ' ') AS tl
+          |  FROM documents),
+          |c AS (SELECT doc_id, source, nc, nt,
+          |    len(list_filter(tl, x -> x IN ('the','and','of','to','is','in','that','it'))) AS en,
+          |    len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+          |    len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','que','pas'))) AS fr,
+          |    len(list_filter(tl, x -> x IN ('el','la','los','y','es','una','que','no'))) AS es,
+          |    len(list_filter(tl, x -> x IN ('il','la','che','e','di','un','per','non'))) AS it
+          |  FROM w),
+          |l AS (SELECT doc_id, source, nc, nt,
+          |    (greatest(en, de, fr, es, it) > 0 AND en >= de AND en >= fr
+          |     AND en >= es AND en >= it) AS is_en
+          |  FROM c),
+          |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |segs AS (SELECT doc_id, array_to_string(ws[(g*5+1):((g+1)*5)], ' ') AS seg
+          |         FROM words, unnest(range(0, (len(ws)+4)//5)) AS t(g)),
+          |freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+          |b AS (SELECT s.doc_id, max(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS hb
+          |      FROM segs s JOIN freq f USING (seg) GROUP BY s.doc_id)
+          |SELECT l.source, count(*) AS n_docs,
+          |       cast(sum(l.nc) as bigint) AS sum_chars,
+          |       cast(sum(l.nt) as bigint) AS sum_tokens,
+          |       cast(sum(CASE WHEN l.is_en THEN 1 ELSE 0 END) as bigint) AS n_en,
+          |       cast(sum(b.hb) as bigint) AS n_boiler_docs
+          |FROM l JOIN b USING (doc_id)
+          |GROUP BY l.source""".stripMargin,
+
       "text_stats" ->
         """SELECT doc_id,
           |       length(text) AS n_chars_text,
