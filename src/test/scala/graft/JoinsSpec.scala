@@ -162,6 +162,18 @@ class JoinsSpec extends SparkSpec {
       "fixture must be neither empty nor all-pairs")
   }
 
+  test("intervalOverlapJoin never falls to a cartesian/BNLJ plan") {
+    val ivals = (1L to 200L).map(i => (i, i * 3, i * 3 + 7)).toDF("id_a", "lo_a", "hi_a")
+    val other = (1L to 200L).map(i => (i, i * 5, i * 5 + 4)).toDF("id_b", "lo_b", "hi_b")
+    val df = Joins.intervalOverlapJoin(ivals, "lo_a", "hi_a",
+      other, "lo_b", "hi_b", bandWidth = 16L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banding must yield an equi-join:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("intervalOverlapJoin: touching endpoints overlap, adjacent bands don't leak") {
     val a = Seq((1L, 0L, 10L), (2L, 25L, 30L)).toDF("id_a", "lo_a", "hi_a")
     val b = Seq((10L, 10L, 20L), (20L, 31L, 40L)).toDF("id_b", "lo_b", "hi_b")

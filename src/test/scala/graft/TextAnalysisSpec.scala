@@ -326,6 +326,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.forall(_ === ((1L, 0L, ""))))
   }
 
+  test("segmentDedupHashed broadcasts the dropped set and shuffles hashes, not text") {
+    val docs = (1L to 30L).map(i => (i, s"w$i x$i y$i z$i q$i")).toDF("doc_id", "text")
+    val plan = TextAnalysis.segmentDedupHashed(docs, "doc_id", "text", w = 2, maxDocs = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"dropped set must broadcast:\n$plan")
+    assert(plan.contains("hashpartitioning(h#") || plan.contains("hashpartitioning(h,"),
+      s"frequency exchange must key on the 8-byte hash:\n$plan")
+  }
+
   test("segmentDedupHashed agrees with the exact form") {
     val docs = (1L to 40L).map(i =>
       (i, if (i % 4 == 0) "dup seg dup seg tail " + i
