@@ -1006,6 +1006,26 @@ object SparkEntry {
         .filter(col("src") < col("dst"))
       Graph.triangleCount(pairs, "src", "dst")
     }),
+    // k-core decomposition over the mutual-3NN embedding graph (edge
+    // iff each vector is in the other's exact top-3 — the sparse
+    // dataset-cartography graph; the TPC-H co-occurrence graphs are
+    // union-of-cliques where peeling is vacuous). 2-core membership per
+    // node. The oracle is a Scala-GENERATED 16-round peeling unroll
+    // (kCoreOracleSql — pageRank's fixed-round convention): peeling is
+    // idempotent at the fixpoint, so Graph.kCore's zero-delta early
+    // stop matches the capped unroll bit-for-bit (this graph converges
+    // in ≤ 12 rounds at every sf)
+    "graph_kcore" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mutual = Similarity.mutualEdges(
+        Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 3))
+      val core = Graph.kCore(mutual, "src", "dst", k = 2, maxRounds = 16)
+      val nodes = mutual.select(col("src").as("node"))
+        .union(mutual.select(col("dst").as("node"))).distinct()
+      nodes.join(core.withColumn("in_core", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("in_core"), lit(false)).as("in_core"))
+    }),
     // exact all-pairs baseline for the LSH form below (ids only — see
     // Dedup.embeddingPairsExact on why the cosine value stays out of
     // the hash-exact gate)
@@ -3040,6 +3060,21 @@ object SparkEntry {
       val pairs = b.select(col("sk").as("id_a"), (col("pk") + 1000000L).as("id_b"))
       Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10)
     }),
+    // production form: the mutual graph from IVF-routed knnGraph
+    // candidates (the corpus-scale generator) instead of the gate's
+    // exact all-pairs 3-NN; identical peel on top
+    "graph_kcore" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mutual = Similarity.mutualEdges(
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, nCentroids = 8, nProbe = 3)
+          .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id")))
+      val core = Graph.kCore(mutual, "src", "dst", k = 2, maxRounds = 16)
+      val nodes = mutual.select(col("src").as("node"))
+        .union(mutual.select(col("dst").as("node"))).distinct()
+      nodes.join(core.withColumn("in_core", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("in_core"), lit(false)).as("in_core"))
+    }),
     // production form: the within-cluster pair search itself (train +
     // candidate equi-join + cosine verify), not the exact-set comparison
     "dedup_semantic" -> ((s, dir) =>
@@ -3231,6 +3266,43 @@ object SparkEntry {
     * (FM/HLL sketches, LSH candidates, xxhash-derived plumbing) →
     * driver records a weaker rows-only check for those.
     */
+  /** graph_kcore's oracle: mutual-kNN edge build + a fixed-`rounds`
+    * peeling unroll, generated round by round (the pageRank 10-round
+    * convention, but mechanical). Every CTE is MATERIALIZED — each
+    * round references the previous one three times, so DuckDB's default
+    * CTE inlining would expand the chain 3^rounds-fold (measured: "too
+    * many open files" before the first row).
+    */
+  private def kCoreOracleSql(rounds: Int, k: Int, knnK: Int): String = {
+    val head =
+      s"""WITH knn AS MATERIALIZED (
+         |  SELECT probe_id, corpus_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+         |                                             p.embedding::DOUBLE[]) DESC,
+         |                      c.vec_id ASC) AS rk
+         |    FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id)
+         |  WHERE rk <= $knnK),
+         |m AS MATERIALIZED (SELECT a.probe_id AS src, a.corpus_id AS dst
+         |  FROM knn a JOIN knn b ON a.probe_id = b.corpus_id
+         |                       AND a.corpus_id = b.probe_id
+         |  WHERE a.probe_id < a.corpus_id),
+         |e0 AS MATERIALIZED (
+         |  SELECT src AS u, dst AS v FROM m UNION ALL SELECT dst, src FROM m)""".stripMargin
+    val peel = (1 to rounds).map { i =>
+      s""",
+         |s$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN s$i a ON e.u = a.u JOIN s$i b ON e.v = b.u)""".stripMargin
+    }.mkString
+    head + peel +
+      s"""
+         |SELECT n.node, (c.u IS NOT NULL) AS in_core
+         |FROM (SELECT DISTINCT u AS node FROM e0) n
+         |LEFT JOIN (SELECT DISTINCT u FROM e$rounds) c ON c.u = n.node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val p1 =
       """SELECT cast(sum(cast(floor(p_retailprice) as bigint) * cast(floor(l_quantity) as bigint))
@@ -3263,6 +3335,7 @@ object SparkEntry {
       s"WITH $prEdges,\n$prIters\nSELECT node, score AS pagerank FROM it10"
     Map(
       "graph_pagerank" -> prSql,
+      "graph_kcore" -> kCoreOracleSql(rounds = 16, k = 2, knnK = 3),
       "dq_rules" ->
         """SELECT count(*) AS n_rows,
           |       cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_cust,

@@ -76,4 +76,43 @@ class GraphSpec extends SparkSpec {
       pairs, "id_a", "id_b", iterations = 4)
     assert(rounds === 4)
   }
+
+  test("kCore peels cascading tails and keeps exactly the max subgraph of min degree k") {
+    // triangle {1,2,3} + chain 3-4-5-6: peeling at k=2 must remove
+    // 6 (deg 1), then 5, then 4 — a 3-round cascade — leaving the
+    // triangle; duplicate/reversed/self edges must not inflate degrees
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 1L), (3L, 3L), (1L, 2L)).toDF("s", "d")
+    val core = Graph.kCore(edges, "s", "d", k = 2)
+      .as[Long].collect().sorted.toSeq
+    assert(core === Seq(1L, 2L, 3L))
+  }
+
+  test("kCore of a graph already at the fixpoint returns it unchanged") {
+    // 4-cycle: every node has degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    assert(Graph.kCore(edges, "s", "d", k = 2)
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(Graph.kCore(edges, "s", "d", k = 3).count() === 0L)
+  }
+
+  test("kCore maxRounds caps the peel like the oracle's fixed unroll") {
+    // path 1-2-3-4-5-6-7: k=2 peels one node from each end per round;
+    // maxRounds=1 applies at most ONE peel (odd cap exercises the
+    // partial block), leaving the inner path 2..6
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("s", "d")
+    val capped = Graph.kCore(edges, "s", "d", k = 2, maxRounds = 1)
+      .as[Long].collect().sorted.toSeq
+    assert(capped === (2L to 6L))
+    assert(Graph.kCore(edges, "s", "d", k = 2).count() === 0L)
+  }
+
+  test("mutualEdges keeps exactly the reciprocated pairs, once each") {
+    val knn = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("probe_id", "corpus_id")
+    val got = ops.Similarity.mutualEdges(knn)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 2L), (3L, 4L)))
+  }
 }
