@@ -587,6 +587,47 @@ object SparkEntry {
     // percentiles plus a boolean asserting every sketch value is within
     // ±1 of exact (accuracy 10000 → rank error ≤ N·1e-4, far below one
     // value step on this data); oracle recomputes exact and expects true.
+    // mergeable bottom-k-priority QUANTILE SAMPLE — the quantile member
+    // of the sketch suite (distinct: FM/HLL/KMV; frequency: CMS; set
+    // overlap: KMV theta). The sketch is the 1024 rows with smallest
+    // md5(event_id) priority: order-insensitive, mergeable (bottom-k of
+    // a union = merge of bottom-ks — Spark executes it as distributed
+    // TakeOrdered, i.e. per-partition sketches + driver merge), and
+    // content-deterministic, so the oracle replays the SAME sample and
+    // the estimates hash-gate exactly. Type-1 sample quantiles under
+    // the (v, event_id) total order; the p*_ok booleans pin the DKW
+    // rank-error contract |rank(est)/n − q| ≤ 0.08 in exact integer
+    // cross-multiplied form (k=1024 → violation odds ~2e-6; measured
+    // deviations ≤ 0.049 across sfs, ties included)
+    "agg_quantile_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.eventsTable(s, dir)
+      val pri = conv(substring(md5(col("event_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+      val sample = ev
+        .select(floor(col("value")).cast("long").as("v"),
+          col("event_id"), pri.as("p"))
+        .orderBy(col("p").asc, col("event_id").asc).limit(1024)
+      val w = Window.orderBy(col("v").asc, col("event_id").asc)
+      val ranked = sample.withColumn("rk", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val est = ranked.agg(
+        max(when(col("rk") === ceil(lit(0.5) * col("m")), col("v"))).as("p50_est"),
+        max(when(col("rk") === ceil(lit(0.9) * col("m")), col("v"))).as("p90_est"),
+        max(when(col("rk") === ceil(lit(0.99) * col("m")), col("v"))).as("p99_est"))
+      ev.select(floor(col("value")).cast("long").as("v")).crossJoin(est)
+        .agg(count(lit(1)).as("n"),
+          max(col("p50_est")).as("p50_est"),
+          max(col("p90_est")).as("p90_est"),
+          max(col("p99_est")).as("p99_est"),
+          (abs(lit(100L) * sum(when(col("v") <= col("p50_est"), 1L).otherwise(0L))
+            - lit(50L) * count(lit(1))) <= lit(8L) * count(lit(1))).as("p50_ok"),
+          (abs(lit(100L) * sum(when(col("v") <= col("p90_est"), 1L).otherwise(0L))
+            - lit(90L) * count(lit(1))) <= lit(8L) * count(lit(1))).as("p90_ok"),
+          (abs(lit(100L) * sum(when(col("v") <= col("p99_est"), 1L).otherwise(0L))
+            - lit(99L) * count(lit(1))) <= lit(8L) * count(lit(1))).as("p99_ok"))
+    }),
     // The emitted exact percentiles are rounded to 6 decimals: both
     // engines interpolate linearly but may differ in the last ulp of
     // a + f·(b−a), and this is a hash-exact gate
@@ -3722,6 +3763,32 @@ object SparkEntry {
           |         o_orderkey, o_custkey, o_orderstatus, o_orderpriority)),
           |         1, 15)) AS BIGINT)) AS checksum
           |FROM orders""".stripMargin,
+      // identical sample (same md5 priority, same LIMIT), identical
+      // type-1 quantile definition, identical integer DKW bound
+      "agg_quantile_sample" ->
+        """WITH s AS (
+          |  SELECT cast(floor(value) as bigint) AS v, event_id
+          |  FROM events
+          |  ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+          |           event_id ASC
+          |  LIMIT 1024),
+          |r AS (SELECT v, row_number() OVER (ORDER BY v ASC, event_id ASC) AS rk,
+          |             count(*) OVER () AS m FROM s),
+          |est AS (SELECT
+          |  max(CASE WHEN rk = ceil(0.5 * m) THEN v END) AS p50_est,
+          |  max(CASE WHEN rk = ceil(0.9 * m) THEN v END) AS p90_est,
+          |  max(CASE WHEN rk = ceil(0.99 * m) THEN v END) AS p99_est FROM r),
+          |f AS (SELECT cast(floor(value) as bigint) AS v FROM events)
+          |SELECT count(*) AS n,
+          |       max(e.p50_est) AS p50_est, max(e.p90_est) AS p90_est,
+          |       max(e.p99_est) AS p99_est,
+          |       (abs(100 * sum(CASE WHEN f.v <= e.p50_est THEN 1 ELSE 0 END)
+          |            - 50 * count(*)) <= 8 * count(*)) AS p50_ok,
+          |       (abs(100 * sum(CASE WHEN f.v <= e.p90_est THEN 1 ELSE 0 END)
+          |            - 90 * count(*)) <= 8 * count(*)) AS p90_ok,
+          |       (abs(100 * sum(CASE WHEN f.v <= e.p99_est THEN 1 ELSE 0 END)
+          |            - 99 * count(*)) <= 8 * count(*)) AS p99_ok
+          |FROM f CROSS JOIN est e""".stripMargin,
       "agg_percentile_approx" ->
         """SELECT l_returnflag,
           |       round(quantile_cont(floor(l_quantity), 0.25), 6) AS p25,
