@@ -2899,6 +2899,81 @@ object SparkEntry {
           cume_dist().over(w).as("cume"),
           dense_rank().over(w).cast("long").as("drank"))
     }),
+    // linear gap INTERPOLATION — ts_gapfill's zero-fill upgraded to the
+    // value model a downstream consumer actually wants for a sampled
+    // metric: missing days take the line between the surrounding
+    // observations. Exact integer arithmetic throughout: daily values in
+    // milli-units, interp = (pv*(nd-d) + nv*(d-pd)) div (nd-pd) with
+    // every factor ≥ 0 (nonneg_ok pins it), so Spark's truncating `div`
+    // and DuckDB's flooring `//` agree. Plan shape: the observed-day
+    // aggregate and the spine share one shuffle on user_id; prev/next
+    // neighbors are two frames of the SAME window sort (one Sort, no
+    // second exchange) via last/first with ignoreNulls — no self-join
+    // against the observation set, which is the textbook-but-wrong plan
+    // (an extra range join per gap). Day index (days since epoch) keeps
+    // the divisor small; spine rows bounded by users × span-days
+    "ts_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Engine.eventsTable(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("v")).as("v"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+      val j = spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          unix_date(col("day").cast("date")).cast("long").as("d"), col("v"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd",
+          last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nd",
+          first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+        .select(col("user_id"), unix_millis(col("day")).as("day_ms"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(expr("(pv * (nd - d) + nv * (d - pd)) div (nd - pd)"))
+            .as("v_milli"),
+          col("v").isNull.as("is_interp"),
+          (coalesce(col("pv"), col("v")) >= 0L &&
+            coalesce(col("nv"), col("v")) >= 0L).as("nonneg_ok"))
+    }),
+    // rolling anomaly flags — the per-event z-score test (|x − μ| > 2σ
+    // over the user's previous 8 events) done WITHOUT floats: squaring
+    // the test gives (n·x − s)² > 4·(n·ss − s²), all integer, so both
+    // engines evaluate the identical predicate bit-for-bit (a float σ
+    // would hash-diverge at the boundary). One window sort per user
+    // carries count/sum/sum-of-squares in a single frame; the per-user
+    // rollup is a partial-aggregable HashAggregate. bounds_ok pins
+    // max(v) < 1e8 — the margin under which every product in the
+    // squared test fits a long (DuckDB's hugeint sums would otherwise
+    // silently diverge from a wrapped Spark long). Scored rows need
+    // n ≥ 4 history events so the variance is meaningful
+    "ts_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id")).rowsBetween(-8, -1)
+      Engine.eventsTable(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), floor(col("value") * 1000).cast("long").as("v"))
+        .withColumn("n", count(col("v")).over(w))
+        .withColumn("sm", sum(col("v")).over(w))
+        .withColumn("ss", sum(col("v") * col("v")).over(w))
+        .filter(col("n") >= 4)
+        .withColumn("dev", col("n") * col("v") - col("sm"))
+        .withColumn("flag", (col("dev") * col("dev")) >
+          lit(4L) * (col("n") * col("ss") - col("sm") * col("sm")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_anomalies"),
+          (max(col("v")) < 100000000L).as("bounds_ok"))
+    }),
   )
 
   /** Production forms of queries whose `queries` entry is an ORACLE GATE
@@ -5226,6 +5301,61 @@ object SparkEntry {
           |SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
           |       count(*) AS n_events
           |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+      "ts_interpolate" ->
+        """WITH daily AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day,
+          |         cast(sum(cast(floor(value * 1000) as bigint)) as bigint) AS v
+          |  FROM events GROUP BY 1, 2),
+          |spine AS (
+          |  SELECT user_id,
+          |         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+          |  FROM daily GROUP BY user_id),
+          |j AS (
+          |  SELECT s.user_id, s.day,
+          |         date_diff('day', DATE '1970-01-01', s.day::date) AS d, daily.v
+          |  FROM spine s LEFT JOIN daily
+          |    ON s.user_id = daily.user_id AND s.day = daily.day),
+          |n AS (
+          |  SELECT user_id, day, d, v,
+          |    last_value(v IGNORE NULLS) OVER wp AS pv,
+          |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          |      OVER wp AS pd,
+          |    first_value(v IGNORE NULLS) OVER wn AS nv,
+          |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          |      OVER wn AS nd
+          |  FROM j
+          |  WINDOW wp AS (PARTITION BY user_id ORDER BY d
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |  wn AS (PARTITION BY user_id ORDER BY d
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          |SELECT user_id, epoch_ms(day) AS day_ms,
+          |       CASE WHEN v IS NOT NULL THEN v
+          |            ELSE (pv * (nd - d) + nv * (d - pd)) // (nd - pd)
+          |       END AS v_milli,
+          |       (v IS NULL) AS is_interp,
+          |       (coalesce(pv, v) >= 0 AND coalesce(nv, v) >= 0) AS nonneg_ok
+          |FROM n""".stripMargin,
+
+      "ts_anomaly" ->
+        """WITH e AS (
+          |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms, event_id,
+          |         cast(floor(value * 1000) as bigint) AS v
+          |  FROM events),
+          |w AS (
+          |  SELECT user_id, v,
+          |         count(v) OVER win AS n,
+          |         cast(sum(v) OVER win as bigint) AS sm,
+          |         cast(sum(v * v) OVER win as bigint) AS ss
+          |  FROM e
+          |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+          |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+          |SELECT user_id, count(*) AS n_scored,
+          |       cast(sum(CASE WHEN (n * v - sm) * (n * v - sm) >
+          |                          4 * (n * ss - sm * sm)
+          |                     THEN 1 ELSE 0 END) as bigint) AS n_anomalies,
+          |       (max(v) < 100000000) AS bounds_ok
+          |FROM w WHERE n >= 4 GROUP BY user_id""".stripMargin,
     )
   }
 }

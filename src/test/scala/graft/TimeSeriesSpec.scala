@@ -142,4 +142,63 @@ class TimeSeriesSpec extends SparkSpec {
     // only (1,2) qualifies: same brand, distance 1; (1,4) blocked by brand
     assert(got === Array((1L, 2L)))
   }
+
+  /** Write a constructed events table to a temp dir so the SparkEntry
+    * query runs against it exactly as it runs against the driver's
+    * testdata: (event_id, epoch-ms ts, user_id, type, value).
+    */
+  private def withEvents[A](rows: Seq[(Long, Long, Long, String, Double)])(
+      f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    try {
+      rows.toDF("event_id", "ms", "user_id", "event_type", "value")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), col("event_type"), col("value"),
+          lit(null).cast("string").as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      f(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("ts_interpolate draws the integer line between observations") {
+    val day = 86400000L
+    // user 1: days 0 and 3 observed (2000 / 8000 milli) — days 1, 2 are
+    // thirds of the span; user 2: truncation case, (5 + 10) div 2 = 7;
+    // user 1 day 0 has TWO events that must sum before interpolation
+    val got = withEvents(Seq(
+      (1L, 0L, 1L, "view", 1.5), (2L, 1000L, 1L, "view", 0.5),
+      (3L, 3 * day, 1L, "view", 8.0),
+      (4L, 0L, 2L, "view", 0.005), (5L, 2 * day, 2L, "view", 0.010))) { d =>
+      SparkEntry.queries("ts_interpolate")(spark, d)
+        .select(col("user_id"), col("day_ms"), col("v_milli"),
+          col("is_interp"), col("nonneg_ok"))
+        .as[(Long, Long, Long, Boolean, Boolean)].collect().toSet
+    }
+    assert(got === Set(
+      (1L, 0L, 2000L, false, true),
+      (1L, day, 4000L, true, true), // (2000·2 + 8000·1) div 3
+      (1L, 2 * day, 6000L, true, true), // (2000·1 + 8000·2) div 3
+      (1L, 3 * day, 8000L, false, true),
+      (2L, 0L, 5L, false, true),
+      (2L, day, 7L, true, true), // (5 + 10) div 2 — truncated, not rounded
+      (2L, 2 * day, 10L, false, true)))
+  }
+
+  test("ts_anomaly flags the integer z-score breach and nothing else") {
+    // user 1: eight constant values then one spike — only the spike's
+    // history window has variance 0 and a huge deviation; the constant
+    // rows score dev = 0. Scoring starts at the 5th event (n >= 4)
+    val rows = (1L to 8L).map(i => (i, i * 1000L, 1L, "view", 1.0)) :+
+      ((9L, 9000L, 1L, "view", 100.0))
+    val got = withEvents(rows) { d =>
+      SparkEntry.queries("ts_anomaly")(spark, d)
+        .select(col("user_id"), col("n_scored"), col("n_anomalies"),
+          col("bounds_ok"))
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    }
+    // events 5..9 are scored (history n = 4..8); only event 9 is flagged
+    assert(got === Set((1L, 5L, 1L, true)))
+  }
 }
