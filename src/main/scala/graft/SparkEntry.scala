@@ -2974,6 +2974,88 @@ object SparkEntry {
           sum(when(col("flag"), 1L).otherwise(0L)).as("n_anomalies"),
           (max(col("v")) < 100000000L).as("bounds_ok"))
     }),
+    // duplicated-span REMOVAL (the C4/RefinedWeb cleaning transform —
+    // text_seg_dedup IDENTIFIES cross-doc duplicate spans; this one
+    // produces the cleaned corpus): each doc splits into consecutive
+    // non-overlapping 10-word segments, segments appearing in >= 2
+    // distinct documents are dropped, the survivors reassemble in
+    // original order. Output is the per-doc cleaned-text digest +
+    // kept/total counts, so the oracle replays the whole transform.
+    // Plan: one segment explode, one df aggregate (seg -> distinct-doc
+    // count), one join back, one per-doc ordered reassembly; the
+    // collect_list is DOC-bounded (a document's own segments), never
+    // corpus-bounded. At 100 TB the df shuffle should carry xxhash64
+    // segment keys with the dropped set broadcast (text_seg_dedup's
+    // hashed form) — the gate keeps full segment text so DuckDB can
+    // replay exactly
+    "text_clean_segments" -> ((s, dir) => {
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(words) / 10.0) as int) - 1)," +
+            " i -> array_join(slice(words, i * 10 + 1, 10), ' '))")))
+        .select(col("doc_id"), col("pos"), col("col").as("seg"))
+      val docFreq = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(docFreq, Seq("seg"))
+        .withColumn("kept", col("df") < 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          expr("concat_ws(' ', transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN named_struct('pos', pos, 'seg', seg) END))," +
+            " x -> x.seg))").as("clean"))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_len"))
+    }),
+    // random-projection dimensionality reduction (Johnson–Lindenstrauss
+    // with a ±1 Achlioptas matrix): 64-dim float embeddings down to 16
+    // integer components, y_j = Σ_i milli(v_i)·s(i,j). The sign matrix
+    // is PUBLIC and engine-portable — s(i,j) = +1 iff the first hex
+    // nibble of md5("i|j") < 8 — so the oracle derives the same matrix
+    // from its own md5 and replays the projection bit-for-bit (inputs
+    // quantized to milli via float→double→floor, IEEE-identical in both
+    // engines). Plan shape: the 64×16 signs fold into LITERAL arrays at
+    // plan time (zero per-row hashing), the projection is 16 codegen'd
+    // aggregate(zip_with(...)) folds in ONE scan — no shuffle, no
+    // explode of the input; the output explode to (vec_id, j, y) is
+    // 16 slim rows per vector. At 100 TB this is a map-only pass
+    "embed_rp" -> ((s, dir) => {
+      val dims = 64; val out = 16
+      def sign(i: Int, j: Int): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i|$j".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0xF) < 8) 1L else -1L
+      }
+      val proj = (0 until out).map { j =>
+        val signs = (0 until dims).map(i => sign(i, j)).mkString(",")
+        expr(s"aggregate(zip_with(m, array($signs)," +
+          " (v, s) -> v * s), 0L, (acc, x) -> acc + x)").as(s"y$j")
+      }
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding," +
+          " v -> cast(floor(cast(v as double) * 1000) as bigint))").as("m"))
+        .select(col("vec_id") +: proj: _*)
+        .select(col("vec_id"),
+          posexplode(array((0 until out).map(j => col(s"y$j")): _*)))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          col("col").as("y"))
+    }),
+    // hard-negative mining (contrastive-training data prep): for each
+    // probe vector, the 5 most similar vectors with a DIFFERENT label —
+    // random negatives are easy, near-boundary ones are what the loss
+    // needs. The gate is the exact form over 21 probes (the oracle
+    // replays cosine ranking + the label filter verbatim, like
+    // sim_topk_brute); the benchOverrides production form routes the
+    // WHOLE corpus through IVF buckets with the label filter fused
+    // before the ranking shuffle (Similarity.hardNegatives)
+    "sample_hardneg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegativesExact(e, e.filter(col("vec_id") <= 20),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+    }),
   )
 
   /** Production forms of queries whose `queries` entry is an ORACLE GATE
@@ -3111,6 +3193,12 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5, nCentroids = 8, nProbe = 3)
+        .select(col("src_id"), col("dst_id"), col("rank"))),
+    // production form: corpus-wide IVF-routed hard negatives (every
+    // vector is a probe), not the 21-probe exact gate
+    "sample_hardneg" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 5, nCentroids = 8, nProbe = 3)
         .select(col("src_id"), col("dst_id"), col("rank"))),
     // production form: train (cached across reps) + the trained-IVF
     // serving path, without the brute-force/pseudo-IVF comparison the
@@ -5356,6 +5444,57 @@ object SparkEntry {
           |                     THEN 1 ELSE 0 END) as bigint) AS n_anomalies,
           |       (max(v) < 100000000) AS bounds_ok
           |FROM w WHERE n >= 4 GROUP BY user_id""".stripMargin,
+
+      "text_clean_segments" ->
+        """WITH w AS (
+          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+          |s AS (
+          |  SELECT doc_id, i AS pos,
+          |         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS seg
+          |  FROM w, unnest(range(cast(ceil(len(words) / 10.0) as bigint))) AS t(i)),
+          |d AS (SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY seg),
+          |k AS (SELECT s.*, (d.df < 2) AS kept FROM s JOIN d USING (seg))
+          |SELECT doc_id, count(*) AS n_segs,
+          |       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
+          |       md5(coalesce(
+          |         string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE kept),
+          |         '')) AS clean_md5,
+          |       cast(length(coalesce(
+          |         string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE kept),
+          |         '')) as bigint) AS clean_len
+          |FROM k GROUP BY doc_id""".stripMargin,
+
+      // the oracle rebuilds the SAME ±1 matrix from md5("i|j") and
+      // replays the integer projection exactly (no rank-only weakening)
+      "embed_rp" ->
+        """WITH m AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |           v -> cast(floor(cast(v as double) * 1000) as bigint)) AS m
+          |  FROM embeddings),
+          |c AS (
+          |  SELECT vec_id, generate_subscripts(m, 1) - 1 AS i, unnest(m) AS mi
+          |  FROM m),
+          |s AS (
+          |  SELECT i.i, j.j,
+          |         CASE WHEN md5(i.i || '|' || j.j)[1] BETWEEN '0' AND '7'
+          |              THEN 1 ELSE -1 END AS sgn
+          |  FROM (SELECT unnest(range(64)) AS i) i,
+          |       (SELECT unnest(range(16)) AS j) j)
+          |SELECT vec_id, j, cast(sum(mi * sgn) as bigint) AS y
+          |FROM c JOIN s ON c.i = s.i
+          |GROUP BY vec_id, j""".stripMargin,
+
+      "sample_hardneg" ->
+        """SELECT probe_id, corpus_id, "rank" FROM (
+          |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+          |         row_number() OVER (PARTITION BY p.vec_id
+          |           ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+          |                                           p.embedding::DOUBLE[]) DESC,
+          |                    c.vec_id ASC) AS "rank"
+          |  FROM embeddings c
+          |  JOIN (SELECT * FROM embeddings WHERE vec_id <= 20) p
+          |    ON c.vec_id <> p.vec_id AND c.label <> p.label)
+          |WHERE "rank" <= 5""".stripMargin,
     )
   }
 }

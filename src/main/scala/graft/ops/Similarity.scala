@@ -144,6 +144,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact hard-negative mining: for each probe, the k most similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * data-prep primitive (the "hard" negatives are the near-boundary
+    * ones a random negative sampler never finds). Same broadcast-probes
+    * single-corpus-scan shape as [[bruteForceTopK]] with the label
+    * inequality fused into the scan filter; the oracle-replayable gate
+    * path. Output: (probe_id, corpus_id, rank).
+    */
+  def hardNegativesExact(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      col(labelCol).as("clab"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      col(labelCol).as("plab"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("corpus_id") =!= col("probe_id") &&
+        col("clab") =!= col("plab"))
+      .select(col("probe_id"), col("corpus_id"),
+        VectorFunctions.cosineSimilarity(col("cv"), col("pv")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Corpus-scale hard-negative mining: [[knnGraph]]'s IVF bucket
+    * routing with the label-inequality filter fused into the bucket
+    * join, so candidate pairs stay Σ_b |b|·|src_b| ≈ n²·nProbe/nCentroids
+    * and the different-label constraint prunes before the ranking
+    * shuffle (WindowGroupLimit caps it at k per source). Same recall
+    * contract as [[knnGraph]]: a hard negative is found iff its home
+    * bucket is probed. Output: (src_id, dst_id, cosine, rank).
+    */
+  def hardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val home = corpus.select(col(idCol).as("dst_id"), col(vecCol).as("dv"),
+        col(labelCol).as("dlab"))
+      .withColumn("bucket", centroidId(col("dv"), nCentroids))
+    val src = corpus.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
+        col(labelCol).as("slab"))
+      .withColumn("bucket", explode(
+        graft.functions.VectorLshFunctions.topCentroids(col("sv"), nCentroids, nProbe)))
+    val scored = home.join(src, Seq("bucket"))
+      .filter(col("dst_id") =!= col("src_id") && col("dlab") =!= col("slab"))
+      .select(col("src_id"), col("dst_id"),
+        VectorFunctions.cosineSimilarity(col("dv"), col("sv")).as("cosine"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("dst_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Mutual-kNN edge list from a (probe_id, corpus_id) neighbor list:
     * an undirected edge iff each endpoint appears in the other's list —
     * the standard sparse graph construction for dataset cartography and

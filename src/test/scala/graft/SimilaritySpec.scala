@@ -173,4 +173,37 @@ class SimilaritySpec extends SparkSpec {
       assert(edges.map(_._2).distinct.length == k, s"distinct dsts for src $src")
     }
   }
+
+  test("hardNegativesExact keeps only different-label neighbors, exactly ranked") {
+    val labeled = (1 to 50).map(i => (i.toLong, vec(i), (i % 3).toLong))
+      .toDF("id", "v", "lab")
+    val got = Similarity.hardNegativesExact(
+        labeled, labeled.filter(col("id") <= 3), "id", "v", "lab", k = 4)
+      .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect()
+    val rows = (1 to 50).map(i => (i.toLong, vec(i), (i % 3).toLong))
+    for (p <- 1 to 3) {
+      val pv = vec(p)
+      val expect = rows
+        .filter { case (id, _, lab) => id != p && lab != (p % 3).toLong }
+        .map { case (id, v, _) => (id, cosine(v, pv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1)
+      val mine = got.filter(_._1 == p).sortBy(_._3).map(_._2).toSeq
+      assert(mine === expect, s"probe $p")
+      // none of the results share the probe's label
+      mine.foreach(id => assert(id % 3 != p % 3, s"same-label negative $id"))
+    }
+  }
+
+  test("hardNegatives at full fan-out equals the exact form (recall contract)") {
+    val labeled = (1 to 50).map(i => (i.toLong, vec(i), (i % 3).toLong))
+      .toDF("id", "v", "lab")
+    // nProbe == nCentroids scans every bucket: the IVF form must then
+    // reproduce the exact ranking for every source
+    val full = Similarity.hardNegatives(labeled, "id", "v", "lab",
+        k = 4, nCentroids = 4, nProbe = 4)
+      .select("src_id", "dst_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.hardNegativesExact(labeled, labeled, "id", "v", "lab", k = 4)
+      .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+  }
 }

@@ -347,4 +347,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exact === hashed)
     assert(exact.exists(r => r._3 < r._2), "some segment must actually be dropped")
   }
+
+  test("text_clean_segments drops cross-doc spans and reassembles in order") {
+    import spark.implicits._
+    // docs 1 and 2 share their first 10-word segment (df = 2 → dropped);
+    // each keeps a unique tail segment; doc 3 is untouched
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    try {
+      Seq((1L, s"$shared u1 u2"), (2L, s"$shared v1"), (3L, "x y z"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("text_clean_segments")(spark, dir)
+        .select(col("doc_id"), col("n_segs"), col("n_kept"), col("clean_md5"))
+        .as[(Long, Long, Long, String)].collect()
+        .map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+      def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+      assert(got(1L) === ((2L, 1L, m("u1 u2"))))
+      assert(got(2L) === ((2L, 1L, m("v1"))))
+      assert(got(3L) === ((1L, 1L, m("x y z"))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
