@@ -55,6 +55,10 @@ object GraftExtensions {
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - exact Jaccard of two sorted bigint arrays"),
       (es: Seq[Expression]) => JaccardSorted(es.head, es(1))),
+    ("intersect_size_sorted",
+      info("intersect_size_sorted",
+        "intersect_size_sorted(a, b) - exact intersection size of two sorted bigint arrays"),
+      (es: Seq[Expression]) => IntersectSizeSorted(es.head, es(1))),
     ("simhash64",
       info("simhash64", "simhash64(shingles) - 64-bit SimHash of an array<string>"),
       (es: Seq[Expression]) => SimHash64(es.head)),

@@ -3056,6 +3056,90 @@ object SparkEntry {
           "vec_id", "embedding", "label", k = 5)
         .select(col("probe_id"), col("corpus_id"), col("rank"))
     }),
+    // ASYMMETRIC containment dedup: ordered pairs where ≥ 70% of doc a's
+    // distinct 5-char shingles also occur in doc b — the quote/substring
+    // duplication Jaccard misses (a short doc embedded in a long one has
+    // low Jaccard but containment ≈ 1). Gate = the exact all-pairs form
+    // on shingle STRINGS over the same 200-doc scope as dedup_winnow, so
+    // DuckDB replays every (n_common, n_a) integer with its own substr
+    // shingling; the threshold test is all-integer (10·common ≥ 7·|A|),
+    // no float boundary. The benchOverrides production form is
+    // Dedup.containmentPairs: a lossless shared-gram inverted-index
+    // screen over 64-bit shingle hashes (containment > 0 needs ≥ 1
+    // shared gram) with the maxDocFreq boilerplate valve
+    "dedup_containment" -> ((s, dir) => {
+      val prep = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"),
+          graft.functions.TextHashFunctions.shingleSet(col("text"), 5).as("sh"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val a = prep.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = prep.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+          size(col("sh_a")).cast("long").as("n_a"))
+        .filter(col("n_common") * 10L >= col("n_a") * 7L)
+    }),
+    // last-touch attribution: each purchase attributes to the user's
+    // most recent STRICTLY-PRIOR click (the marketing-analytics as-of
+    // primitive). The scale-correct plan is NOT a per-purchase range
+    // join (quadratic in events-per-user): both event types merge into
+    // ONE ordered stream per user and the last-click id/ts carry
+    // forward in a single window sort — rowsBetween(-∞, -1) makes
+    // "strictly prior" explicit, so a click at the same timestamp
+    // attributes only if its event_id orders first. Unattributed
+    // purchases (no prior click) keep NULLs — the funnel's cold starts
+    "events_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Engine.eventsTable(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"))
+        .withColumn("click_id", last(
+          when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+        .withColumn("click_ts", last(
+          when(col("event_type") === "click", col("ts_ms")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("click_id"), (col("ts_ms") - col("click_ts")).as("lag_ms"))
+    }),
+    // neighbor-set Jaccard per edge (the classic link-prediction /
+    // community-strength feature) over the same mutual-3NN embedding
+    // graph as graph_kcore: for each undirected edge (a,b),
+    // n_common = |N(a) ∩ N(b)| via the wedge join (two directed-edge
+    // scans equi-joined on the shared endpoint — the triangle-counting
+    // plan, never a per-node set materialization) and
+    // n_union = (deg(a)-1) + (deg(b)-1) - n_common (b ∈ N(a) by
+    // edge-ness, so each side excludes the other endpoint). All
+    // integers — the oracle replays the wedge count and degree
+    // arithmetic exactly. At 100 TB the wedge join is the one heavy
+    // shuffle and is bounded by Σ deg² — on a mutual-kNN graph deg ≤ k
+    // by construction, so it's ≤ k²·n, not corpus-quadratic
+    "graph_jaccard_neighbors" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mutual = Similarity.mutualEdges(
+        Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 3))
+      val dirE = mutual.select(col("src").as("u"), col("dst").as("v"))
+        .union(mutual.select(col("dst").as("u"), col("src").as("v")))
+      val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val cn = dirE.as("x").join(dirE.as("y"),
+          col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+        .groupBy(col("x.u").as("src"), col("y.u").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      mutual.join(cn, Seq("src", "dst"), "left")
+        .join(deg.select(col("u").as("src"), col("deg").as("da")), Seq("src"))
+        .join(deg.select(col("u").as("dst"), col("deg").as("db")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          coalesce(col("c"), lit(0L)).as("n_common"),
+          (col("da") + col("db") - lit(2L) - coalesce(col("c"), lit(0L)))
+            .as("n_union"))
+    }),
   )
 
   /** Production forms of queries whose `queries` entry is an ORACLE GATE
@@ -3200,6 +3284,18 @@ object SparkEntry {
       Similarity.hardNegatives(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label", k = 5, nCentroids = 8, nProbe = 3)
         .select(col("src_id"), col("dst_id"), col("rank"))),
+    // production form: the lossless shared-gram inverted-index screen
+    // over hashed shingles with the 1%-of-corpus boilerplate valve, on
+    // the FULL corpus — the gate's all-pairs string form is the oracle
+    // path, quadratic by construction
+    "dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val cap = math.max(2L, nDocs / 100L)
+      Dedup.containmentPairs(docs, "doc_id", "text", n = 5,
+        thresholdBp = 7000,
+        maxDocFreq = if (cap > Int.MaxValue) Int.MaxValue else cap.toInt)
+    }),
     // production form: train (cached across reps) + the trained-IVF
     // serving path, without the brute-force/pseudo-IVF comparison the
     // gate runs
@@ -3278,6 +3374,29 @@ object SparkEntry {
         .union(mutual.select(col("dst").as("node"))).distinct()
       nodes.join(core.withColumn("in_core", lit(true)), Seq("node"), "left")
         .select(col("node"), coalesce(col("in_core"), lit(false)).as("in_core"))
+    }),
+    // production form: IVF-routed mutual-kNN edges (graph_kcore's bench
+    // graph) feeding the same wedge-join + degree arithmetic
+    "graph_jaccard_neighbors" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mutual = Similarity.mutualEdges(
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, nCentroids = 8, nProbe = 3)
+          .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id")))
+      val dirE = mutual.select(col("src").as("u"), col("dst").as("v"))
+        .union(mutual.select(col("dst").as("u"), col("src").as("v")))
+      val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val cn = dirE.as("x").join(dirE.as("y"),
+          col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+        .groupBy(col("x.u").as("src"), col("y.u").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      mutual.join(cn, Seq("src", "dst"), "left")
+        .join(deg.select(col("u").as("src"), col("deg").as("da")), Seq("src"))
+        .join(deg.select(col("u").as("dst"), col("deg").as("db")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          coalesce(col("c"), lit(0L)).as("n_common"),
+          (col("da") + col("db") - lit(2L) - coalesce(col("c"), lit(0L)))
+            .as("n_union"))
     }),
     // production form: the within-cluster pair search itself (train +
     // candidate equi-join + cosine verify), not the exact-set comparison
@@ -5495,6 +5614,67 @@ object SparkEntry {
           |  JOIN (SELECT * FROM embeddings WHERE vec_id <= 20) p
           |    ON c.vec_id <> p.vec_id AND c.label <> p.label)
           |WHERE "rank" <= 5""".stripMargin,
+
+      "dedup_containment" ->
+        """WITH d AS (
+          |  SELECT doc_id, lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t
+          |  FROM documents WHERE doc_id < 200),
+          |g AS (
+          |  SELECT doc_id,
+          |         CASE WHEN length(t) < 5 THEN [t]
+          |              ELSE list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) END AS sh
+          |  FROM d)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       cast(len(list_intersect(a.sh, b.sh)) as bigint) AS n_common,
+          |       cast(len(a.sh) as bigint) AS n_a
+          |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+          |WHERE len(list_intersect(a.sh, b.sh)) * 10 >= len(a.sh) * 7""".stripMargin,
+
+      "graph_jaccard_neighbors" ->
+        """WITH knn AS MATERIALIZED (
+          |  SELECT probe_id, corpus_id FROM (
+          |    SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+          |           row_number() OVER (PARTITION BY p.vec_id
+          |             ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+          |                                             p.embedding::DOUBLE[]) DESC,
+          |                      c.vec_id ASC) AS rk
+          |    FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id)
+          |  WHERE rk <= 3),
+          |m AS MATERIALIZED (SELECT a.probe_id AS src, a.corpus_id AS dst
+          |  FROM knn a JOIN knn b ON a.probe_id = b.corpus_id
+          |                       AND a.corpus_id = b.probe_id
+          |  WHERE a.probe_id < a.corpus_id),
+          |e0 AS MATERIALIZED (
+          |  SELECT src AS u, dst AS v FROM m UNION ALL SELECT dst, src FROM m),
+          |deg AS (SELECT u, count(*) AS deg FROM e0 GROUP BY u),
+          |cn AS (SELECT x.u AS src, y.u AS dst, count(*) AS c
+          |       FROM e0 x JOIN e0 y ON x.v = y.v AND x.u < y.u
+          |       GROUP BY x.u, y.u)
+          |SELECT m.src, m.dst,
+          |       cast(coalesce(cn.c, 0) as bigint) AS n_common,
+          |       cast(da.deg + db.deg - 2 - coalesce(cn.c, 0) as bigint) AS n_union
+          |FROM m
+          |LEFT JOIN cn ON cn.src = m.src AND cn.dst = m.dst
+          |JOIN deg da ON da.u = m.src
+          |JOIN deg db ON db.u = m.dst""".stripMargin,
+
+      "events_attribution" ->
+        """WITH e AS (
+          |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,
+          |         event_id, event_type
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |w AS (
+          |  SELECT *,
+          |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+          |               IGNORE NULLS) OVER win AS click_id,
+          |    last_value(CASE WHEN event_type = 'click' THEN ts_ms END
+          |               IGNORE NULLS) OVER win AS click_ts
+          |  FROM e
+          |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          |SELECT user_id, event_id AS purchase_id, click_id,
+          |       ts_ms - click_ts AS lag_ms
+          |FROM w WHERE event_type = 'purchase'""".stripMargin,
     )
   }
 }

@@ -430,6 +430,51 @@ object JaccardSorted {
   }
 }
 
+/** Intersection SIZE of two sorted array<bigint> sets — the same merge
+  * as [[JaccardSorted]] returning the raw count, for ASYMMETRIC scores
+  * (containment |A∩B|/|A|) where the caller needs the numerator as an
+  * exact integer rather than a pre-divided double.
+  */
+case class IntersectSizeSorted(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSizeSorted.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntersectSizeSorted.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSizeSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "intersect_size_sorted"
+}
+
+object IntersectSizeSorted {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
 /** simhash64 over pre-hashed shingles: same vote fold as [[SimHash64]]
   * without re-hashing.
   */
@@ -604,6 +649,8 @@ object TextHashFunctions {
     bridge.toColumn(ShingleHashes(bridge.toExpression(text), n))
   def jaccardSorted(a: Column, b: Column): Column =
     bridge.toColumn(JaccardSorted(bridge.toExpression(a), bridge.toExpression(b)))
+  def intersectSizeSorted(a: Column, b: Column): Column =
+    bridge.toColumn(IntersectSizeSorted(bridge.toExpression(a), bridge.toExpression(b)))
   def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
     bridge.toColumn(WinnowFingerprint(bridge.toExpression(text), k, w))
   def simhash64(shingles: Column): Column =

@@ -248,6 +248,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Production containment pair search: ordered pairs (a, b) where at
+    * least `thresholdBp` basis points of a's distinct character n-grams
+    * also occur in b — the ASYMMETRIC complement of Jaccard dedup that
+    * catches quote/substring duplication (a short doc embedded inside a
+    * long one has low Jaccard but high containment, the RefinedWeb
+    * "exact substring" family's set-level analog).
+    *
+    * Same inverted-index screen as [[winnowPairs]], over the FULL
+    * shingle-hash set: containment ≥ τ > 0 requires ≥ 1 shared gram, so
+    * a pair sharing no posting can never qualify — the screen is
+    * lossless. Candidates verify via the sorted-merge intersection count
+    * ([[graft.functions.IntersectSizeSorted]]) against an all-integer
+    * threshold test (10000·|A∩B| ≥ bp·|A|), no float boundary. The
+    * shuffle carries (hash, id) longs; `maxDocFreq` is the same
+    * boilerplate valve as winnowPairs (a gram in f docs contributes f²
+    * candidates; capping drops only pairs whose EVERY shared gram is
+    * that common). Output: (id_a, id_b, n_common, n_a) with a ≠ b, both
+    * directions — containment is directional.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      thresholdBp: Int = 7000,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(thresholdBp > 0, "the shared-gram screen needs threshold > 0")
+    val prep = docs.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), n).as("sh"))
+      .repartition(parallelism(docs), col("id"))
+    val posting = prep.select(col("id"), explode(col("sh")).as("h"))
+    val screened =
+      if (maxDocFreq == Int.MaxValue) posting
+      else posting
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("df") <= maxDocFreq).drop("df")
+    val candidates = screened.as("a")
+      .join(screened.as("b"), Seq("h"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    candidates
+      .join(prep.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(prep.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextHashFunctions.intersectSizeSorted(col("sh_a"), col("sh_b")).as("n_common"),
+        size(col("sh_a")).cast("long").as("n_a"))
+      .filter(col("n_common") * 10000L >= col("n_a") * thresholdBp.toLong)
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates

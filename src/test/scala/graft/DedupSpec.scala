@@ -142,4 +142,57 @@ class DedupSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(got === Seq("ab"))
   }
+
+  test("containment is directional: the quote is contained, the host is not") {
+    // doc 2 is a verbatim chunk of doc 1 plus nothing else: C(2→1) = 1,
+    // while C(1→2) is small because doc 1 has a long unique tail — the
+    // asymmetric pair Jaccard-style dedup misses by design
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val host = quote + " while the orchestra tuned endless unrelated violins" +
+      " and the archivist catalogued manuscripts nobody requested"
+    val d = Seq((1L, host), (2L, quote), (3L, "completely different content here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 5, thresholdBp = 9000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L)))
+  }
+
+  test("containmentPairs index screen equals the exact all-pairs string form") {
+    // 30 docs, some engineered overlap; the hashed index form (no cap)
+    // must reproduce the exact string-shingle pair set — same lossless
+    // contract as winnowPairs, and the hash space (64-bit) is collision-
+    // free at this scale
+    val d = (1L to 30L).map { i =>
+      val base = s"shared prefix words alpha beta gamma delta epsilon zeta"
+      val text = if (i % 3 == 0) base + s" tail $i" else s"unique body $i " * 4
+      (i, text)
+    }.toDF("doc_id", "text")
+    val hashed = Dedup.containmentPairs(d, "doc_id", "text", n = 5, thresholdBp = 7000)
+      .select("id_a", "id_b", "n_a").as[(Long, Long, Long)].collect().toSet
+    val prep = d.select(col("doc_id").as("id"),
+      graft.functions.TextHashFunctions.shingleSet(col("text"), 5).as("sh"))
+    val exact = prep.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(prep.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("nc"),
+        size(col("sh_a")).cast("long").as("n_a"))
+      .filter(col("nc") * 10000L >= col("n_a") * 7000L)
+      .select("id_a", "id_b", "n_a").as[(Long, Long, Long)].collect().toSet
+    assert(hashed === exact)
+    assert(exact.nonEmpty, "fixture must produce contained pairs")
+  }
+
+  test("containmentPairs maxDocFreq valve only drops pairs, never invents") {
+    val d = (1L to 30L).map { i =>
+      (i, if (i <= 10) "boilerplate header everyone shares " + s"unique $i"
+          else s"distinct text number $i " * 3)
+    }.toDF("doc_id", "text")
+    val unbounded = Dedup.containmentPairs(d, "doc_id", "text", n = 5, thresholdBp = 5000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.containmentPairs(d, "doc_id", "text", n = 5,
+        thresholdBp = 5000, maxDocFreq = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(unbounded))
+  }
 }
