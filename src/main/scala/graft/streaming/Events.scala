@@ -161,6 +161,79 @@ object Events {
         coalesce(unix_millis(col("purchase_ts")), lit(-1L)).as("purchase_ms"))
   }
 
+  final case class AttrEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+  final case class AttrState(click_id: Long, click_ts: Long)
+  final case class Attribution(
+      user_id: Long, purchase_id: Long,
+      click_id: Option[Long], lag_ms: Option[Long])
+
+  /** Streaming last-touch attribution: each purchase emits immediately,
+    * attributed to the user's most recent strictly-prior click — the
+    * incremental form of the `events_attribution` batch query. State is
+    * O(1) per user (ONE last-click record, not a click history): the
+    * recurrence only ever needs the latest click, which is what makes
+    * this a flatMapGroupsWithState fit rather than a join. State evicts
+    * via event-time timeout once the watermark passes the last click by
+    * `retentionMs` (the attribution window): churned users cost nothing,
+    * and a purchase later than the window attributes to nothing — the
+    * standard marketing-attribution bound that keeps state finite on an
+    * unbounded stream. Within a micro-batch rows fold in (ts, event_id)
+    * order; cross-batch correctness relies on event-time ordered arrival
+    * per user within the watermark, as with any stateful recurrence.
+    * In batch execution (NoTimeout, one "batch" = everything) the fold
+    * reproduces the batch window plan exactly — the spec asserts it.
+    */
+  def attributionStream(
+      events: Dataset[AttrEvent],
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val withWm =
+      if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // click aged past the attribution window
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[Attribution]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              e.event_type match {
+                case "click" =>
+                  st = AttrState(e.event_id, e.ts.getTime)
+                case "purchase" =>
+                  out ::= (st match {
+                    case null => Attribution(userId, e.event_id, None, None)
+                    case s => Attribution(userId, e.event_id,
+                      Some(s.click_id), Some(e.ts.getTime - s.click_ts))
+                  })
+                case _ => // other event types don't participate
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              if (streaming) {
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                  math.max(st.click_ts + retentionMs, wm + 1))
+              }
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: first occurrence per content key wins, later
     * duplicates dropped. `dropDuplicatesWithinWatermark` bounds the
     * dedup state by the watermark horizon (an unbounded-state global

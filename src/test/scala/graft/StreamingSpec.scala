@@ -195,6 +195,98 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming attribution: purchases attribute to the last prior click across batches") {
+    import graft.streaming.Events.{AttrEvent, Attribution}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[AttrEvent]
+    val query = Events.attributionStream(stream.toDS())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    val B = 86400000L
+    try {
+      // batch 1: user 1 clicks (e1), then purchases (e2) → attributed;
+      // user 2 purchases with no prior click → unattributed
+      stream.addData(
+        AttrEvent(1L, ts(B), 1L, "click"),
+        AttrEvent(1L, ts(B + 5000L), 2L, "purchase"),
+        AttrEvent(2L, ts(B + 1000L), 3L, "purchase"),
+        AttrEvent(1L, ts(B + 6000L), 4L, "view")) // non-participant type
+      query.processAllAvailable()
+      // batch 2: the click STATE carries across batches — a later click
+      // (e5) replaces e1, and the next purchase (e6) attributes to e5
+      stream.addData(
+        AttrEvent(1L, ts(B + 10000L), 5L, "click"),
+        AttrEvent(1L, ts(B + 12000L), 6L, "purchase"),
+        AttrEvent(2L, ts(B + 11000L), 7L, "purchase")) // still no click
+      query.processAllAvailable()
+      val got = spark.table("attr_out").as[Attribution].collect().toSet
+      assert(got === Set(
+        Attribution(1L, 2L, Some(1L), Some(5000L)),
+        Attribution(2L, 3L, None, None),
+        Attribution(1L, 6L, Some(5L), Some(2000L)),
+        Attribution(2L, 7L, None, None)))
+    } finally query.stop()
+  }
+
+  test("attributionStream in batch mode equals the events_attribution window plan") {
+    import graft.streaming.Events.AttrEvent
+    // the same fold over a BATCH Dataset must reproduce the batch window
+    // query exactly (strictly-prior semantics incl. the same-ts tiebreak)
+    val rows = Seq(
+      AttrEvent(1L, ts(1000L), 1L, "click"),
+      AttrEvent(1L, ts(2000L), 2L, "purchase"),
+      AttrEvent(1L, ts(2000L), 3L, "click"),    // same ts as e2, higher id
+      AttrEvent(1L, ts(3000L), 4L, "purchase"), // attributes to e3
+      AttrEvent(2L, ts(1500L), 5L, "purchase")) // never attributed
+    val streamForm = Events.attributionStream(rows.toDS())
+      .collect().map(a => (a.user_id, a.purchase_id, a.click_id, a.lag_ms)).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batchForm = rows.toDF()
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id", last(
+        when(col("event_type") === "click", col("event_id")),
+        ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(
+        when(col("event_type") === "click", col("ts_ms")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("click_id"), (col("ts_ms") - col("click_ts")).as("lag_ms"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(streamForm === batchForm)
+    assert(streamForm.contains((1L, 2L, Some(1L), Some(1000L))))
+    assert(streamForm.contains((1L, 4L, Some(3L), Some(1000L))))
+  }
+
+  test("attribution state evicts via event-time timeout after the retention window") {
+    import graft.streaming.Events.{AttrEvent, Attribution}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[AttrEvent]
+    val Retention = 60000L
+    val query = Events.attributionStream(stream.toDS(),
+        retentionMs = Retention, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("attr_evict_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(AttrEvent(1L, ts(1000L), 1L, "click"))
+      query.processAllAvailable()
+      // another user's event drives the watermark far past the click's
+      // retention deadline → user 1's state evicts on timeout
+      stream.addData(AttrEvent(9L, ts(1000L + 100 * Retention), 2L, "click"))
+      query.processAllAvailable()
+      // user 1's purchase after eviction is unattributed
+      stream.addData(AttrEvent(1L, ts(1000L + 101 * Retention), 3L, "purchase"))
+      query.processAllAvailable()
+      val got = spark.table("attr_evict_out").as[Attribution].collect().toSet
+      assert(got === Set(Attribution(1L, 3L, None, None)))
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per key within the watermark") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
