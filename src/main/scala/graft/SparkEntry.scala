@@ -3140,6 +3140,64 @@ object SparkEntry {
           (col("da") + col("db") - lit(2L) - coalesce(col("c"), lit(0L)))
             .as("n_union"))
     }),
+    // NEAREST-in-time as-of join (join_asof looks backward, _fwd looks
+    // forward; this picks whichever is closer, ties to the earlier):
+    // each purchase pairs with the user's nearest click in EITHER
+    // direction. Same single-window-sort plan as events_attribution —
+    // prev click carries forward over rowsBetween(-∞,-1), next click
+    // carries backward over rowsBetween(+1,+∞), both frames of ONE sort;
+    // never a per-row |Δt| range join. The chooser is pure integer
+    // arithmetic on the two candidates, replayed by the oracle verbatim
+    "join_asof_nearest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+      def clickCol(c: String) = when(col("event_type") === "click", col(c))
+      Engine.eventsTable(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"))
+        .withColumn("pid", last(clickCol("event_id"), ignoreNulls = true).over(wPrev))
+        .withColumn("pts", last(clickCol("ts_ms"), ignoreNulls = true).over(wPrev))
+        .withColumn("nid", first(clickCol("event_id"), ignoreNulls = true).over(wNext))
+        .withColumn("nts", first(clickCol("ts_ms"), ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          when(col("pid").isNotNull &&
+              (col("nid").isNull ||
+                (col("ts_ms") - col("pts")) <= (col("nts") - col("ts_ms"))),
+              col("pid"))
+            .otherwise(col("nid")).as("click_id"),
+          when(col("pid").isNotNull &&
+              (col("nid").isNull ||
+                (col("ts_ms") - col("pts")) <= (col("nts") - col("ts_ms"))),
+              col("ts_ms") - col("pts"))
+            .otherwise(col("nts") - col("ts_ms")).as("abs_lag_ms"))
+    }),
+    // rolling 7-day distinct users per window-end day — the sliding
+    // COUNT DISTINCT no window frame computes (distinct doesn't
+    // decompose over frames). The scale-shaped exact plan: collapse to
+    // distinct (user, day) pairs FIRST (one slim shuffle), then explode
+    // each pair into the ≤ 7 window-end days it supports and count
+    // distinct per end day — the shuffle is 7× the distinct-pair count,
+    // never 7× the event count, and nothing resembles a range join.
+    // Window ends past the data's last day are trimmed in both engines
+    "agg_rolling_distinct" -> ((s, dir) => {
+      val pairs = Engine.eventsTable(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .distinct()
+      val mx = pairs.agg(max(col("day")).as("mx"))
+      pairs.crossJoin(mx)
+        .select(col("user_id"), explode(sequence(col("day"),
+          least(col("mx"), col("day") + expr("interval 6 days")),
+          expr("interval 1 day"))).as("wend"))
+        .groupBy(col("wend"))
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+        .select(unix_millis(col("wend")).as("window_end_ms"),
+          col("n_active_7d"))
+    }),
   )
 
   /** Production forms of queries whose `queries` entry is an ORACLE GATE
@@ -5657,6 +5715,48 @@ object SparkEntry {
           |LEFT JOIN cn ON cn.src = m.src AND cn.dst = m.dst
           |JOIN deg da ON da.u = m.src
           |JOIN deg db ON db.u = m.dst""".stripMargin,
+
+      "join_asof_nearest" ->
+        """WITH e AS (
+          |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,
+          |         event_id, event_type
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |w AS (
+          |  SELECT *,
+          |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+          |               IGNORE NULLS) OVER wp AS pid,
+          |    last_value(CASE WHEN event_type = 'click' THEN ts_ms END
+          |               IGNORE NULLS) OVER wp AS pts,
+          |    first_value(CASE WHEN event_type = 'click' THEN event_id END
+          |                IGNORE NULLS) OVER wn AS nid,
+          |    first_value(CASE WHEN event_type = 'click' THEN ts_ms END
+          |                IGNORE NULLS) OVER wn AS nts
+          |  FROM e
+          |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |  wn AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+          |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          |SELECT user_id, event_id AS purchase_id,
+          |  CASE WHEN pid IS NOT NULL AND
+          |            (nid IS NULL OR ts_ms - pts <= nts - ts_ms)
+          |       THEN pid ELSE nid END AS click_id,
+          |  CASE WHEN pid IS NOT NULL AND
+          |            (nid IS NULL OR ts_ms - pts <= nts - ts_ms)
+          |       THEN ts_ms - pts ELSE nts - ts_ms END AS abs_lag_ms
+          |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+      "agg_rolling_distinct" ->
+        """WITH p AS (
+          |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+          |mx AS (SELECT max(day) AS mx FROM p),
+          |x AS (
+          |  SELECT user_id,
+          |         unnest(generate_series(day,
+          |           least(mx, day + INTERVAL 6 DAY), INTERVAL 1 DAY)) AS wend
+          |  FROM p, mx)
+          |SELECT epoch_ms(wend) AS window_end_ms,
+          |       count(DISTINCT user_id) AS n_active_7d
+          |FROM x GROUP BY wend""".stripMargin,
 
       "events_attribution" ->
         """WITH e AS (
