@@ -3122,6 +3122,11 @@ object SparkEntry {
     // by construction, so it's ≤ k²·n, not corpus-quadratic
     "graph_jaccard_neighbors" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // NOT re-materialized: mutualEdges already checkpoints the knn
+      // list (the expensive part); the mutuality join above it is a
+      // ReusedExchange under AQE's stage cache across all four
+      // references — measured 2.2 s lazy vs 3.0 s with an extra eager
+      // localCheckpoint (the checkpoint write costs more than the reuse)
       val mutual = Similarity.mutualEdges(
         Similarity.bruteForceTopK(e, "vec_id", "embedding",
           e, "vec_id", "embedding", k = 3))
@@ -3197,6 +3202,31 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_active_7d"))
         .select(unix_millis(col("wend")).as("window_end_ms"),
           col("n_active_7d"))
+    }),
+    // temperature-scaled source mixing (the UniMax / T5 data-mixing
+    // math): sampling weight per source ∝ n_tokens^(1/T) with T = 2,
+    // i.e. sqrt — upweights tail sources, downweights the head, the
+    // knob every multilingual/multi-source training mix turns. Output
+    // per source: token mass, the temperature weight in basis points,
+    // and the token allocation under a 10%-of-corpus budget. The one
+    // sqrt is IEEE-correctly-rounded in both engines on an exact
+    // integer < 2^52, then IMMEDIATELY floored to integer milli-units —
+    // every sum and division after that is exact integer arithmetic, so
+    // no accumulation-order ulps can reach the hash gate. One aggregate
+    // + one broadcast total — no second corpus pass
+    "sample_temperature" -> ((s, dir) => {
+      val perSrc = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tok"))
+        .withColumn("w",
+          floor(sqrt(col("n_tok").cast("double")) * 1000.0).cast("long"))
+      val totals = perSrc.agg(sum(col("w")).as("w_sum"),
+        sum(col("n_tok")).as("tok_sum"))
+      perSrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          expr("(w * 10000) div w_sum").as("weight_bp"),
+          expr("(w * (tok_sum div 10)) div w_sum").as("alloc_tok"))
     }),
   )
 
@@ -5744,6 +5774,21 @@ object SparkEntry {
           |            (nid IS NULL OR ts_ms - pts <= nts - ts_ms)
           |       THEN ts_ms - pts ELSE nts - ts_ms END AS abs_lag_ms
           |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+      "sample_temperature" ->
+        """WITH src AS (
+          |  SELECT source, count(*) AS n_docs,
+          |         cast(sum(len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::BIGINT)
+          |              as bigint) AS n_tok
+          |  FROM documents GROUP BY source),
+          |w AS (SELECT *, cast(floor(sqrt(n_tok::DOUBLE) * 1000) as bigint) AS w
+          |      FROM src),
+          |tot AS (SELECT cast(sum(w) as bigint) AS w_sum,
+          |               cast(sum(n_tok) as bigint) AS tok_sum FROM w)
+          |SELECT source, n_docs, n_tok,
+          |       cast((w * 10000) // w_sum as bigint) AS weight_bp,
+          |       cast((w * (tok_sum // 10)) // w_sum as bigint) AS alloc_tok
+          |FROM w, tot""".stripMargin,
 
       "agg_rolling_distinct" ->
         """WITH p AS (
