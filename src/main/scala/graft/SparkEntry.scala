@@ -3228,6 +3228,50 @@ object SparkEntry {
           expr("(w * 10000) div w_sum").as("weight_bp"),
           expr("(w * (tok_sum div 10)) div w_sum").as("alloc_tok"))
     }),
+    // gaps-and-islands: per-user consecutive-active-day streaks via the
+    // classic d − row_number() island key (constant within a run of
+    // consecutive days, strictly decreasing across gaps). Collapse to
+    // distinct (user, day) FIRST so the window sorts pair counts, not
+    // event counts; two partial-aggregable rollups after. The streak /
+    // retention primitive every engagement pipeline computes
+    "window_gaps_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      Engine.eventsTable(s, dir)
+        .select(col("user_id"),
+          unix_date(date_trunc("DAY", col("ts")).cast("date"))
+            .cast("long").as("d"))
+        .distinct()
+        .withColumn("island", col("d") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"))
+    }),
+    // event-type transition counts (the first-order Markov model of
+    // user behavior): one lag window per user in (ts, event_id) order,
+    // then a (prev, next) aggregate; transition probability in basis
+    // points by integer division against the per-prev total — a window
+    // over the 25-row aggregate, not the event stream
+    "events_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val trans = Engine.eventsTable(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev_type"))
+      trans
+        .withColumn("tot", sum(col("n")).over(wp))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("(n * 10000) div tot").as("p_bp"))
+    }),
   )
 
   /** Production forms of queries whose `queries` entry is an ORACLE GATE
@@ -5774,6 +5818,41 @@ object SparkEntry {
           |            (nid IS NULL OR ts_ms - pts <= nts - ts_ms)
           |       THEN ts_ms - pts ELSE nts - ts_ms END AS abs_lag_ms
           |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+      "window_gaps_islands" ->
+        """WITH p AS (
+          |  SELECT DISTINCT user_id,
+          |         date_diff('day', DATE '1970-01-01',
+          |                   date_trunc('day', ts)::date) AS d
+          |  FROM events),
+          |i AS (
+          |  SELECT user_id, d,
+          |         d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+          |           AS island
+          |  FROM p),
+          |s AS (
+          |  SELECT user_id, island, count(*) AS len
+          |  FROM i GROUP BY user_id, island)
+          |SELECT user_id, count(*) AS n_streaks,
+          |       cast(max(len) as bigint) AS longest_streak,
+          |       cast(sum(len) as bigint) AS n_active_days
+          |FROM s GROUP BY user_id""".stripMargin,
+
+      "events_markov" ->
+        """WITH e AS (
+          |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,
+          |         event_id, event_type,
+          |         lag(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY epoch_ms(ts), event_id) AS prev_type
+          |  FROM events),
+          |t AS (
+          |  SELECT prev_type, event_type AS next_type, count(*) AS n
+          |  FROM e WHERE prev_type IS NOT NULL
+          |  GROUP BY prev_type, event_type)
+          |SELECT prev_type, next_type, n,
+          |       cast((n * 10000) // sum(n) OVER (PARTITION BY prev_type)
+          |            as bigint) AS p_bp
+          |FROM t""".stripMargin,
 
       "sample_temperature" ->
         """WITH src AS (
