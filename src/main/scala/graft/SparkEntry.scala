@@ -3272,6 +3272,22 @@ object SparkEntry {
         .select(col("prev_type"), col("next_type"), col("n"),
           expr("(n * 10000) div tot").as("p_bp"))
     }),
+    // community detection by synchronous label propagation over the
+    // mutual-3NN embedding graph (the graph family's fourth member:
+    // pagerank ranks, triangles count, kcore peels, LPA partitions).
+    // Deterministic by construction — plurality label with ties to the
+    // smaller, a total order — so the oracle replays all 4 rounds as
+    // chained CTEs (lpaOracleSql, the kcore unroll pattern). Sync LPA
+    // can 2-cycle on bipartite structures, hence a FIXED unroll rather
+    // than a convergence stop; the argmax runs as min over
+    // (−count, label) structs (partial-aggregable, no per-node sort)
+    "graph_lpa" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mutual = Similarity.mutualEdges(
+        Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 3))
+      Graph.labelPropagation(mutual, "src", "dst", rounds = 4)
+    }),
   )
 
   /** Production forms of queries whose `queries` entry is an ORACLE GATE
@@ -3530,6 +3546,16 @@ object SparkEntry {
           (col("da") + col("db") - lit(2L) - coalesce(col("c"), lit(0L)))
             .as("n_union"))
     }),
+    // production form: IVF-routed mutual edges feeding the same fixed
+    // 4-round propagation
+    "graph_lpa" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mutual = Similarity.mutualEdges(
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, nCentroids = 8, nProbe = 3)
+          .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id")))
+      Graph.labelPropagation(mutual, "src", "dst", rounds = 4)
+    }),
     // production form: the within-cluster pair search itself (train +
     // candidate equi-join + cosine verify), not the exact-set comparison
     "dedup_semantic" -> ((s, dir) =>
@@ -3758,6 +3784,46 @@ object SparkEntry {
          |LEFT JOIN (SELECT DISTINCT u FROM e$rounds) c ON c.u = n.node""".stripMargin
   }
 
+  /** Fixed-round synchronous LPA unroll over the mutual-kNN graph —
+    * the kCoreOracleSql pattern: every CTE MATERIALIZED (each round is
+    * referenced by the next; inlining would re-expand the knn n² scan
+    * per round), argmax replayed as row_number over (count DESC,
+    * label ASC) — the same total order as the engine's min-struct form.
+    */
+  private def lpaOracleSql(rounds: Int, knnK: Int): String = {
+    val head =
+      s"""WITH knn AS MATERIALIZED (
+         |  SELECT probe_id, corpus_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+         |                                             p.embedding::DOUBLE[]) DESC,
+         |                      c.vec_id ASC) AS rk
+         |    FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id)
+         |  WHERE rk <= $knnK),
+         |m AS MATERIALIZED (SELECT a.probe_id AS src, a.corpus_id AS dst
+         |  FROM knn a JOIN knn b ON a.probe_id = b.corpus_id
+         |                       AND a.corpus_id = b.probe_id
+         |  WHERE a.probe_id < a.corpus_id),
+         |e0 AS MATERIALIZED (
+         |  SELECT src AS u, dst AS v FROM m UNION ALL SELECT dst, src FROM m),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e0)""".stripMargin
+    val iter = (1 to rounds).map { i =>
+      s""",
+         |l$i AS MATERIALIZED (
+         |  SELECT u AS node, label FROM (
+         |    SELECT e.u, l.label, count(*) AS c,
+         |           row_number() OVER (PARTITION BY e.u
+         |             ORDER BY count(*) DESC, l.label ASC) AS rk
+         |    FROM e0 e JOIN l${i - 1} l ON e.v = l.node
+         |    GROUP BY e.u, l.label)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString
+    head + iter +
+      s"""
+         |SELECT node, label AS community FROM l$rounds""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val p1 =
       """SELECT cast(sum(cast(floor(p_retailprice) as bigint) * cast(floor(l_quantity) as bigint))
@@ -3791,6 +3857,7 @@ object SparkEntry {
     Map(
       "graph_pagerank" -> prSql,
       "graph_kcore" -> kCoreOracleSql(rounds = 16, k = 2, knnK = 3),
+      "graph_lpa" -> lpaOracleSql(rounds = 4, knnK = 3),
       "dq_rules" ->
         """SELECT count(*) AS n_rows,
           |       cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_cust,

@@ -273,6 +273,55 @@ object Graph {
     adj.select(col("u").as("node")).distinct()
   }
 
+  /** Synchronous label-propagation community detection, fully
+    * deterministic: labels start as node ids; each round every node
+    * adopts the plurality label among its neighbors, ties broken toward
+    * the SMALLER label — (count DESC, label ASC) is a total order, so
+    * every round is a pure function of the previous labeling and the
+    * whole run replays bit-for-bit in any engine (classic async LPA with
+    * random tie-breaks is not oracle-checkable; this is the price and
+    * it buys the gate). Runs EXACTLY `rounds` rounds — sync LPA can
+    * 2-cycle on bipartite structures, so "convergence" is not a
+    * well-defined stop; a fixed unroll is what the oracle replays.
+    *
+    * Scale shape: each round is one join of the slim (u, v) edge list
+    * against the (node, label) map plus a two-level aggregate (count per
+    * (u, label), then the argmax via min over (−count, label) structs —
+    * partial-aggregable, no row_number sort). Rounds materialize via
+    * localCheckpoint like [[kCore]]'s peel, with shuffle partitions
+    * scaled to the edge count. Output: (node, community).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val normalized = normalizeEdges(edges, srcCol, dstCol)
+    val adj = normalized
+      .select(col("lo").as("u"), col("hi").as("v"))
+      .union(normalized.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint(true)
+    val nEdges = adj.count()
+    withShufflePartitions(adj, iterPartitions(adj, nEdges)) {
+      var labels = adj.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      var round = 0
+      while (round < rounds) {
+        labels = adj
+          .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+          .groupBy(col("u"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          // argmax(count DESC, label ASC) == min over (-c, label): one
+          // partial-aggregable pass, no per-node sort
+          .groupBy(col("u"))
+          .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+          .select(col("u").as("node"), col("m.label").as("label"))
+          .localCheckpoint(true)
+        round += 1
+      }
+      labels.select(col("node"), col("label").as("community"))
+    }
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val normalized = normalizeEdges(edges, srcCol, dstCol)
     val oriented = orientByDegree(normalized)

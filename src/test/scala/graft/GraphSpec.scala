@@ -116,6 +116,23 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("labelPropagation partitions two triangles across a bridge, by hand") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; the sync
+    // min-tie-break recurrence hand-unrolled for 4 rounds gives
+    // communities 1 (left) and 3 (right) — any tie-break or round-order
+    // deviation changes the labels
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("s", "d")
+    val got = Graph.labelPropagation(edges, "s", "d", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // determinism: a rerun is identical
+    val again = Graph.labelPropagation(edges, "s", "d", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
   test("neighbor Jaccard wedge arithmetic on a hand graph") {
     // triangle 1-2-3 plus pendant 4 on node 1:
     //   edge (1,2): common = {3}, union = N(1)\{2} ∪ N(2)\{1} = {3,4} → 1/2
