@@ -3288,6 +3288,29 @@ object SparkEntry {
           e, "vec_id", "embedding", k = 3))
       Graph.labelPropagation(mutual, "src", "dst", rounds = 4)
     }),
+    // recency-decayed engagement score with EXACT integer decay: the
+    // float form (Σ v·2^(−age/h)) is accumulation-order-sensitive; the
+    // halving-buckets form (v div 2^⌊age/7d⌋) is order-free integer
+    // arithmetic, so the per-user sum hash-gates in any engine. age is
+    // against the corpus max day (broadcast 1-row total); the shift is
+    // capped at 62 because Java/long shifts MASK the count mod 64 — an
+    // uncapped 64-day-halflife-old row would silently decay by 2^0.
+    // nonneg_ok pins v ≥ 0 (shift-as-floor-division needs it)
+    "agg_decay_sum" -> ((s, dir) => {
+      val daily = Engine.eventsTable(s, dir)
+        .select(col("user_id"),
+          unix_date(date_trunc("DAY", col("ts")).cast("date"))
+            .cast("long").as("d"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      val mx = daily.agg(max(col("d")).as("mx"))
+      daily.crossJoin(broadcast(mx))
+        .withColumn("k", expr("cast(least((mx - d) div 7, 62L) as int)"))
+        .withColumn("dec", expr("v div shiftleft(1L, k)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("dec")).as("decayed_sum"),
+          (min(col("v")) >= 0L).as("nonneg_ok"))
+    }),
   )
 
   /** Production forms of queries whose `queries` entry is an ORACLE GATE
@@ -5885,6 +5908,23 @@ object SparkEntry {
           |            (nid IS NULL OR ts_ms - pts <= nts - ts_ms)
           |       THEN ts_ms - pts ELSE nts - ts_ms END AS abs_lag_ms
           |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+      "agg_decay_sum" ->
+        """WITH e AS (
+          |  SELECT user_id,
+          |         date_diff('day', DATE '1970-01-01',
+          |                   date_trunc('day', ts)::date) AS d,
+          |         cast(floor(value * 1000) as bigint) AS v
+          |  FROM events),
+          |mx AS (SELECT max(d) AS mx FROM e),
+          |k AS (
+          |  SELECT user_id, v,
+          |         cast(least((mx - d) // 7, 62) as bigint) AS k
+          |  FROM e, mx)
+          |SELECT user_id, count(*) AS n_events,
+          |       cast(sum(v // (1::BIGINT << k)) as bigint) AS decayed_sum,
+          |       (min(v) >= 0) AS nonneg_ok
+          |FROM k GROUP BY user_id""".stripMargin,
 
       "window_gaps_islands" ->
         """WITH p AS (
