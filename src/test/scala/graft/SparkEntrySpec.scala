@@ -34,6 +34,31 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("embed_rp plans shuffle-free: the projection is one map-only scan") {
+    val df = SparkEntry.queries("embed_rp")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"JL projection must not shuffle — sign matrix is plan-time literal:\n$plan")
+  }
+
+  test("events_attribution plans ONE exchange (the per-user window sort)") {
+    val df = SparkEntry.queries("events_attribution")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly one Exchange (user window), got $n:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"attribution must be a window carry-forward, not a join:\n$plan")
+  }
+
+  test("agg_rolling_distinct and join_asof_nearest never plan a range join") {
+    for (name <- Seq("agg_rolling_distinct", "join_asof_nearest")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+        s"$name must not range-join:\n$plan")
+    }
+  }
+
   test("q4112_part1_nlj plans as BroadcastNestedLoopJoin and matches the hash join") {
     val df = SparkEntry.queries("q4112_part1_nlj")(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString
