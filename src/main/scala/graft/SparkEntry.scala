@@ -3224,9 +3224,14 @@ object SparkEntry {
       val totals = perSrc.agg(sum(col("w")).as("w_sum"),
         sum(col("n_tok")).as("tok_sum"))
       perSrc.crossJoin(broadcast(totals))
+        .withColumn("weight_bp", expr("(w * 10000) div w_sum"))
+        // allocation goes through the bp-quantized weight, not w
+        // directly: w·tok_sum would overflow a long near trillion-token
+        // corpora, while weight_bp ≤ 10000 keeps the product inside a
+        // long to ~10^14 tokens — the bp quantization is the price
         .select(col("source"), col("n_docs"), col("n_tok"),
-          expr("(w * 10000) div w_sum").as("weight_bp"),
-          expr("(w * (tok_sum div 10)) div w_sum").as("alloc_tok"))
+          col("weight_bp"),
+          expr("(weight_bp * (tok_sum div 10)) div 10000").as("alloc_tok"))
     }),
     // gaps-and-islands: per-user consecutive-active-day streaks via the
     // classic d − row_number() island key (constant within a run of
@@ -5970,11 +5975,13 @@ object SparkEntry {
           |w AS (SELECT *, cast(floor(sqrt(n_tok::DOUBLE) * 1000) as bigint) AS w
           |      FROM src),
           |tot AS (SELECT cast(sum(w) as bigint) AS w_sum,
-          |               cast(sum(n_tok) as bigint) AS tok_sum FROM w)
-          |SELECT source, n_docs, n_tok,
-          |       cast((w * 10000) // w_sum as bigint) AS weight_bp,
-          |       cast((w * (tok_sum // 10)) // w_sum as bigint) AS alloc_tok
-          |FROM w, tot""".stripMargin,
+          |               cast(sum(n_tok) as bigint) AS tok_sum FROM w),
+          |b AS (SELECT *, cast((w * 10000) // w_sum as bigint) AS weight_bp
+          |      FROM w, tot)
+          |SELECT source, n_docs, n_tok, weight_bp,
+          |       cast((weight_bp * (tok_sum // 10)) // 10000 as bigint)
+          |         AS alloc_tok
+          |FROM b""".stripMargin,
 
       "agg_rolling_distinct" ->
         """WITH p AS (
