@@ -186,6 +186,55 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 2 * day, 10L, false, true)))
   }
 
+  test("window_gaps_islands splits streaks exactly at the gap") {
+    val day = 86400000L
+    // user 1: days 0,1,2 then 5,6 → streaks 3 and 2; a second event on
+    // day 1 must not double-count the day
+    val got = withEvents(Seq(
+      (1L, 0L, 1L, "view", 1.0), (2L, day, 1L, "view", 1.0),
+      (3L, day + 5L, 1L, "click", 1.0), (4L, 2 * day, 1L, "view", 1.0),
+      (5L, 5 * day, 1L, "view", 1.0), (6L, 6 * day, 1L, "view", 1.0))) { d =>
+      SparkEntry.queries("window_gaps_islands")(spark, d)
+        .select(col("user_id"), col("n_streaks"), col("longest_streak"),
+          col("n_active_days"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    assert(got === Set((1L, 2L, 3L, 5L)))
+  }
+
+  test("events_markov counts transitions in (ts, event_id) order with bp shares") {
+    // user 1: click → view → click → purchase; user 2: click → view.
+    // transitions: click→view ×2, view→click ×1, click→purchase ×1
+    // from 'click': view 2/3 (6666 bp), purchase 1/3 (3333 bp)
+    val got = withEvents(Seq(
+      (1L, 1000L, 1L, "click", 1.0), (2L, 2000L, 1L, "view", 1.0),
+      (3L, 3000L, 1L, "click", 1.0), (4L, 4000L, 1L, "purchase", 1.0),
+      (5L, 1000L, 2L, "click", 1.0), (6L, 2000L, 2L, "view", 1.0))) { d =>
+      SparkEntry.queries("events_markov")(spark, d)
+        .select(col("prev_type"), col("next_type"), col("n"), col("p_bp"))
+        .as[(String, String, Long, Long)].collect().toSet
+    }
+    assert(got === Set(
+      ("click", "view", 2L, 6666L),
+      ("click", "purchase", 1L, 3333L),
+      ("view", "click", 1L, 10000L)))
+  }
+
+  test("agg_decay_sum halves per 7-day age bucket, exactly") {
+    val day = 86400000L
+    // user 1: value 8.0 (8000 milli) at ages 0, 7, 14 days before the
+    // corpus max day → 8000 + 4000 + 2000 = 14000
+    val got = withEvents(Seq(
+      (1L, 14 * day, 1L, "view", 8.0), (2L, 7 * day, 1L, "view", 8.0),
+      (3L, 0L, 1L, "view", 8.0))) { d =>
+      SparkEntry.queries("agg_decay_sum")(spark, d)
+        .select(col("user_id"), col("n_events"), col("decayed_sum"),
+          col("nonneg_ok"))
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    }
+    assert(got === Set((1L, 3L, 14000L, true)))
+  }
+
   test("ts_anomaly flags the integer z-score breach and nothing else") {
     // user 1: eight constant values then one spike — only the spike's
     // history window has variance 0 and a huge deviation; the constant
