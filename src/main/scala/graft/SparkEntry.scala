@@ -3301,6 +3301,51 @@ object SparkEntry {
     // capped at 62 because Java/long shifts MASK the count mod 64 — an
     // uncapped 64-day-halflife-old row would silently decay by 2^0.
     // nonneg_ok pins v ≥ 0 (shift-as-floor-division needs it)
+    // BM25 search scoring over the corpus, all-integer: the retrieval
+    // primitive a text engine owes its users. Exact-portability choices:
+    // idf is the linearized odds ratio ((N − df)·1000) div df (monotone
+    // in the classic ln((N−df+.5)/(df+.5)), positive, and — unlike a
+    // floor-log2 — not quantized to zero on a corpus where every query
+    // term sits in ~78% of docs); tf saturation is BM25's k1 = 1.2,
+    // b = 0.75 in milli-units (2200·tf numerator; tf·1000 + 300 +
+    // 900·len_milli div 1000 denominator, len_milli = relative doc
+    // length). Every step is integer multiply/div, so DuckDB replays
+    // the scores bit-for-bit. Plan: tokens filter to the 3-term query
+    // INSIDE the array before the explode (slim explode), tf/df are two
+    // aggregates, corpus stats broadcast, top-50 via rank — the
+    // WindowGroupLimit/TakeOrdered shape at scale
+    "text_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = Seq("table", "query", "vector")
+      val qLit = q.map(x => s"'$x'").mkString(",")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          "filter(split(lower(text), '[\\\\t\\\\n\\\\x0b\\\\f\\\\r ]+'), x -> x != '')")
+          .as("all_toks"))
+        .select(col("doc_id"), size(col("all_toks")).cast("long").as("len"),
+          expr(s"filter(all_toks, x -> x IN ($qLit))").as("hits"))
+      val corpus = toks.agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("tot_tok"))
+      val tf = toks.select(col("doc_id"), col("len"), explode(col("hits")).as("term"))
+        .groupBy(col("doc_id"), col("len"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df_), Seq("term"))
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf_milli", expr("((n_docs - df) * 1000) div df"))
+        .withColumn("len_milli", expr("(len * 1000) div (tot_tok div n_docs)"))
+        .withColumn("s_milli", expr(
+          "(idf_milli * tf * 2200) div (tf * 1000 + 300 + (900 * len_milli) div 1000)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("s_milli")).as("score_milli"))
+      // heavy ranking as TakeOrderedAndProject (per-partition bottom-k
+      // + merge — never a single-partition global window over the full
+      // scored set); the rank window then orders only the 50 survivors
+      scored.orderBy(col("score_milli").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_milli").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("score_milli"), col("rank").cast("long").as("rank"))
+    }),
     "agg_decay_sum" -> ((s, dir) => {
       val daily = Engine.eventsTable(s, dir)
         .select(col("user_id"),
@@ -5913,6 +5958,40 @@ object SparkEntry {
           |            (nid IS NULL OR ts_ms - pts <= nts - ts_ms)
           |       THEN ts_ms - pts ELSE nts - ts_ms END AS abs_lag_ms
           |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+      "text_bm25" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         [x FOR x IN string_split_regex(lower(text), '[\t\n\x0b\f\r ]+')
+          |          IF x <> ''] AS all_toks
+          |  FROM documents),
+          |d AS (
+          |  SELECT doc_id, cast(len(all_toks) as bigint) AS len,
+          |         [x FOR x IN all_toks
+          |          IF x IN ('table', 'query', 'vector')] AS hits
+          |  FROM toks),
+          |corpus AS (
+          |  SELECT count(*) AS n_docs, cast(sum(len) as bigint) AS tot_tok
+          |  FROM d),
+          |tf AS (
+          |  SELECT doc_id, len, term, count(*) AS tf
+          |  FROM (SELECT doc_id, len, unnest(hits) AS term FROM d)
+          |  GROUP BY doc_id, len, term),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |s AS (
+          |  SELECT doc_id,
+          |    cast(sum(
+          |      (((n_docs - df.df) * 1000) // df.df) * tf.tf * 2200 //
+          |      (tf.tf * 1000 + 300 +
+          |       (900 * ((len * 1000) // (tot_tok // n_docs))) // 1000)
+          |    ) as bigint) AS score_milli
+          |  FROM tf JOIN df USING (term), corpus
+          |  GROUP BY doc_id)
+          |SELECT doc_id, score_milli, "rank" FROM (
+          |  SELECT *, cast(row_number() OVER
+          |    (ORDER BY score_milli DESC, doc_id ASC) as bigint) AS "rank"
+          |  FROM s)
+          |WHERE "rank" <= 50""".stripMargin,
 
       "agg_decay_sum" ->
         """WITH e AS (
