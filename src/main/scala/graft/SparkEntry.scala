@@ -3314,6 +3314,40 @@ object SparkEntry {
     // INSIDE the array before the explode (slim explode), tf/df are two
     // aggregates, corpus stats broadcast, top-50 via rank — the
     // WindowGroupLimit/TakeOrdered shape at scale
+    // HDR-style log-bucketed histogram: bucket = bit length of the
+    // milli value (power-of-2 boundaries) — integer-exact, mergeable
+    // (bucket counts are plain sums), and constant memory per key
+    // whatever the value range; the latency-distribution primitive.
+    // One partial-aggregable pass; both engines compute the bucket as
+    // length(bin(v)) on v >= 1 (0 pinned to bucket 0)
+    "agg_log_histogram" -> ((s, dir) =>
+      Engine.eventsTable(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        .withColumn("bucket",
+          when(col("v") <= 0L, lit(0L))
+            .otherwise(length(bin(col("v"))).cast("long")))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("v_min"), max(col("v")).as("v_max"))),
+    // LATERAL correlated derived table — the SQL surface for per-row
+    // top-N subqueries (Spark supports JOIN LATERAL since 3.2): the two
+    // highest-balance customers per nation, the correlated limit the
+    // optimizer decorrelates; DuckDB runs the identical text
+    "sql_lateral" -> ((s, dir) => {
+      Engine.table(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      Engine.table(s, dir, "customer").createOrReplaceTempView("lat_customer")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.bal_cents
+          |FROM lat_nation n
+          |JOIN LATERAL (
+          |  SELECT c_custkey,
+          |         cast(floor(c_acctbal * 100) as bigint) AS bal_cents
+          |  FROM lat_customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY bal_cents DESC, c_custkey ASC
+          |  LIMIT 2) t""".stripMargin)
+    }),
     "text_bm25" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val q = Seq("table", "query", "vector")
@@ -5958,6 +5992,29 @@ object SparkEntry {
           |            (nid IS NULL OR ts_ms - pts <= nts - ts_ms)
           |       THEN ts_ms - pts ELSE nts - ts_ms END AS abs_lag_ms
           |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+      "agg_log_histogram" ->
+        """WITH e AS (
+          |  SELECT event_type, cast(floor(value * 1000) as bigint) AS v
+          |  FROM events)
+          |SELECT event_type,
+          |       CASE WHEN v <= 0 THEN 0
+          |            ELSE cast(length(bin(v)) as bigint) END AS bucket,
+          |       count(*) AS n,
+          |       cast(min(v) as bigint) AS v_min,
+          |       cast(max(v) as bigint) AS v_max
+          |FROM e GROUP BY 1, 2""".stripMargin,
+
+      "sql_lateral" ->
+        """SELECT n.n_name, t.c_custkey, t.bal_cents
+          |FROM nation n
+          |JOIN LATERAL (
+          |  SELECT c_custkey,
+          |         cast(floor(c_acctbal * 100) as bigint) AS bal_cents
+          |  FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY bal_cents DESC, c_custkey ASC
+          |  LIMIT 2) t ON true""".stripMargin,
 
       "text_bm25" ->
         """WITH toks AS (
