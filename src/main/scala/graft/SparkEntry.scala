@@ -3630,6 +3630,32 @@ object SparkEntry {
       nodes.join(core.withColumn("in_core", lit(true)), Seq("node"), "left")
         .select(col("node"), coalesce(col("in_core"), lit(false)).as("in_core"))
     }),
+    // production form: segment df counted on xxhash64 keys (8-byte
+    // shuffle rows instead of segment text) with the kept decision
+    // joined back by hash — the at-scale shape the gate's string form
+    // documents; reassembly identical
+    "text_clean_segments" -> ((s, dir) => {
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(words) / 10.0) as int) - 1)," +
+            " i -> array_join(slice(words, i * 10 + 1, 10), ' '))")))
+        .select(col("doc_id"), col("pos"), col("col").as("seg"),
+          xxhash64(col("col")).as("h"))
+      val docFreq = segs.select(col("doc_id"), col("h"))
+        .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(docFreq, Seq("h"))
+        .withColumn("kept", col("df") < 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          expr("concat_ws(' ', transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN named_struct('pos', pos, 'seg', seg) END))," +
+            " x -> x.seg))").as("clean"))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_len"))
+    }),
     // production form: IVF-routed mutual-kNN edges (graph_kcore's bench
     // graph) feeding the same wedge-join + degree arithmetic
     "graph_jaccard_neighbors" -> ((s, dir) => {

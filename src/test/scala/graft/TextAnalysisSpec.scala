@@ -360,14 +360,19 @@ class TextAnalysisSpec extends SparkSpec {
         .select(col("doc_id"), col("text"), lit("en").as("lang"),
           lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val got = SparkEntry.queries("text_clean_segments")(spark, dir)
-        .select(col("doc_id"), col("n_segs"), col("n_kept"), col("clean_md5"))
-        .as[(Long, Long, Long, String)].collect()
-        .map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+      def run(fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame) =
+        fn(spark, dir)
+          .select(col("doc_id"), col("n_segs"), col("n_kept"), col("clean_md5"))
+          .as[(Long, Long, Long, String)].collect()
+          .map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+      val got = run(SparkEntry.queries("text_clean_segments"))
       def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
       assert(got(1L) === ((2L, 1L, m("u1 u2"))))
       assert(got(2L) === ((2L, 1L, m("v1"))))
       assert(got(3L) === ((1L, 1L, m("x y z"))))
+      // the hashed production form (bench override) is row-identical
+      assert(run(SparkEntry.benchOverrides("text_clean_segments")) === got)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
