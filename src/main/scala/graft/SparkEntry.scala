@@ -30,6 +30,35 @@ object SparkEntry {
     t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), floor(col("l_quantity")).as("quantity"))
 
+  /** text_clean_segments' whole pipeline, shared by the gate and the
+    * production bench form so the segmentation, df threshold, and
+    * ordered-reassembly semantics cannot drift: segment df counted on
+    * the segment TEXT (oracle-exact) or on xxhash64 keys (8-byte
+    * shuffle rows, the at-scale form).
+    */
+  private def cleanSegments(docs: DataFrame, hashedDf: Boolean): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(words) / 10.0) as int) - 1)," +
+          " i -> array_join(slice(words, i * 10 + 1, 10), ' '))")))
+      .select(col("doc_id"), col("pos"), col("col").as("seg"))
+      .withColumn("key", if (hashedDf) xxhash64(col("seg")) else col("seg"))
+    val docFreq = segs.select(col("doc_id"), col("key"))
+      .groupBy(col("key")).agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(docFreq, Seq("key"))
+      .withColumn("kept", col("df") < 2)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(" +
+          "CASE WHEN kept THEN named_struct('pos', pos, 'seg', seg) END))," +
+          " x -> x.seg))").as("clean"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("long").as("clean_len"))
+  }
+
   /** Evaluates a 1-row (long, boolean, boolean) invariant gate EAGERLY,
     * unpersists its scoped caches, and returns the result as a literal
     * row. Gate caches exist only because the gate reads its inputs 2-3×
@@ -2951,20 +2980,28 @@ object SparkEntry {
     // would hash-diverge at the boundary). One window sort per user
     // carries count/sum/sum-of-squares in a single frame; the per-user
     // rollup is a partial-aggregable HashAggregate. bounds_ok pins
-    // max(v) < 1e8 — the margin under which every product in the
-    // squared test fits a long (DuckDB's hugeint sums would otherwise
-    // silently diverge from a wrapped Spark long). Scored rows need
-    // n ≥ 4 history events so the variance is meaningful
+    // max(|v|) < 1e8 over EVERY row of the user — not just scored rows
+    // and not just positive values: unscored early events still feed
+    // later windows' sums, and a large-magnitude NEGATIVE value
+    // overflows dev² just as surely (DuckDB's hugeint sums would raise
+    // where a wrapped Spark long stays silent — the gate must fail
+    // loudly first). The full-partition max rides the SAME window sort
+    // as the sliding frame. Scored rows need n ≥ 4 history events so
+    // the variance is meaningful
     "ts_anomaly" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ms"), col("event_id")).rowsBetween(-8, -1)
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Engine.eventsTable(s, dir)
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
           col("event_id"), floor(col("value") * 1000).cast("long").as("v"))
         .withColumn("n", count(col("v")).over(w))
         .withColumn("sm", sum(col("v")).over(w))
         .withColumn("ss", sum(col("v") * col("v")).over(w))
+        .withColumn("mxa", max(abs(col("v"))).over(wAll))
         .filter(col("n") >= 4)
         .withColumn("dev", col("n") * col("v") - col("sm"))
         .withColumn("flag", (col("dev") * col("dev")) >
@@ -2972,7 +3009,7 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_scored"),
           sum(when(col("flag"), 1L).otherwise(0L)).as("n_anomalies"),
-          (max(col("v")) < 100000000L).as("bounds_ok"))
+          (max(col("mxa")) < 100000000L).as("bounds_ok"))
     }),
     // duplicated-span REMOVAL (the C4/RefinedWeb cleaning transform —
     // text_seg_dedup IDENTIFIES cross-doc duplicate spans; this one
@@ -2988,27 +3025,8 @@ object SparkEntry {
     // segment keys with the dropped set broadcast (text_seg_dedup's
     // hashed form) — the gate keeps full segment text so DuckDB can
     // replay exactly
-    "text_clean_segments" -> ((s, dir) => {
-      val segs = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("words"))
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, cast(ceil(size(words) / 10.0) as int) - 1)," +
-            " i -> array_join(slice(words, i * 10 + 1, 10), ' '))")))
-        .select(col("doc_id"), col("pos"), col("col").as("seg"))
-      val docFreq = segs.groupBy(col("seg"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      segs.join(docFreq, Seq("seg"))
-        .withColumn("kept", col("df") < 2)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_segs"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          expr("concat_ws(' ', transform(array_sort(collect_list(" +
-            "CASE WHEN kept THEN named_struct('pos', pos, 'seg', seg) END))," +
-            " x -> x.seg))").as("clean"))
-        .select(col("doc_id"), col("n_segs"), col("n_kept"),
-          md5(col("clean")).as("clean_md5"),
-          length(col("clean")).cast("long").as("clean_len"))
-    }),
+    "text_clean_segments" -> ((s, dir) =>
+      cleanSegments(t(s, dir, "documents"), hashedDf = false)),
     // random-projection dimensionality reduction (Johnson–Lindenstrauss
     // with a ±1 Achlioptas matrix): 64-dim float embeddings down to 16
     // integer components, y_j = Σ_i milli(v_i)·s(i,j). The sign matrix
@@ -3127,23 +3145,9 @@ object SparkEntry {
       // ReusedExchange under AQE's stage cache across all four
       // references — measured 2.2 s lazy vs 3.0 s with an extra eager
       // localCheckpoint (the checkpoint write costs more than the reuse)
-      val mutual = Similarity.mutualEdges(
+      Graph.neighborJaccard(Similarity.mutualEdges(
         Similarity.bruteForceTopK(e, "vec_id", "embedding",
-          e, "vec_id", "embedding", k = 3))
-      val dirE = mutual.select(col("src").as("u"), col("dst").as("v"))
-        .union(mutual.select(col("dst").as("u"), col("src").as("v")))
-      val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val cn = dirE.as("x").join(dirE.as("y"),
-          col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-        .groupBy(col("x.u").as("src"), col("y.u").as("dst"))
-        .agg(count(lit(1)).as("c"))
-      mutual.join(cn, Seq("src", "dst"), "left")
-        .join(deg.select(col("u").as("src"), col("deg").as("da")), Seq("src"))
-        .join(deg.select(col("u").as("dst"), col("deg").as("db")), Seq("dst"))
-        .select(col("src"), col("dst"),
-          coalesce(col("c"), lit(0L)).as("n_common"),
-          (col("da") + col("db") - lit(2L) - coalesce(col("c"), lit(0L)))
-            .as("n_union"))
+          e, "vec_id", "embedding", k = 3)))
     }),
     // NEAREST-in-time as-of join (join_asof looks backward, _fwd looks
     // forward; this picks whichever is closer, ties to the earlier):
@@ -3194,7 +3198,7 @@ object SparkEntry {
         .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
         .distinct()
       val mx = pairs.agg(max(col("day")).as("mx"))
-      pairs.crossJoin(mx)
+      pairs.crossJoin(broadcast(mx))
         .select(col("user_id"), explode(sequence(col("day"),
           least(col("mx"), col("day") + expr("interval 6 days")),
           expr("interval 1 day"))).as("wend"))
@@ -3293,27 +3297,6 @@ object SparkEntry {
           e, "vec_id", "embedding", k = 3))
       Graph.labelPropagation(mutual, "src", "dst", rounds = 4)
     }),
-    // recency-decayed engagement score with EXACT integer decay: the
-    // float form (Σ v·2^(−age/h)) is accumulation-order-sensitive; the
-    // halving-buckets form (v div 2^⌊age/7d⌋) is order-free integer
-    // arithmetic, so the per-user sum hash-gates in any engine. age is
-    // against the corpus max day (broadcast 1-row total); the shift is
-    // capped at 62 because Java/long shifts MASK the count mod 64 — an
-    // uncapped 64-day-halflife-old row would silently decay by 2^0.
-    // nonneg_ok pins v ≥ 0 (shift-as-floor-division needs it)
-    // BM25 search scoring over the corpus, all-integer: the retrieval
-    // primitive a text engine owes its users. Exact-portability choices:
-    // idf is the linearized odds ratio ((N − df)·1000) div df (monotone
-    // in the classic ln((N−df+.5)/(df+.5)), positive, and — unlike a
-    // floor-log2 — not quantized to zero on a corpus where every query
-    // term sits in ~78% of docs); tf saturation is BM25's k1 = 1.2,
-    // b = 0.75 in milli-units (2200·tf numerator; tf·1000 + 300 +
-    // 900·len_milli div 1000 denominator, len_milli = relative doc
-    // length). Every step is integer multiply/div, so DuckDB replays
-    // the scores bit-for-bit. Plan: tokens filter to the 3-term query
-    // INSIDE the array before the explode (slim explode), tf/df are two
-    // aggregates, corpus stats broadcast, top-50 via rank — the
-    // WindowGroupLimit/TakeOrdered shape at scale
     // HDR-style log-bucketed histogram: bucket = bit length of the
     // milli value (power-of-2 boundaries) — integer-exact, mergeable
     // (bucket counts are plain sums), and constant memory per key
@@ -3348,6 +3331,19 @@ object SparkEntry {
           |  ORDER BY bal_cents DESC, c_custkey ASC
           |  LIMIT 2) t""".stripMargin)
     }),
+    // BM25 search scoring over the corpus, all-integer: the retrieval
+    // primitive a text engine owes its users. Exact-portability choices:
+    // idf is the linearized odds ratio ((N − df)·1000) div df (monotone
+    // in the classic ln((N−df+.5)/(df+.5)), positive, and — unlike a
+    // floor-log2 — not quantized to zero on a corpus where every query
+    // term sits in ~78% of docs); tf saturation is BM25's k1 = 1.2,
+    // b = 0.75 in milli-units (2200·tf numerator; tf·1000 + 300 +
+    // 900·len_milli div 1000 denominator, len_milli = relative doc
+    // length). Every step is integer multiply/div, so DuckDB replays
+    // the scores bit-for-bit. Plan: tokens filter to the 3-term query
+    // INSIDE the array before the explode (slim explode), tf/df are two
+    // aggregates, corpus stats broadcast, top-50 via rank — the
+    // WindowGroupLimit/TakeOrdered shape at scale
     "text_bm25" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val q = Seq("table", "query", "vector")
@@ -3380,6 +3376,14 @@ object SparkEntry {
           Window.orderBy(col("score_milli").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("score_milli"), col("rank").cast("long").as("rank"))
     }),
+    // recency-decayed engagement score with EXACT integer decay: the
+    // float form (Σ v·2^(−age/h)) is accumulation-order-sensitive; the
+    // halving-buckets form (v div 2^⌊age/7d⌋) is order-free integer
+    // arithmetic, so the per-user sum hash-gates in any engine. age is
+    // against the corpus max day (broadcast 1-row total); the shift is
+    // capped at 62 because Java/long shifts MASK the count mod 64 — an
+    // uncapped 64-day-halflife-old row would silently decay by 2^0.
+    // nonneg_ok pins v ≥ 0 (shift-as-floor-division needs it)
     "agg_decay_sum" -> ((s, dir) => {
       val daily = Engine.eventsTable(s, dir)
         .select(col("user_id"),
@@ -3630,54 +3634,18 @@ object SparkEntry {
       nodes.join(core.withColumn("in_core", lit(true)), Seq("node"), "left")
         .select(col("node"), coalesce(col("in_core"), lit(false)).as("in_core"))
     }),
-    // production form: segment df counted on xxhash64 keys (8-byte
-    // shuffle rows instead of segment text) with the kept decision
-    // joined back by hash — the at-scale shape the gate's string form
-    // documents; reassembly identical
-    "text_clean_segments" -> ((s, dir) => {
-      val segs = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("words"))
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, cast(ceil(size(words) / 10.0) as int) - 1)," +
-            " i -> array_join(slice(words, i * 10 + 1, 10), ' '))")))
-        .select(col("doc_id"), col("pos"), col("col").as("seg"),
-          xxhash64(col("col")).as("h"))
-      val docFreq = segs.select(col("doc_id"), col("h"))
-        .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
-      segs.join(docFreq, Seq("h"))
-        .withColumn("kept", col("df") < 2)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_segs"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          expr("concat_ws(' ', transform(array_sort(collect_list(" +
-            "CASE WHEN kept THEN named_struct('pos', pos, 'seg', seg) END))," +
-            " x -> x.seg))").as("clean"))
-        .select(col("doc_id"), col("n_segs"), col("n_kept"),
-          md5(col("clean")).as("clean_md5"),
-          length(col("clean")).cast("long").as("clean_len"))
-    }),
+    // production form: the SAME shared pipeline with segment df counted
+    // on xxhash64 keys (8-byte shuffle rows instead of segment text)
+    "text_clean_segments" -> ((s, dir) =>
+      cleanSegments(t(s, dir, "documents"), hashedDf = true)),
     // production form: IVF-routed mutual-kNN edges (graph_kcore's bench
-    // graph) feeding the same wedge-join + degree arithmetic
+    // graph) feeding the same shared wedge-join + degree arithmetic
     "graph_jaccard_neighbors" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val mutual = Similarity.mutualEdges(
+      Graph.neighborJaccard(Similarity.mutualEdges(
         Similarity.knnGraph(e, "vec_id", "embedding",
           k = 3, nCentroids = 8, nProbe = 3)
-          .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id")))
-      val dirE = mutual.select(col("src").as("u"), col("dst").as("v"))
-        .union(mutual.select(col("dst").as("u"), col("src").as("v")))
-      val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val cn = dirE.as("x").join(dirE.as("y"),
-          col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-        .groupBy(col("x.u").as("src"), col("y.u").as("dst"))
-        .agg(count(lit(1)).as("c"))
-      mutual.join(cn, Seq("src", "dst"), "left")
-        .join(deg.select(col("u").as("src"), col("deg").as("da")), Seq("src"))
-        .join(deg.select(col("u").as("dst"), col("deg").as("db")), Seq("dst"))
-        .select(col("src"), col("dst"),
-          coalesce(col("c"), lit(0L)).as("n_common"),
-          (col("da") + col("db") - lit(2L) - coalesce(col("c"), lit(0L)))
-            .as("n_union"))
+          .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id"))))
     }),
     // production form: IVF-routed mutual edges feeding the same fixed
     // 4-round propagation
@@ -5885,7 +5853,9 @@ object SparkEntry {
           |  SELECT user_id, v,
           |         count(v) OVER win AS n,
           |         cast(sum(v) OVER win as bigint) AS sm,
-          |         cast(sum(v * v) OVER win as bigint) AS ss
+          |         cast(sum(v * v) OVER win as bigint) AS ss,
+          |         cast(max(abs(v)) OVER (PARTITION BY user_id) as bigint)
+          |           AS mxa
           |  FROM e
           |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id
           |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
@@ -5893,7 +5863,7 @@ object SparkEntry {
           |       cast(sum(CASE WHEN (n * v - sm) * (n * v - sm) >
           |                          4 * (n * ss - sm * sm)
           |                     THEN 1 ELSE 0 END) as bigint) AS n_anomalies,
-          |       (max(v) < 100000000) AS bounds_ok
+          |       (max(mxa) < 100000000) AS bounds_ok
           |FROM w WHERE n >= 4 GROUP BY user_id""".stripMargin,
 
       "text_clean_segments" ->

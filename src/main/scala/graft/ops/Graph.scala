@@ -273,6 +273,34 @@ object Graph {
     adj.select(col("u").as("node")).distinct()
   }
 
+  /** Per-edge neighbor-set overlap (the link-prediction / community-
+    * strength feature) over an undirected (src, dst) edge list:
+    * n_common = |N(a) ∩ N(b)| by the wedge join (two directed-edge
+    * scans equi-joined on the shared endpoint — never a per-node set
+    * materialization), n_union = (deg(a)−1) + (deg(b)−1) − n_common
+    * (each side excludes the other endpoint, which is a neighbor by
+    * edge-ness). All integers, oracle-replayable. The wedge shuffle is
+    * Σ deg² — on a mutual-kNN graph deg ≤ k, so ≤ k²·n. One shared
+    * implementation serves the gate, the bench form, and the spec, so
+    * the arithmetic cannot drift between them.
+    */
+  def neighborJaccard(mutual: DataFrame): DataFrame = {
+    val dirE = mutual.select(col("src").as("u"), col("dst").as("v"))
+      .union(mutual.select(col("dst").as("u"), col("src").as("v")))
+    val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cn = dirE.as("x").join(dirE.as("y"),
+        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("src"), col("y.u").as("dst"))
+      .agg(count(lit(1)).as("c"))
+    mutual.join(cn, Seq("src", "dst"), "left")
+      .join(deg.select(col("u").as("src"), col("deg").as("da")), Seq("src"))
+      .join(deg.select(col("u").as("dst"), col("deg").as("db")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        coalesce(col("c"), lit(0L)).as("n_common"),
+        (col("da") + col("db") - lit(2L) - coalesce(col("c"), lit(0L)))
+          .as("n_union"))
+  }
+
   /** Synchronous label-propagation community detection, fully
     * deterministic: labels start as node ids; each round every node
     * adopts the plurality label among its neighbors, ties broken toward

@@ -26,20 +26,51 @@ object Similarity {
     * rows (excluding self-matches by id). Output:
     * (probe_id, corpus_id, cosine, rank).
     */
+  /** Shared broadcast-probes scan+rank: `c` carries (corpus_id, cv) and
+    * optionally `clab`, `p` carries (probe_id, pv) and optionally
+    * `plab`; when both label columns are present the label-inequality
+    * filter fuses into the scan. One implementation serves the exact
+    * top-k and the exact hard-negative forms so the tie-break and
+    * self-match semantics cannot drift.
+    */
+  private def broadcastRank(c: DataFrame, p: DataFrame, k: Int): DataFrame = {
+    val labelled = c.columns.contains("clab") && p.columns.contains("plab")
+    val joined = c.crossJoin(broadcast(p))
+      .filter(col("corpus_id") =!= col("probe_id"))
+    val filtered =
+      if (labelled) joined.filter(col("clab") =!= col("plab")) else joined
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    filtered.select(col("probe_id"), col("corpus_id"),
+        VectorFunctions.cosineSimilarity(col("cv"), col("pv")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Shared IVF bucket-join+rank: `home` carries (dst_id, dv, bucket)
+    * and optionally `dlab`, `src` carries (src_id, sv, bucket) and
+    * optionally `slab`. Same single-implementation contract as
+    * [[broadcastRank]], for the corpus-probe shapes.
+    */
+  private def bucketRank(home: DataFrame, src: DataFrame, k: Int): DataFrame = {
+    val labelled = home.columns.contains("dlab") && src.columns.contains("slab")
+    val joined = home.join(src, Seq("bucket"))
+      .filter(col("dst_id") =!= col("src_id"))
+    val filtered =
+      if (labelled) joined.filter(col("dlab") =!= col("slab")) else joined
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("dst_id").asc)
+    filtered.select(col("src_id"), col("dst_id"),
+        VectorFunctions.cosineSimilarity(col("dv"), col("sv")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       probes: DataFrame, probeId: String, probeVec: String,
-      k: Int = 10): DataFrame = {
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
-    val p = probes.select(col(probeId).as("probe_id"), col(probeVec).as("pv"))
-    val scored = c.crossJoin(broadcast(p))
-      .filter(col("corpus_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("corpus_id"),
-        VectorFunctions.cosineSimilarity(col("cv"), col("pv")).as("cosine"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      k: Int = 10): DataFrame =
+    broadcastRank(
+      corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")),
+      probes.select(col(probeId).as("probe_id"), col(probeVec).as("pv")), k)
 
   /** Nearest-centroid id for a vector, against `nCentroids` deterministic
     * pseudo-centroids (native kernel [[graft.functions.TopCentroids]];
@@ -129,20 +160,14 @@ object Similarity {
     */
   def knnGraph(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val home = corpus.select(col(idCol).as("dst_id"), col(vecCol).as("dv"))
-      .withColumn("bucket", centroidId(col("dv"), nCentroids))
-    val src = corpus.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
-      .withColumn("bucket", explode(
-        graft.functions.VectorLshFunctions.topCentroids(col("sv"), nCentroids, nProbe)))
-    val scored = home.join(src, Seq("bucket"))
-      .filter(col("dst_id") =!= col("src_id"))
-      .select(col("src_id"), col("dst_id"),
-        VectorFunctions.cosineSimilarity(col("dv"), col("sv")).as("cosine"))
-    val w = Window.partitionBy(col("src_id"))
-      .orderBy(col("cosine").desc, col("dst_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    bucketRank(
+      corpus.select(col(idCol).as("dst_id"), col(vecCol).as("dv"))
+        .withColumn("bucket", centroidId(col("dv"), nCentroids)),
+      corpus.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+        .withColumn("bucket", explode(
+          graft.functions.VectorLshFunctions.topCentroids(col("sv"), nCentroids, nProbe))),
+      k)
 
   /** Exact hard-negative mining: for each probe, the k most similar
     * corpus vectors with a DIFFERENT label — the contrastive-training
@@ -155,20 +180,12 @@ object Similarity {
   def hardNegativesExact(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
-      k: Int = 5): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      col(labelCol).as("clab"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      col(labelCol).as("plab"))
-    val scored = c.crossJoin(broadcast(p))
-      .filter(col("corpus_id") =!= col("probe_id") &&
-        col("clab") =!= col("plab"))
-      .select(col("probe_id"), col("corpus_id"),
-        VectorFunctions.cosineSimilarity(col("cv"), col("pv")).as("cosine"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      k: Int = 5): DataFrame =
+    broadcastRank(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        col(labelCol).as("clab")),
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        col(labelCol).as("plab")), k)
 
   /** Corpus-scale hard-negative mining: [[knnGraph]]'s IVF bucket
     * routing with the label-inequality filter fused into the bucket
@@ -180,22 +197,16 @@ object Similarity {
     */
   def hardNegatives(
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val home = corpus.select(col(idCol).as("dst_id"), col(vecCol).as("dv"),
-        col(labelCol).as("dlab"))
-      .withColumn("bucket", centroidId(col("dv"), nCentroids))
-    val src = corpus.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
-        col(labelCol).as("slab"))
-      .withColumn("bucket", explode(
-        graft.functions.VectorLshFunctions.topCentroids(col("sv"), nCentroids, nProbe)))
-    val scored = home.join(src, Seq("bucket"))
-      .filter(col("dst_id") =!= col("src_id") && col("dlab") =!= col("slab"))
-      .select(col("src_id"), col("dst_id"),
-        VectorFunctions.cosineSimilarity(col("dv"), col("sv")).as("cosine"))
-    val w = Window.partitionBy(col("src_id"))
-      .orderBy(col("cosine").desc, col("dst_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    bucketRank(
+      corpus.select(col(idCol).as("dst_id"), col(vecCol).as("dv"),
+          col(labelCol).as("dlab"))
+        .withColumn("bucket", centroidId(col("dv"), nCentroids)),
+      corpus.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
+          col(labelCol).as("slab"))
+        .withColumn("bucket", explode(
+          graft.functions.VectorLshFunctions.topCentroids(col("sv"), nCentroids, nProbe))),
+      k)
 
   /** Mutual-kNN edge list from a (probe_id, corpus_id) neighbor list:
     * an undirected edge iff each endpoint appears in the other's list —

@@ -209,6 +209,13 @@ object Events {
             var out = List.empty[Attribution]
             var st = state.getOption.orNull
             sorted.foreach { e =>
+              // the window check must run at ATTRIBUTION time, not only
+              // via the timeout: a purchase can arrive (within the
+              // watermark) long after the click aged out, and ongoing
+              // per-user activity would otherwise keep re-arming the
+              // timeout at wm+1 and never evict the stale click
+              if (st != null && e.ts.getTime - st.click_ts > retentionMs)
+                st = null
               e.event_type match {
                 case "click" =>
                   st = AttrState(e.event_id, e.ts.getTime)
@@ -228,6 +235,8 @@ object Events {
                 state.setTimeoutTimestamp(
                   math.max(st.click_ts + retentionMs, wm + 1))
               }
+            } else if (state.exists) {
+              state.remove() // expired in-fold: drop instead of re-arming
             }
             out.reverseIterator
           }

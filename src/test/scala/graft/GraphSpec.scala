@@ -139,19 +139,7 @@ class GraphSpec extends SparkSpec {
     //   edge (2,3): common = {1}, union = {1} → 1/1
     //   edge (1,4): common = {},  union = {2,3} → 0/2
     val mutual = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
-    val dirE = mutual.select(col("src").as("u"), col("dst").as("v"))
-      .union(mutual.select(col("dst").as("u"), col("src").as("v")))
-    val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val cn = dirE.as("x").join(dirE.as("y"),
-        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-      .groupBy(col("x.u").as("src"), col("y.u").as("dst"))
-      .agg(count(lit(1)).as("c"))
-    val got = mutual.join(cn, Seq("src", "dst"), "left")
-      .join(deg.select(col("u").as("src"), col("deg").as("da")), Seq("src"))
-      .join(deg.select(col("u").as("dst"), col("deg").as("db")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        coalesce(col("c"), lit(0L)).as("n_common"),
-        (col("da") + col("db") - lit(2L) - coalesce(col("c"), lit(0L))).as("n_union"))
+    val got = Graph.neighborJaccard(mutual)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got === Set(
       (1L, 2L, 1L, 2L), (1L, 3L, 1L, 2L), (2L, 3L, 1L, 1L), (1L, 4L, 0L, 2L)))

@@ -287,6 +287,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("attribution window applies at purchase time, not only via the timeout") {
+    import graft.streaming.Events.{AttrEvent, Attribution}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[AttrEvent]
+    val Retention = 60000L
+    // generous watermark delay: the stale click's timeout has NOT fired
+    // when the late purchase arrives — the in-fold window check must
+    // reject the attribution on its own
+    val query = Events.attributionStream(stream.toDS(),
+        retentionMs = Retention, watermarkDelay = "10 days")
+      .writeStream.format("memory").queryName("attr_window_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(AttrEvent(1L, ts(1000L), 1L, "click"))
+      query.processAllAvailable()
+      // same user, next batch: purchase 2 retention windows later —
+      // within the watermark, beyond the attribution window
+      stream.addData(AttrEvent(1L, ts(1000L + 2 * Retention), 2L, "purchase"))
+      query.processAllAvailable()
+      // and a fresh click + in-window purchase still attribute normally
+      stream.addData(
+        AttrEvent(1L, ts(1000L + 3 * Retention), 3L, "click"),
+        AttrEvent(1L, ts(1000L + 3 * Retention + 5000L), 4L, "purchase"))
+      query.processAllAvailable()
+      val got = spark.table("attr_window_out").as[Attribution].collect().toSet
+      assert(got === Set(
+        Attribution(1L, 2L, None, None),
+        Attribution(1L, 4L, Some(3L), Some(5000L))))
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per key within the watermark") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
