@@ -329,22 +329,28 @@ object Graph {
       .localCheckpoint(true)
     val nEdges = adj.count()
     withShufflePartitions(adj, iterPartitions(adj, nEdges)) {
+      def propagate(labels: DataFrame): DataFrame = adj
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        // argmax(count DESC, label ASC) == min over (-c, label): one
+        // partial-aggregable pass, no per-node sort
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("u").as("node"), col("m.label").as("label"))
       var labels = adj.select(col("u").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
+      // two propagation rounds per materialization, like kCore's peel:
+      // the per-round floor is job dispatch, not data, and chaining two
+      // lazy rounds before each checkpoint is semantically identical
+      // (the recurrence is a pure function of the previous labeling)
       var round = 0
       while (round < rounds) {
-        labels = adj
-          .join(labels.withColumnRenamed("node", "v"), Seq("v"))
-          .groupBy(col("u"), col("label"))
-          .agg(count(lit(1)).as("c"))
-          // argmax(count DESC, label ASC) == min over (-c, label): one
-          // partial-aggregable pass, no per-node sort
-          .groupBy(col("u"))
-          .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
-          .select(col("u").as("node"), col("m.label").as("label"))
+        val steps = math.min(2, rounds - round)
+        labels = (1 to steps).foldLeft(labels)((l, _) => propagate(l))
           .localCheckpoint(true)
-        round += 1
+        round += steps
       }
       labels.select(col("node"), col("label").as("community"))
     }
