@@ -900,6 +900,28 @@ object SparkEntry {
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
     }),
+    // keep-BEST dedup application: per near-dup cluster keep the highest
+    // token-count member (ties to the smaller id) — the dataset-
+    // construction decision real pipelines make (keep the most complete
+    // version), vs dedup_keep's positional min-id keep. The argmax is
+    // min over (−q, doc_id) structs (partial-aggregable, no per-cluster
+    // sort); the oracle replays pairs, closure, token counts, and the
+    // argmax total order. Reports multi-member clusters only
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val q = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("q"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      labels.withColumnRenamed("node", "doc_id").join(q, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-col("q")).as("nq"), col("doc_id"))).as("m"),
+          max(col("q")).as("q_kept"))
+        .select(col("cluster_id"), col("n_members"),
+          col("m.doc_id").as("keep_id"), col("q_kept"))
+    }),
     // end-to-end dedup application: drop every cluster member except the
     // min-id representative, report the surviving corpus size
     "dedup_keep" -> ((s, dir) => {
@@ -4686,6 +4708,37 @@ object SparkEntry {
           |           FROM reach GROUP BY s)
           |SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
           |FROM labels GROUP BY cluster_id""".stripMargin,
+
+      "dedup_keep_best" ->
+        """WITH RECURSIVE
+          |dd AS (SELECT doc_id, text,
+          |         lower(regexp_replace(text, '[\t\n\x0b\f\r ]+', ' ', 'g')) AS t
+          |       FROM documents WHERE doc_id < 500),
+          |g AS (SELECT doc_id,
+          |        CASE WHEN length(t) < 5 THEN [t]
+          |             ELSE list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) END AS sh
+          |      FROM dd),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+          |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+          |reach(s, d) AS (SELECT s, d FROM e
+          |                UNION
+          |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+          |labels AS (SELECT s AS node, least(s, min(d)) AS cluster_id
+          |           FROM reach GROUP BY s),
+          |q AS (SELECT doc_id,
+          |        len(regexp_extract_all(text, '[^\t\n\x0b\f\r ]+'))::BIGINT AS q
+          |      FROM dd),
+          |r AS (SELECT l.cluster_id, l.node, q.q,
+          |        row_number() OVER (PARTITION BY l.cluster_id
+          |          ORDER BY q.q DESC, l.node ASC) AS rk
+          |      FROM labels l JOIN q ON q.doc_id = l.node)
+          |SELECT cluster_id, count(*) AS n_members,
+          |       cast(max(CASE WHEN rk = 1 THEN node END) as bigint) AS keep_id,
+          |       cast(max(q) as bigint) AS q_kept
+          |FROM r GROUP BY cluster_id""".stripMargin,
 
       "events_retention" ->
         """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
