@@ -682,6 +682,48 @@ object SparkEntry {
         .filter(col("c_acctbal") < 0).select(col("c_custkey"))
       o.intersect(building).except(negative)
     }),
+    // the BAG (multiset) set operators — INTERSECT ALL keeps the
+    // minimum multiplicity, EXCEPT ALL subtracts multiplicities, which
+    // the distinct forms above erase. Output keeps (key, multiplicity)
+    // per op so the bag semantics are hash-visible; orders custkeys
+    // carry real duplicate multiplicities against a two-slice customer
+    // side that itself has multiplicity 2 for the overlap
+    "set_ops_all" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val c = t(s, dir, "customer")
+      val b = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+        .union(c.filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_acctbal") > 5000).select(col("c_custkey").as("k")))
+      val inter = a.intersectAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val exc = a.exceptAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      inter.union(exc).select(col("op"), col("k"), col("n"))
+    }),
+    // EXACT distinct via 64-bit bitmap chunks — the dense-int-domain
+    // OLAP technique roaring bitmaps generalize: bucket = key div 64,
+    // per (group, bucket) bit_or of (1 << key mod 64), then
+    // sum(bit_count) — every stage a plain partial-aggregable integer
+    // aggregate, mergeable across any partitioning, no hashing and no
+    // sort (countDistinct plans an extra dedup exchange; the bitmap
+    // form is two HashAggregates). eq_ok pins it against countDistinct
+    // in both engines
+    "distinct_bitmap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_partkey"))
+      val bm = li
+        .withColumn("bucket", expr("l_partkey div 64"))
+        .withColumn("bit", expr("shiftleft(1L, cast(pmod(l_partkey, 64) as int))"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(expr("bit_or(bit)").as("w"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bit_count(w)")).cast("long").as("ndv_bitmap"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("ndv_exact"))
+      bm.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("ndv_bitmap"),
+          (col("ndv_bitmap") === col("ndv_exact")).as("eq_ok"))
+    }),
     "distinct_exact" -> ((s, dir) =>
       Aggregates.distinctExact(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
     // KMV (bottom-k theta) distinct-count sketch — unlike FM/HLL the
@@ -4527,6 +4569,36 @@ object SparkEntry {
           | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
           |EXCEPT
           |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+
+      "set_ops_all" ->
+        """WITH a AS (SELECT o_custkey AS k FROM orders),
+          |b AS (SELECT c_custkey AS k FROM customer
+          |      WHERE c_mktsegment = 'BUILDING'
+          |      UNION ALL
+          |      SELECT c_custkey FROM customer
+          |      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000),
+          |i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+          |x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+          |SELECT 'intersect_all' AS op, k, count(*) AS n FROM i GROUP BY k
+          |UNION ALL
+          |SELECT 'except_all' AS op, k, count(*) AS n FROM x GROUP BY k""".stripMargin,
+
+      "distinct_bitmap" ->
+        """WITH li AS (SELECT l_returnflag, l_partkey FROM lineitem),
+          |bm AS (
+          |  SELECT l_returnflag, l_partkey // 64 AS bucket,
+          |         bit_or(1::UBIGINT << cast(l_partkey % 64 as int)) AS w
+          |  FROM li GROUP BY 1, 2),
+          |n AS (
+          |  SELECT l_returnflag,
+          |         cast(sum(bit_count(w)) as bigint) AS ndv_bitmap
+          |  FROM bm GROUP BY 1),
+          |e AS (
+          |  SELECT l_returnflag, count(DISTINCT l_partkey) AS ndv_exact
+          |  FROM li GROUP BY 1)
+          |SELECT n.l_returnflag, ndv_bitmap,
+          |       (ndv_bitmap = ndv_exact) AS eq_ok
+          |FROM n JOIN e ON n.l_returnflag = e.l_returnflag""".stripMargin,
       "events_lag_delta" ->
         """SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms,
           |       coalesce(epoch_ns(ts) // 1000000
