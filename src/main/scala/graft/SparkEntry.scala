@@ -724,6 +724,48 @@ object SparkEntry {
         .select(col("l_returnflag"), col("ndv_bitmap"),
           (col("ndv_bitmap") === col("ndv_exact")).as("eq_ok"))
     }),
+    // deterministic per-epoch training shuffle — the data-loader
+    // primitive: each epoch is an independent, reproducible, seeded
+    // permutation of the corpus (priority = md5(doc_id | epoch), so
+    // epoch 2's order is uncorrelated with epoch 1's but identical on
+    // every re-run and engine — an RNG-free shuffle that resumes after
+    // failure at any offset). The head of each epoch's order is the
+    // gated sample; rank ≤ 20 pushes below the per-epoch exchange as
+    // WindowGroupLimit, so the shuffle carries candidates, not corpus
+    "sample_epoch_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("epoch"))
+        .orderBy(col("prio"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(lit(0), lit(1), lit(2))).as("epoch"))
+        .withColumn("prio", conv(substring(
+          md5(concat_ws("|", col("doc_id"), col("epoch"))), 1, 8), 16, 10)
+          .cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // running DISTINCT count per user (how many distinct event types
+    // seen so far at each event) — distinct doesn't decompose over
+    // frames, so the scale idiom is first-seen flags (row_number = 1
+    // in the (user, type) order) turned into a running sum in the
+    // (user) order: two window sorts, zero joins, no per-row set state
+    "events_cum_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Engine.eventsTable(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("cum_types", sum(col("first_seen")).over(wRun))
+        .select(col("user_id"), col("event_id"), col("cum_types"))
+    }),
     "distinct_exact" -> ((s, dir) =>
       Aggregates.distinctExact(t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))),
     // KMV (bottom-k theta) distinct-count sketch — unlike FM/HLL the
@@ -4582,6 +4624,39 @@ object SparkEntry {
           |SELECT 'intersect_all' AS op, k, count(*) AS n FROM i GROUP BY k
           |UNION ALL
           |SELECT 'except_all' AS op, k, count(*) AS n FROM x GROUP BY k""".stripMargin,
+
+      "sample_epoch_shuffle" ->
+        """WITH x AS (
+          |  SELECT doc_id, epoch,
+          |         CAST(('0x' || substr(md5(doc_id || '|' || epoch), 1, 8))
+          |              AS BIGINT) AS prio
+          |  FROM documents, unnest([0, 1, 2]) AS t(epoch))
+          |SELECT cast(epoch as bigint) AS epoch, doc_id,
+          |       cast("rank" as bigint) AS "rank"
+          |FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY epoch
+          |    ORDER BY prio, doc_id) AS "rank"
+          |  FROM x)
+          |WHERE "rank" <= 20""".stripMargin,
+
+      "events_cum_distinct" ->
+        """WITH e AS (
+          |  SELECT user_id, cast(epoch_ms(ts) as bigint) AS ts_ms,
+          |         event_id, event_type
+          |  FROM events),
+          |f AS (
+          |  SELECT user_id, ts_ms, event_id,
+          |         CASE WHEN row_number() OVER (
+          |                PARTITION BY user_id, event_type
+          |                ORDER BY ts_ms, event_id) = 1
+          |              THEN 1 ELSE 0 END AS first_seen
+          |  FROM e)
+          |SELECT user_id, event_id,
+          |       cast(sum(first_seen) OVER (PARTITION BY user_id
+          |         ORDER BY ts_ms, event_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |         as bigint) AS cum_types
+          |FROM f""".stripMargin,
 
       "distinct_bitmap" ->
         """WITH li AS (SELECT l_returnflag, l_partkey FROM lineitem),
