@@ -724,6 +724,31 @@ object SparkEntry {
         .select(col("l_returnflag"), col("ndv_bitmap"),
           (col("ndv_bitmap") === col("ndv_exact")).as("eq_ok"))
     }),
+    // exact WEIGHTED median (lower): collapse ties first ((group,
+    // value) weight aggregate — the shuffle carries one row per
+    // distinct value, not per input row), then a running weight sum in
+    // value order picks the first value where 2·cum ≥ total. All
+    // integer, deterministic, replayable — where the float
+    // interpolation form (percentile(col, 0.5, weight)) is neither
+    // order-free nor engine-portable
+    "agg_weighted_percentile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("v"),
+          floor(col("l_quantity")).cast("long").as("w"))
+        .groupBy(col("l_returnflag"), col("v"))
+        .agg(sum(col("w")).as("w"))
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("l_returnflag"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cum", sum(col("w")).over(wOrd))
+        .withColumn("tot", sum(col("w")).over(wTot))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("v")).as("w_median"), max(col("tot")).as("total_weight"))
+    }),
     // deterministic per-epoch training shuffle — the data-loader
     // primitive: each epoch is an independent, reproducible, seeded
     // permutation of the corpus (priority = md5(doc_id | epoch), so
@@ -4624,6 +4649,22 @@ object SparkEntry {
           |SELECT 'intersect_all' AS op, k, count(*) AS n FROM i GROUP BY k
           |UNION ALL
           |SELECT 'except_all' AS op, k, count(*) AS n FROM x GROUP BY k""".stripMargin,
+
+      "agg_weighted_percentile" ->
+        """WITH g AS (
+          |  SELECT l_returnflag, cast(floor(l_extendedprice) as bigint) AS v,
+          |         cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS w
+          |  FROM lineitem GROUP BY 1, 2),
+          |c AS (
+          |  SELECT l_returnflag, v, w,
+          |         cast(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           as bigint) AS cum,
+          |         cast(sum(w) OVER (PARTITION BY l_returnflag) as bigint) AS tot
+          |  FROM g)
+          |SELECT l_returnflag, cast(min(v) as bigint) AS w_median,
+          |       cast(max(tot) as bigint) AS total_weight
+          |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag""".stripMargin,
 
       "sample_epoch_shuffle" ->
         """WITH x AS (
