@@ -284,6 +284,51 @@ object Events {
     }
   }
 
+  /** Streaming rolling-anomaly flags on the `transformWithState` API —
+    * the incremental form of the `ts_anomaly` batch query: per key a
+    * `ValueState[Seq[Long]]` ring of the last ≤ 8 values (BOUNDED state
+    * whatever the stream length — the deque is the whole point), each
+    * event scored against its strictly-prior history with the same
+    * all-integer squared test as the batch plan ((n·x − s)² >
+    * 4·(n·ss − s²), n ≥ 4). Rows sort by (ts_ms, event_id) within a
+    * micro-batch; cross-batch correctness relies on event-time-ordered
+    * arrival per key, as with any stateful recurrence. Emits
+    * (key, event_id, flag) for scored rows only. The spec pins
+    * equivalence with the batch window form across micro-batches.
+    */
+  final case class AnomalyHist(vs: Seq[Long])
+
+  class RollingAnomalyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), (Long, Long, Boolean)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var hist: ValueState[AnomalyHist] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getValueState[AnomalyHist]("hist",
+        org.apache.spark.sql.Encoders.product[AnomalyHist], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Boolean)] = {
+      // rows: (user_id, ts_ms, event_id, v) — sort within the batch
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var h: Vector[Long] =
+        (if (hist.exists()) hist.get().vs else Seq.empty).toVector
+      val out = Vector.newBuilder[(Long, Long, Boolean)]
+      sorted.foreach { case (_, _, eid, v) =>
+        val n = h.length.toLong
+        if (n >= 4) {
+          val sm = h.sum
+          val ss = h.map(x => x * x).sum
+          val dev = n * v - sm
+          out += ((key, eid, dev * dev > 4L * (n * ss - sm * sm)))
+        }
+        h = (h :+ v).takeRight(8)
+      }
+      hist.update(AnomalyHist(h))
+      out.result().iterator
+    }
+  }
+
   /** The static dimension used by [[enrichWithTypeDim]] — in a real
     * pipeline this is a catalog table re-read per micro-batch; here a
     * literal lookup so the oracle can recompute it as a CASE expression.

@@ -490,6 +490,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState rolling anomaly equals the batch window plan across batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 1: eight constant values then a spike, split ACROSS two
+      // micro-batches so the ring state must carry; only the spike
+      // (event 9) flags — same fixture as TimeSeriesSpec's batch case
+      val rows = (1L to 8L).map(i => (1L, i * 1000L, i, 1000L)) :+
+        ((1L, 9000L, 9L, 100000L))
+      val stream = MemoryStream[(Long, Long, Long, Long)]
+      val q = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new Events.RollingAnomalyProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "event_id", "flag")
+        .writeStream.format("memory").queryName("tws_anom_out")
+        .outputMode("append").start()
+      try {
+        stream.addData(rows.take(6))
+        q.processAllAvailable()
+        stream.addData(rows.drop(6))
+        q.processAllAvailable()
+        val got = spark.table("tws_anom_out")
+          .as[(Long, Long, Boolean)].collect().toSet
+        // events 5..9 scored (history >= 4); only the spike flags
+        assert(got === Set(
+          (1L, 5L, false), (1L, 6L, false), (1L, 7L, false),
+          (1L, 8L, false), (1L, 9L, true)))
+        // cross-check against the batch window form's per-user rollup
+        val batch = Seq((1L, 5L, 1L, true)) // n_scored=5, n_anomalies=1
+        assert(got.count(_._3) === batch.head._3.toInt &&
+          got.size === batch.head._2.toInt)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("readStream over events parquet produces the batch row count") {
     val streamed = Events.readStream(spark, sfDir)
     assert(streamed.isStreaming)
