@@ -724,6 +724,45 @@ object SparkEntry {
         .select(col("l_returnflag"), col("ndv_bitmap"),
           (col("ndv_bitmap") === col("ndv_exact")).as("eq_ok"))
     }),
+    // the SQL PIVOT clause through the parser (agg_pivot covers the
+    // DataFrame groupBy().pivot() API; users also write the SQL form) —
+    // order-sum per status pivoted across three fixed priorities, CASE
+    // aggregation in the oracle (the semantics, not the syntax, is the
+    // contract)
+    "sql_pivot" -> ((s, dir) => {
+      Engine.table(s, dir, "orders").createOrReplaceTempView("pv_orders")
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT o_orderstatus,
+          |         substring(o_orderpriority, 1, 1) AS prio,
+          |         cast(floor(o_totalprice) as bigint) AS v
+          |  FROM pv_orders)
+          |PIVOT (sum(v) AS s FOR prio IN ('1' AS p1, '2' AS p2, '3' AS p3))""".stripMargin)
+    }),
+    // COLUMN-PRUNING PROOF for payload-carrying media tables, as a
+    // gated fact (the layout_bucketed pattern: the scale property is
+    // asserted IN the query output, so a regression fails CORRECTNESS,
+    // not just a spec): a metadata-only aggregate over the media view
+    // must never read the payload source column — the parquet leaf's
+    // output names, inspected from the physical plan at build time,
+    // must exclude `text`. At 100 TB this pruning is the difference
+    // between scanning kilobytes of metadata and petabytes of bytes
+    "multimodal_prune" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      val agg = media.groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("width").cast("long") * col("height")).as("sum_pixels"),
+          max(col("duration_ms")).as("max_duration_ms"))
+      // sparkPlan, not executedPlan: under AQE the executed plan is an
+      // AdaptiveSparkPlanExec WRAPPER with no children — collectLeaves
+      // returns the wrapper itself (whose output is the final schema),
+      // never the parquet scan. Column pruning is a logical-phase
+      // optimization, so the pre-adaptive physical plan shows it
+      val scanned = agg.queryExecution.sparkPlan.collectLeaves()
+        .flatMap(_.output.map(_.name)).toSet
+      agg.withColumn("pruned_ok",
+        lit(!scanned.contains("text") && scanned.contains("doc_id")))
+    }),
     // exact WEIGHTED median (lower): collapse ties first ((group,
     // value) weight aggregate — the shuffle carries one row per
     // distinct value, not per input row), then a running weight sum in
@@ -4649,6 +4688,31 @@ object SparkEntry {
           |SELECT 'intersect_all' AS op, k, count(*) AS n FROM i GROUP BY k
           |UNION ALL
           |SELECT 'except_all' AS op, k, count(*) AS n FROM x GROUP BY k""".stripMargin,
+
+      "sql_pivot" ->
+        """WITH b AS (
+          |  SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS prio,
+          |         cast(floor(o_totalprice) as bigint) AS v
+          |  FROM orders)
+          |SELECT o_orderstatus,
+          |       cast(sum(CASE WHEN prio = '1' THEN v END) as bigint) AS p1,
+          |       cast(sum(CASE WHEN prio = '2' THEN v END) as bigint) AS p2,
+          |       cast(sum(CASE WHEN prio = '3' THEN v END) as bigint) AS p3
+          |FROM b GROUP BY o_orderstatus""".stripMargin,
+
+      // the oracle recomputes the LCG metadata from doc_id (the media
+      // view's arithmetic is engine-portable by design) and pins
+      // pruned_ok — a plan that starts reading the payload column
+      // flips the boolean and fails the hash gate
+      "multimodal_prune" ->
+        """SELECT 'image' AS modality, count(*) AS n_media,
+          |       cast(sum(((doc_id * 48271 + 11) % 1920 + 1) *
+          |                ((doc_id * 69621 + 7) % 1080 + 1)) as bigint)
+          |         AS sum_pixels,
+          |       cast(max((doc_id * 16807 + 3) % 600000) as bigint)
+          |         AS max_duration_ms,
+          |       true AS pruned_ok
+          |FROM documents""".stripMargin,
 
       "agg_weighted_percentile" ->
         """WITH g AS (
