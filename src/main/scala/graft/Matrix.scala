@@ -11,8 +11,12 @@ import org.apache.spark.sql.SparkSession
   * run the query `reps` times, assert the engine result equals the
   * independent oracle (q4112_main.c:127 `assert(gen_res == run_res)`),
   * and append one CSV row per run:
-  * `inner,isel,ivmax,outer,osel,ovmax,groups,hh,hhp,threads,repeat,ns`
-  * (same column order as q4112_main.c:128-131).
+  * `inner,isel,ivmax,outer,osel,ovmax,groups,hh,hhp,threads,repeat,ns,plan,calib`
+  * (the reference's column order, q4112_main.c:128-131, plus the
+  * physical-plan label and the fixed-work calibration-probe seconds
+  * measured immediately before the rep — idle box ≈ 0.41-0.77 s; the
+  * probe makes ratios comparable ACROSS sessions, which the cfg17
+  * 18.76/21.6/27.8 s spread on identical code showed raw times are not).
   *
   * `runMain graft.Matrix [outCsv] [scale] [part] [reps]` — scale shrinks
   * the reference matrices (outer=1e9 → 1e9·scale); default 1e-3 mirrors
@@ -155,6 +159,42 @@ object Matrix {
       System.err.println("[matrix] warm-up done")
     }
 
+    // fixed-work calibration probe — the SAME deterministic spin Bench
+    // runs (128M xxh64 mixes over 32 tasks + one tiny shuffle), so a
+    // matrix session's effective box throughput is measurable inside the
+    // session itself: cfg17's auto readings moved 18.76 → 21.6 → 27.8 s
+    // across three rounds on byte-identical code, and without an
+    // in-session probe those numbers cannot be compared. Each CSV row
+    // carries the probe seconds measured immediately before its rep;
+    // idle on this box ≈ 0.41-0.77 s (BENCH_full_r7 calib array).
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0, 128L * 1024 * 1024, 1, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .select(pmod(col("h"), lit(97)).as("b"))
+        .groupBy("b").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the probe's own codegen path, untimed
+    System.err.println(f"[matrix] calib idle-check: ${calibrate()}%.3f s")
+
+    // per-rep memory telemetry: heap-in-use after the post-rep GC plus
+    // process RSS — the rep-3 GC collapse (27.8 → 178 s, SCALING.md
+    // round-7) was diagnosed from ps snapshots; log it from inside so
+    // every session records the evidence
+    def memLine(): String = {
+      val rt = Runtime.getRuntime
+      val heapGb = (rt.totalMemory() - rt.freeMemory()) / 1e9
+      val rssGb = try {
+        scala.io.Source.fromFile("/proc/self/status").getLines()
+          .find(_.startsWith("VmRSS:"))
+          .map(_.split("\\s+")(1).toLong / 1e6).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+      f"heap=${heapGb}%.1fg rss=${rssGb}%.1fg"
+    }
+
     // autoflush: a multi-hour 1e9-scale session must not lose completed
     // rows if the process is killed mid-matrix
     val out = new java.io.PrintWriter(new java.io.FileWriter(outCsv, true), true)
@@ -260,7 +300,21 @@ object Matrix {
             // the same reason any partial-agg plan does
             else Q4112Gen.oracleFullCas(orders, cfg)
           }
+        // joined_bucketed reps read ONLY the materialized joined_bkt
+        // table — the two generator caches (~26 GB at 1e9) and the dense
+        // broadcast built for the write (~800 MB at inner=1e8) are dead
+        // weight from here on, and at 1e9 they were enough to push rep 3
+        // into GC collapse (27.8 → 178 s, SCALING.md round-7). Release
+        // them the moment the oracle (which needs the orders cache) is
+        // computed, not at the config boundary.
+        if (part == 2 && p2Plan == "joined_bucketed") {
+          items.unpersist(blocking = true)
+          orders.unpersist(blocking = true)
+          Q4112.clearRelationCaches() // destroys the write-only dense broadcast
+          System.gc()
+        }
         for (rep <- 1 to reps) {
+          val calib = calibrate()
           val t0 = System.nanoTime()
           val result =
             if (part == 1) {
@@ -339,15 +393,22 @@ object Matrix {
             cfg.innerTuples, cfg.innerSelectivity, cfg.innerValMax,
             cfg.outerTuples, cfg.outerSelectivity, cfg.outerValMax,
             cfg.groups, cfg.hhGroups, cfg.hhProbability,
-            cpus, rep, ns, planLabel
+            cpus, rep, ns, planLabel, f"$calib%.3f"
           ).mkString(","))
-          System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s ok")
-          // each dense rep broadcasts a fresh ~800 MB array; ContextCleaner
-          // only reaps them after a GC notices they're unreachable. Without
-          // this, builds degrade 3 s → 79 s across a long session (measured,
-          // round-3 cliff session) as dead broadcasts pile into old-gen.
+          System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s " +
+            f"ok calib=$calib%.3f ${memLine()}")
+          // TWO GC cycles with a settle between them: the first lets
+          // ContextCleaner's reference queue notice this rep's dead
+          // query state (AQE broadcast exchanges, shuffle deps — each
+          // rep makes fresh ones); the cleaner's removals are ASYNC, so
+          // a single gc reclaims nothing the cleaner frees moments
+          // later and rep 3 of a 1e9 config ran inside GC (27.8 → 178 s,
+          // SCALING.md round-7). The second gc collects what the
+          // cleaner just released before the next rep is timed.
           System.gc()
           Thread.sleep(2000)
+          System.gc()
+          Thread.sleep(500)
         }
         // blocking + an explicit GC: a 1e9-scale session caches ~26 GB
         // per config and builds multi-GB broadcast relations per rep;
