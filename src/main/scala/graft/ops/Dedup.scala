@@ -224,10 +224,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
-    val prep = docs.select(col(idCol).as("id"),
-        TextHashFunctions.winnowFingerprint(col(textCol), k, w).as("fp"))
-      .filter(size(col("fp")) > 0) // empty sketch = no similarity evidence
-      .repartition(parallelism(docs), col("id"))
+    val prep = winnowSketches(docs, idCol, textCol, k, w)
     val posting = prep.select(col("id"), explode(col("fp")).as("f"))
     val screened =
       if (maxDocFreq == Int.MaxValue) posting
@@ -243,6 +240,96 @@ object Dedup {
     candidates
       .join(prep.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
       .join(prep.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The persisted winnow sketch store: (id, fp) with empty sketches
+    * excluded — the standing state an incremental dedup pipeline keeps
+    * between ingest batches (alongside its posting index, which is just
+    * `explode(fp)` and at scale is stored bucketed on the fingerprint).
+    */
+  def winnowSketches(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextHashFunctions.winnowFingerprint(col(textCol), k, w).as("fp"))
+      .filter(size(col("fp")) > 0) // empty sketch = no similarity evidence
+      .repartition(parallelism(docs), col("id"))
+
+  /** Incremental (new-batch-vs-standing-corpus) winnow near-dup search —
+    * the production shape of [[winnowPairs]]: a 100 TB pipeline ingests
+    * shards daily and must NOT redo the whole-corpus pair search per
+    * shard. Inputs are the standing corpus's persisted sketch store
+    * ([[winnowSketches]] output — ids must be disjoint from the batch's)
+    * and the raw new batch; output is every qualifying pair that TOUCHES
+    * the batch: batch×standing (probing the batch's fingerprints against
+    * the standing posting index) plus batch×batch (within-shard pairs).
+    * Standing×standing pairs were found when THOSE docs were the batch —
+    * the quadratic standing-side self-join, the term that grows with
+    * corpus size rather than shard size, never runs.
+    *
+    * EXACTNESS: with no cap, the shared-fingerprint screen is lossless
+    * (jaccard > 0 needs a shared fingerprint), so the result EQUALS
+    * the full-recompute [[winnowPairs]] over standing ∪ batch restricted
+    * to pairs with ≥ 1 batch-side id — the `dedup_incremental` gate
+    * asserts that set equality every round. `maxDocFreq` is the same
+    * boilerplate valve, applied to fingerprint document frequency over
+    * the COMBINED corpus (a df is a corpus property; a production index
+    * maintains it as a per-fingerprint count updated per batch, so the
+    * valve reads stored state, not a recount).
+    *
+    * Scale shape: the batch posting shuffle is O(|batch| sketches); the
+    * standing index contributes only posting lists whose fingerprint
+    * occurs in the batch (an equi-join on the fingerprint — with the
+    * index stored bucketed on `f`, exchange-free on the standing side);
+    * verification re-joins full sketch arrays for candidates only.
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def incrementalWinnowPairs(
+      standingSketches: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
+    val batchPrep = winnowSketches(batch, idCol, textCol, k, w)
+    val standing = standingSketches.select(col("id"), col("fp"))
+    // slim (id, f, is_new) postings; the valve's df is counted over the
+    // combined corpus BEFORE splitting sides, so capped incremental ==
+    // capped full recompute (same df, same dropped lists)
+    val posting = standing.select(col("id"), explode(col("fp")).as("f"),
+        lit(false).as("is_new"))
+      .union(batchPrep.select(col("id"), explode(col("fp")).as("f"),
+        lit(true).as("is_new")))
+    val screened =
+      if (maxDocFreq == Int.MaxValue) posting
+      else posting
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
+        .filter(col("df") <= maxDocFreq).drop("df")
+    val newPost = screened.filter(col("is_new")).select(col("id"), col("f"))
+    val oldPost = screened.filter(!col("is_new")).select(col("id"), col("f"))
+    // batch probes the standing index (both orders collapse via
+    // least/greatest — ids are disjoint by contract) + within-batch pairs
+    val cross = newPost.as("nb").join(oldPost.as("st"), Seq("f"))
+      .select(least(col("nb.id"), col("st.id")).as("id_a"),
+        greatest(col("nb.id"), col("st.id")).as("id_b"))
+    val within = newPost.as("a").join(newPost.as("b"), Seq("f"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val candidates = cross.union(within).distinct()
+    val sketches = standing.union(batchPrep)
+    candidates
+      .join(sketches.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(sketches.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

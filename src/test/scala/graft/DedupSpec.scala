@@ -183,6 +183,57 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture must produce contained pairs")
   }
 
+  test("incrementalWinnowPairs equals full recompute restricted to batch-touching pairs") {
+    // 24 docs with engineered near-dup structure crossing the split:
+    // pairs within standing, within batch, and across — incremental must
+    // reproduce exactly the full pair set minus standing-only pairs
+    val d = (1L to 24L).map { i =>
+      val fam = i % 4 // 4 families of 6 near-identical docs
+      (i, s"family $fam shares this long boilerplate sentence body" +
+        s" with trailing marker ${i / 4}")
+    }.toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 3 === 0
+    val inc = Dedup.incrementalWinnowPairs(
+      Dedup.winnowSketches(d.filter(!isBatch), "doc_id", "text", k = 5, w = 4),
+      d.filter(isBatch), "doc_id", "text", k = 5, w = 4, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.winnowPairs(d, "doc_id", "text", k = 5, w = 4, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val touching = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(inc === touching)
+    assert(touching.nonEmpty, "fixture must produce batch-touching pairs")
+    assert(full.exists { case (a, b) => a % 3 != 0 && b % 3 != 0 },
+      "fixture must also have standing-only pairs the incremental form skips")
+    assert(touching.exists { case (a, b) => a % 3 == 0 && b % 3 == 0 },
+      "fixture must have within-batch pairs")
+    assert(touching.exists { case (a, b) => (a % 3 == 0) != (b % 3 == 0) },
+      "fixture must have cross pairs")
+  }
+
+  test("incrementalWinnowPairs combined-corpus valve matches capped full recompute") {
+    // the cap's df is a property of standing ∪ batch: a fingerprint at
+    // df 4 (2 standing + 2 batch) must be dropped at cap 3 in BOTH forms
+    val d = (1L to 20L).map { i =>
+      (i, if (i <= 8) "boilerplate header every document shares " + s"unique tail $i"
+          else s"distinct content number $i " * 3)
+    }.toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 2 === 0
+    def incAt(cap: Int) = Dedup.incrementalWinnowPairs(
+      Dedup.winnowSketches(d.filter(!isBatch), "doc_id", "text", k = 5, w = 4),
+      d.filter(isBatch), "doc_id", "text", k = 5, w = 4,
+      threshold = 0.2, maxDocFreq = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def fullAt(cap: Int): Set[(Long, Long)] = {
+      val all = Dedup.winnowPairs(d, "doc_id", "text",
+        k = 5, w = 4, threshold = 0.2, maxDocFreq = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      all.filter { case (a, b) => a % 2 == 0 || b % 2 == 0 }
+    }
+    assert(incAt(3) === fullAt(3))
+    assert(incAt(3).subsetOf(incAt(Int.MaxValue)))
+    assert(incAt(Int.MaxValue) === fullAt(Int.MaxValue))
+  }
+
   test("containmentPairs maxDocFreq valve only drops pairs, never invents") {
     val d = (1L to 30L).map { i =>
       (i, if (i <= 10) "boilerplate header everyone shares " + s"unique $i"
