@@ -1316,6 +1316,34 @@ object SparkEntry {
     "text_subwords" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+    // corpus-trained BPE merge table (Sennrich 2016) — the trained
+    // tokenizer stage: k rounds of pair-count argmax + greedy merge
+    // over the word-TYPE table. The OUTPUT is the model itself (rank,
+    // lhs, rhs, pair_count), and the oracle replays the full training
+    // recurrence as a fixed-round CTE unroll (per-round argmax with the
+    // (count DESC, x, y) tie-break, merge via islands-parity windows) —
+    // the graph_lpa convention, so a wrong merge order, tie-break, or
+    // overlap rule in ANY round fails the gate
+    "text_bpe_train" -> ((s, dir) => {
+      val merges = Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((x, y, c), i) => (i + 1L, x, y, c) }
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    }),
+    // the serving path of the trained tokenizer: per-doc BPE token
+    // count via the codegen kernel (one pass over the normalized text,
+    // no explode/join/shuffle at scoring time); the oracle re-trains
+    // AND re-segments through the unrolled recurrence, then aggregates
+    // word-type token counts back to docs
+    "text_bpe_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(docs, "text", rounds = 8)
+      docs.select(col("doc_id"),
+        graft.functions.BpeKernels.tokenCountCol(
+          graft.functions.BigramLm.normalize(col("text")),
+          Bpe.flatten(merges)).as("n_bpe_tokens"))
+    }),
     // per-source corpus report card — the observability surface a
     // pipeline operator reads between prep stages: volume (docs, chars,
     // tokens), language mix (en share via the langId kernel), and
@@ -3750,6 +3778,18 @@ object SparkEntry {
       Similarity.hardNegatives(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label", k = 5, nCentroids = 8, nProbe = 3)
         .select(col("src_id"), col("dst_id"), col("rank"))),
+    // bench form: the training loop WITHOUT the model cache — the row
+    // times the operator (vocab scan + k pair-count/argmax rounds);
+    // with the cache a second rep would time a map lookup. The output
+    // shape matches the gate's (model rows)
+    "text_bpe_train" -> ((s, dir) => {
+      val merges = Bpe.trainMergesUncached(t(s, dir, "documents"), "text",
+        rounds = 8)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((x, y, c), i) => (i + 1L, x, y, c) }
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    }),
     // production form: the batch-shard probe against the PERSISTED
     // standing sketch store (written once per session, the state a real
     // ingest pipeline keeps between shards) — the timed path is batch
@@ -4119,6 +4159,79 @@ object SparkEntry {
     * per round), argmax replayed as row_number over (count DESC,
     * label ASC) — the same total order as the engine's min-struct form.
     */
+  /** Shared CTE chain replaying BPE training: normalized corpus → word
+    * types → per-round (pair count → argmax → greedy leftmost
+    * non-overlapping merge). The merge step uses the islands-parity
+    * form: within each maximal run of consecutive matching positions,
+    * the 1st, 3rd, ... positions merge — provably the same result as
+    * the kernel's single left-to-right scan (runs only arise when
+    * x = y, and both select every other position from the left).
+    * NOTE: assumes the corpus yields ≥ `rounds` distinct pairs (true
+    * for every driver sf); on a degenerate corpus the Spark side stops
+    * early while tok{r} here goes empty.
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val head =
+      """WITH nr AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(lower(text), '[\t\n\x0b\f\r ]', ' ', 'g'),
+        |                        '[^a-z ]', '#', 'g') AS t
+        |  FROM documents),
+        |wrd AS MATERIALIZED (
+        |  SELECT w, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(str_split(t, ' ')) AS w FROM nr)
+        |  WHERE w <> '' GROUP BY w),
+        |tok0 AS MATERIALIZED (
+        |  SELECT w, freq, i, substr(w, i, 1) AS t
+        |  FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i FROM wrd))""".stripMargin
+    val iter = (1 to rounds).map { r =>
+      s""",
+         |cnt$r AS (
+         |  SELECT x, y, sum(freq)::BIGINT AS c FROM (
+         |    SELECT t AS x, lead(t) OVER (PARTITION BY w ORDER BY i) AS y, freq
+         |    FROM tok${r - 1})
+         |  WHERE y IS NOT NULL GROUP BY x, y),
+         |best$r AS MATERIALIZED (
+         |  SELECT x, y, c FROM cnt$r ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+         |mk$r AS (
+         |  SELECT k.w, k.freq, k.i, k.t,
+         |         coalesce(k.t = b.x AND
+         |           lead(k.t) OVER (PARTITION BY k.w ORDER BY k.i) = b.y, false) AS mt
+         |  FROM tok${r - 1} k CROSS JOIN best$r b),
+         |s1$r AS (SELECT *, CASE WHEN mt THEN i - row_number()
+         |           OVER (PARTITION BY w, mt ORDER BY i) END AS isl FROM mk$r),
+         |s2$r AS (SELECT *, CASE WHEN mt THEN row_number()
+         |           OVER (PARTITION BY w, isl ORDER BY i) END AS rn FROM s1$r),
+         |s3$r AS (SELECT *, (mt AND rn % 2 = 1) AS sel,
+         |                lead(t) OVER (PARTITION BY w ORDER BY i) AS nxt,
+         |                lag(mt AND rn % 2 = 1) OVER (PARTITION BY w ORDER BY i) AS psel
+         |         FROM s2$r),
+         |tok$r AS MATERIALIZED (
+         |  SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+         |         CASE WHEN sel THEN t || nxt ELSE t END AS t
+         |  FROM s3$r WHERE NOT coalesce(psel, false))""".stripMargin
+    }.mkString
+    head + iter
+  }
+
+  private def bpeTrainOracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) + "\n" +
+      (1 to rounds).map(r =>
+        s"SELECT ${r}::BIGINT AS merge_rank, x AS lhs, y AS rhs, c AS pair_count FROM best$r")
+        .mkString("\nUNION ALL\n")
+
+  private def bpeSegmentOracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) +
+      s""",
+         |docw AS (SELECT doc_id, w, count(*)::BIGINT AS n
+         |         FROM (SELECT doc_id, unnest(str_split(t, ' ')) AS w FROM nr)
+         |         WHERE w <> '' GROUP BY doc_id, w),
+         |wtok AS (SELECT w, count(*)::BIGINT AS ntok FROM tok$rounds GROUP BY w),
+         |cnts AS (SELECT doc_id, sum(n * ntok)::BIGINT AS s
+         |         FROM docw JOIN wtok USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(c.s, 0)::BIGINT AS n_bpe_tokens
+         |FROM documents d LEFT JOIN cnts c USING (doc_id)""".stripMargin
+
   private def lpaOracleSql(rounds: Int, knnK: Int): String = {
     val head =
       s"""WITH knn AS MATERIALIZED (
@@ -4187,6 +4300,8 @@ object SparkEntry {
       "graph_pagerank" -> prSql,
       "graph_kcore" -> kCoreOracleSql(rounds = 16, k = 2, knnK = 3),
       "graph_lpa" -> lpaOracleSql(rounds = 4, knnK = 3),
+      "text_bpe_train" -> bpeTrainOracleSql(rounds = 8),
+      "text_bpe_segment" -> bpeSegmentOracleSql(rounds = 8),
       "dq_rules" ->
         """SELECT count(*) AS n_rows,
           |       cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_cust,
