@@ -1100,6 +1100,20 @@ object SparkEntry {
       val pairs = b.select(col("sk").as("id_a"), (col("pk") + 1000000L).as("id_b"))
       Graph.pageRankFixedPoint(pairs, "id_a", "id_b", iterations = 10, tolAbs = 0L)
     }),
+    // DIRECTED PageRank with dangling-mass redistribution on the same
+    // supplier→part edge set kept one-way: every part node is dangling
+    // (out-degree 0), so the redistribution term is exercised with real
+    // mass, not a degenerate zero. 6-round unrolled SQL oracle replays
+    // the full recurrence including the per-round dangling-mass scalar
+    // and the integer share division
+    "graph_pagerank_directed" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      Graph.pageRankDirected(
+        b.select(col("sk").as("src"), (col("pk") + 1000000L).as("dst")),
+        "src", "dst", iterations = 6)
+    }),
     // the bucketed LAYOUT itself as an oracle-gated invariant — the
     // 100 TB answer the scaling campaign leans on (SCALING.md): write a
     // slim projection bucketed+sorted on the group key, read it back,
@@ -3889,13 +3903,14 @@ object SparkEntry {
     }),
     // production form: the mutual graph from IVF-routed knnGraph
     // candidates (the corpus-scale generator) instead of the gate's
-    // exact all-pairs 3-NN; identical peel on top
+    // exact all-pairs 3-NN; identical peel on top. The graph comes from
+    // the SHARED materialized mutual-kNN relation — kcore/lpa/jaccard
+    // analyze one graph, built once per session (round-7 bench
+    // attribution: each was privately re-paying the ~1-2 s build)
     "graph_kcore" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val mutual = Similarity.mutualEdges(
-        Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 3, nCentroids = 8, nProbe = 3)
-          .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id")))
+      val mutual = Similarity.mutualKnnEdges(e, "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 3)
       val core = Graph.kCore(mutual, "src", "dst", k = 2, maxRounds = 16)
       val nodes = mutual.select(col("src").as("node"))
         .union(mutual.select(col("dst").as("node"))).distinct()
@@ -3906,25 +3921,18 @@ object SparkEntry {
     // on xxhash64 keys (8-byte shuffle rows instead of segment text)
     "text_clean_segments" -> ((s, dir) =>
       cleanSegments(t(s, dir, "documents"), hashedDf = true)),
-    // production form: IVF-routed mutual-kNN edges (graph_kcore's bench
-    // graph) feeding the same shared wedge-join + degree arithmetic
-    "graph_jaccard_neighbors" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Graph.neighborJaccard(Similarity.mutualEdges(
-        Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 3, nCentroids = 8, nProbe = 3)
-          .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id"))))
-    }),
-    // production form: IVF-routed mutual edges feeding the same fixed
-    // 4-round propagation
-    "graph_lpa" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val mutual = Similarity.mutualEdges(
-        Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 3, nCentroids = 8, nProbe = 3)
-          .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id")))
-      Graph.labelPropagation(mutual, "src", "dst", rounds = 4)
-    }),
+    // production form: the SAME shared mutual-kNN relation feeding the
+    // wedge-join + degree arithmetic
+    "graph_jaccard_neighbors" -> ((s, dir) =>
+      Graph.neighborJaccard(Similarity.mutualKnnEdges(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 3))),
+    // production form: the SAME shared mutual-kNN relation feeding the
+    // fixed 4-round propagation
+    "graph_lpa" -> ((s, dir) =>
+      Graph.labelPropagation(Similarity.mutualKnnEdges(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 3), "src", "dst", rounds = 4)),
     // production form: the within-cluster pair search itself (train +
     // candidate equi-join + cosine verify), not the exact-set comparison
     "dedup_semantic" -> ((s, dir) =>
@@ -4296,8 +4304,35 @@ object SparkEntry {
     }.mkString(",\n")
     val prSql =
       s"WITH $prEdges,\n$prIters\nSELECT node, score AS pagerank FROM it10"
+    // directed PageRank: same edge set kept one-way (supplier → part,
+    // every part dangling); each unrolled round adds the dangling-mass
+    // scalar + integer share, then the nodes-side left join
+    val prdEdges =
+      """b AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT sk AS s, 1000000 + pk AS d FROM b),
+        |deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |dang AS (SELECT node FROM nodes
+        |         WHERE node NOT IN (SELECT s FROM deg)),
+        |dt0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes)""".stripMargin
+    val prdIters = (1 to 6).map { i =>
+      s"""sh$i AS (SELECT (coalesce((SELECT sum(p.score) FROM dt${i - 1} p
+         |                           JOIN dang USING (node)), 0) // n)::BIGINT AS share
+         |         FROM nn),
+         |dt$i AS (SELECT nd.node,
+         |  CAST(150000 + (85 * (coalesce(x.insum, 0) + sh.share)) // 100 AS BIGINT) AS score
+         |  FROM nodes nd CROSS JOIN sh$i sh LEFT JOIN (
+         |    SELECT e.d AS node, CAST(sum(p.score // dg.deg) AS BIGINT) AS insum
+         |    FROM e JOIN dt${i - 1} p ON e.s = p.node JOIN deg dg ON e.s = dg.s
+         |    GROUP BY e.d) x ON nd.node = x.node)""".stripMargin
+    }.mkString(",\n")
+    val prdSql =
+      s"WITH $prdEdges,\n$prdIters\nSELECT node, score AS pagerank FROM dt6"
     Map(
       "graph_pagerank" -> prSql,
+      "graph_pagerank_directed" -> prdSql,
       "graph_kcore" -> kCoreOracleSql(rounds = 16, k = 2, knnK = 3),
       "graph_lpa" -> lpaOracleSql(rounds = 4, knnK = 3),
       "text_bpe_train" -> bpeTrainOracleSql(rounds = 8),

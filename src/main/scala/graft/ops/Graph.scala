@@ -154,6 +154,78 @@ object Graph {
     (scores.withColumnRenamed("score", "pagerank"), rounds)
   }
 
+  /** DIRECTED PageRank with dangling-mass redistribution — the one
+    * standard graph capability [[pageRankFixedPoint]]'s symmetrized
+    * contract excludes (its input union makes every node have
+    * out-degree ≥ 1 by construction). Here edges keep their direction;
+    * nodes with out-degree 0 (dangling) contribute their whole score,
+    * redistributed uniformly: each round's update is
+    * `score'(d) = 0.15·scale + 0.85·(Σ_{s→d} score(s) div deg(s)
+    *              + danglingMass div nNodes)`,
+    * all integer arithmetic (the fixed-point determinism contract of
+    * the symmetrized form, unchanged). The dangling node set and node
+    * count are static — computed once; the per-round extra cost is ONE
+    * scalar aggregate (the dangling mass, a 1-row collect) plus a
+    * nodes-side left join (nodes with in-degree 0 exist in a directed
+    * graph and must keep receiving base + share).
+    *
+    * The truncating integer divisions drop ≤1/scale per term (the
+    * share remainder and per-edge contribution remainders vanish
+    * rather than redistribute), so total mass is conserved only
+    * approximately — standard for fixed-point PageRank; ranking is
+    * unaffected and the recurrence stays bit-replayable.
+    * Output: (node, pagerank: Long) after exactly `iterations` rounds.
+    */
+  def pageRankDirected(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nEdges = edges.count()
+    var result: DataFrame = null
+    withShufflePartitions(edges, iterPartitions(edges, nEdges)) {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct().localCheckpoint(true)
+      val nNodes = nodes.count()
+      val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+      val edgesDeg = edges.join(degrees, Seq("src")).cache()
+      val dangling = nodes
+        .join(degrees.select(col("src").as("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val base = scale * 15L / 100L
+      var scores = nodes.select(col("node"), lit(scale).as("score"))
+        .localCheckpoint(true)
+      var r = 0
+      while (r < iterations) {
+        // dangling mass: one scalar over the checkpointed score table —
+        // the single extra aggregate the directed mode costs per round
+        val dmass = scores.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("score")), lit(0L)).as("m"))
+          .collect()(0).getLong(0)
+        val share = dmass / nNodes
+        val contrib = edgesDeg
+          .join(scores, edgesDeg("src") === scores("node"))
+          .select(col("dst").as("node"), expr("score div deg").as("contrib"))
+          .groupBy(col("node"))
+          .agg(sum(col("contrib")).as("insum"))
+        scores = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr(s"(85 * (coalesce(insum, 0L) + ${share}L)) div 100"))
+              .as("score"))
+          .localCheckpoint(true)
+        r += 1
+      }
+      result = scores
+    }
+    result.withColumnRenamed("score", "pagerank")
+  }
+
   /** Normalized undirected simple edge list: (lo, hi) with lo < hi,
     * self-loops and duplicate/reversed edges removed.
     */

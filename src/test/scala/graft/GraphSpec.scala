@@ -133,6 +133,43 @@ class GraphSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("pageRankDirected matches a driver-side integer replica with dangling mass") {
+    // directed: 1→2, 1→3, 2→3, 4→1; node 3 is dangling (out-degree 0)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L)).toDF("s", "d")
+    val scale = 1000000L
+    val iters = 5
+    val got = Graph.pageRankDirected(edges, "s", "d", iterations = iters,
+      scale = scale).as[(Long, Long)].collect().toMap
+    // independent replica: pure Scala integer recurrence
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 4L -> Seq(1L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val base = scale * 15L / 100L
+    var score = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val dmass = nodes.filter(n => !out.contains(n)).map(score).sum
+      val share = dmass / nodes.size
+      val insum = nodes.map { n =>
+        n -> nodes.filter(s => out.getOrElse(s, Nil).contains(n))
+          .map(s => score(s) / out(s).size).sum
+      }.toMap
+      score = nodes.map(n => n -> (base + (85L * (insum(n) + share)) / 100L)).toMap
+    }
+    assert(got === score)
+    // the dangling node's mass actually moved: node 3 (sink) must score
+    // above base+share-only nodes would without redistribution
+    assert(got(3L) > got(4L)) // 4 has no in-edges: base + share only
+  }
+
+  test("pageRankDirected with no dangling nodes reduces to plain directed power iteration") {
+    // 2-cycle: 1→2, 2→1 — no dangling mass, share = 0 every round
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val got = Graph.pageRankDirected(edges, "s", "d", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    // symmetric 2-cycle: both nodes keep score = base + 0.85*scale
+    // exactly at every round (1000000 -> 150000 + 850000 = 1000000)
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
   test("neighbor Jaccard wedge arithmetic on a hand graph") {
     // triangle 1-2-3 plus pendant 4 on node 1:
     //   edge (1,2): common = {3}, union = N(1)\{2} ∪ N(2)\{1} = {3,4} → 1/2
