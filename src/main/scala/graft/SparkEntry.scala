@@ -21,6 +21,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  /** sql_recursive_cyclic's simple-path depth cap, shared by the Spark
+    * query and its DuckDB oracle so a future testdata change cannot
+    * silently diverge the two recursions.
+    */
+  private val recursiveDepthCap = 6
+
   /** items-analog: (p_partkey, price: Long). */
   private def partItems(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(col("p_partkey"), floor(col("p_retailprice")).as("price"))
@@ -561,7 +567,7 @@ object SparkEntry {
     "sql_recursive_cyclic" -> ((s, dir) => {
       t(s, dir, "nation").createOrReplaceTempView("rcg_nation")
       s.sql(
-        """WITH edges AS (
+        s"""WITH edges AS (
           |  SELECT n_nationkey AS src, (2 * n_nationkey + 1) % 25 AS dst
           |  FROM rcg_nation
           |  UNION ALL
@@ -573,7 +579,8 @@ object SparkEntry {
           |    UNION ALL
           |    SELECT r.start, e.dst, array_append(r.path, e.dst)
           |    FROM reach r JOIN edges e ON r.node = e.src
-          |    WHERE NOT array_contains(r.path, e.dst) AND size(r.path) < 6)
+          |    WHERE NOT array_contains(r.path, e.dst)
+          |      AND size(r.path) < $recursiveDepthCap)
           |  SELECT start, count(DISTINCT node) AS n_reachable,
           |         max(size(path)) AS max_path_len
           |  FROM reach GROUP BY start)""".stripMargin)
@@ -1241,9 +1248,26 @@ object SparkEntry {
       }
       spin()
       val (checksum, secs) = spin()
-      System.err.println(f"[probe_calibration] fixed-work spin: $secs%.3f s")
+      // LOAD BAND: the spin seconds bucketed against fixed thresholds,
+      // so a loaded verify session is quantified (not just flagged) in
+      // the session record. The band VALUE is load-dependent by design,
+      // so an exact-compare oracle cannot pin it — what the oracle pins
+      // is the ENUM: band_ok asserts the computed band is a member of
+      // the closed {idle, light, heavy, invalid} set under the strictly
+      // increasing thresholds (a banding-logic self-check); the band
+      // itself goes to stderr next to the raw seconds for post-hoc
+      // attribution, and the bench payload carries the raw calib array
+      val thresholds = Seq(0.75 -> "idle", 2.5 -> "light", 10.0 -> "heavy")
+      val band = thresholds.collectFirst {
+        case (cap, name) if secs < cap => name
+      }.getOrElse("invalid")
+      val bandOk = Seq("idle", "light", "heavy", "invalid").contains(band) &&
+        thresholds.map(_._1) == thresholds.map(_._1).sorted
+      System.err.println(
+        f"[probe_calibration] fixed-work spin: $secs%.3f s band=$band")
       import s.implicits._
-      Seq((checksum, secs < 10.0)).toDF("checksum", "load_ok")
+      Seq((checksum, secs < 10.0, bandOk))
+        .toDF("checksum", "load_ok", "band_ok")
     }),
     // exact triangle count over the co-supplier graph (suppliers sharing
     // a part, 5% part slice to bound the clique density at bench scale):
@@ -4394,9 +4418,12 @@ object SparkEntry {
       // fixed-work probe: the checksum is a pinned engine-independent
       // constant (sum of xxhash64(id) mod 97 over id < 2^26, the same
       // recipe as gen_q4112's pinned oracle); load_ok flips only under
-      // >50× slowdown of the fixed work
+      // >50× slowdown of the fixed work; band_ok pins the load-band
+      // ENUM (membership + threshold coherence — the band value itself
+      // is load-dependent and goes to stderr)
       "probe_calibration" ->
-        "SELECT cast(3221230707 as bigint) AS checksum, true AS load_ok",
+        """SELECT cast(3221230707 as bigint) AS checksum, true AS load_ok,
+          |       true AS band_ok""".stripMargin,
       // winnow valve gate: the cap is a pure function of the corpus
       // size (1% with floor 2); subset/no-op-losslessness are computed
       // Spark-side from the pair-set comparisons
@@ -4649,7 +4676,7 @@ object SparkEntry {
           |       cast(sum(cur) as bigint) AS ancestor_key_sum
           |FROM chain GROUP BY node""".stripMargin,
       "sql_recursive_cyclic" ->
-        """WITH RECURSIVE reach(start, node, path) AS (
+        s"""WITH RECURSIVE reach(start, node, path) AS (
           |    SELECT n_nationkey, n_nationkey, [n_nationkey]
           |    FROM nation
           |  UNION ALL
@@ -4660,7 +4687,8 @@ object SparkEntry {
           |      UNION ALL
           |      SELECT n_nationkey, (3 * n_nationkey + 2) % 25 FROM nation
           |    ) e ON r.node = e.src
-          |    WHERE NOT list_contains(r.path, e.dst) AND len(r.path) < 6)
+          |    WHERE NOT list_contains(r.path, e.dst)
+          |      AND len(r.path) < $recursiveDepthCap)
           |SELECT start, count(DISTINCT node) AS n_reachable,
           |       cast(max(len(path)) as bigint) AS max_path_len
           |FROM reach GROUP BY start""".stripMargin,

@@ -182,7 +182,14 @@ object Events {
     * order; cross-batch correctness relies on event-time ordered arrival
     * per user within the watermark, as with any stateful recurrence.
     * In batch execution (NoTimeout, one "batch" = everything) the fold
-    * reproduces the batch window plan exactly — the spec asserts it.
+    * reproduces the batch window plan for every purchase whose
+    * click-to-purchase lag is ≤ `retentionMs` — the retention cutoff is
+    * PART OF THIS OPERATOR's semantics (it is what bounds the state),
+    * while the `events_attribution` batch window plan has no such
+    * cutoff: a purchase whose last prior click is older than
+    * `retentionMs` gets None here and an attribution there. The spec
+    * pins both: equality within the window, and the deliberate
+    * divergence beyond it.
     */
   def attributionStream(
       events: Dataset[AttrEvent],
@@ -295,6 +302,15 @@ object Events {
     * arrival per key, as with any stateful recurrence. Emits
     * (key, event_id, flag) for scored rows only. The spec pins
     * equivalence with the batch window form across micro-batches.
+    *
+    * PRECONDITION |v| < 1e8, enforced: the squared test's long products
+    * (sm², n·ss, dev²) wrap past ~2^63 once 8-deep histories hold
+    * values ≥ ~1e8 and would emit an INVERTED flag silently. The batch
+    * ts_anomaly form carries the same bound as its gated `bounds_ok`
+    * column and fails loudly; this processor mirrors it by rejecting an
+    * out-of-bounds value at ingest (IllegalArgumentException), so the
+    * documented batch equivalence cannot silently break on large
+    * inputs.
     */
   final case class AnomalyHist(vs: Seq[Long])
 
@@ -315,6 +331,11 @@ object Events {
         (if (hist.exists()) hist.get().vs else Seq.empty).toVector
       val out = Vector.newBuilder[(Long, Long, Boolean)]
       sorted.foreach { case (_, _, eid, v) =>
+        // the batch form's bounds_ok guard, mirrored (see scaladoc):
+        // beyond |v| ~1e8 the squared test wraps and inverts silently
+        require(math.abs(v) < 100000000L,
+          s"rolling anomaly requires |v| < 1e8 (got $v for key $key): " +
+            "the integer squared test would overflow and flag wrongly")
         val n = h.length.toLong
         if (n >= 4) {
           val sm = h.sum

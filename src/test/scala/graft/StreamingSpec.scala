@@ -263,6 +263,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamForm.contains((1L, 4L, Some(3L), Some(1000L))))
   }
 
+  test("batch attributionStream keeps the retention cutoff the window plan lacks") {
+    import graft.streaming.Events.AttrEvent
+    // PINNED SEMANTICS (scaladoc): the retention window is part of the
+    // operator even in batch execution — a purchase whose last prior
+    // click is older than retentionMs gets None from the fold, while
+    // the events_attribution window plan (no cutoff) would attribute
+    // it. Equality with the window plan holds only for in-window lags.
+    val Retention = 60000L
+    val rows = Seq(
+      AttrEvent(1L, ts(1000L), 1L, "click"),
+      AttrEvent(1L, ts(1000L + 2 * Retention), 2L, "purchase"), // beyond
+      AttrEvent(2L, ts(1000L), 3L, "click"),
+      AttrEvent(2L, ts(31000L), 4L, "purchase")) // within
+    val got = Events.attributionStream(rows.toDS(), retentionMs = Retention)
+      .collect().map(a => (a.user_id, a.purchase_id, a.click_id, a.lag_ms)).toSet
+    assert(got === Set(
+      (1L, 2L, None, None), // the cutoff applied: no attribution
+      (2L, 4L, Some(3L), Some(30000L))))
+  }
+
+  test("rolling anomaly processor rejects |v| >= 1e8 instead of wrapping silently") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, Long)]
+    val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val query = stream.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new Events.RollingAnomalyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.format("memory").queryName("anom_bounds_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 1000L, 1L, 100000000L)) // |v| = 1e8: breach
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("|v| < 1e8"))))
+    } finally {
+      try query.stop() catch { case _: Throwable => () }
+      old match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("attribution state evicts via event-time timeout after the retention window") {
     import graft.streaming.Events.{AttrEvent, Attribution}
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
