@@ -60,9 +60,24 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    calibrate() // warm the probe's own codegen path
+    // fixed-work SHUFFLE probe (round 8): ~1 GB of UnsafeRows through
+    // the local shuffle path — quantifies disk/page-cache contention,
+    // which the CPU spin cannot see (a session can read idle cpu calib
+    // while shuffle-heavy work degrades; Matrix cfg18, SCALING.md
+    // round-8 reading 4). Run once before and once after the sweep.
+    def calibrateShuffle(): Double = {
+      import org.apache.spark.sql.functions._
+      time {
+        spark.range(0, 64L * 1024 * 1024, 1, 32)
+          .repartition(64, org.apache.spark.sql.functions.col("id"))
+          .agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    calibrate(); calibrateShuffle() // warm both probes' codegen paths
     val calibPoints = scala.collection.mutable.ArrayBuffer[Double]()
     calibPoints += calibrate()
+    val calibShufflePre = calibrateShuffle()
 
     // best-of-2 per query, like the reference's best-of-5 CSV convention
     // (BASELINE.md): run 1 absorbs first-touch costs (parquet footers,
@@ -106,8 +121,9 @@ object Bench {
     // timings + failed query NAMES only. Full error messages go to a
     // sidecar file and stderr.
     calibPoints += calibrate()
+    val calibShufflePost = calibrateShuffle()
     val calibArr = calibPoints.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val calib = f""""calib_pre":${calibPoints.head}%.3f,"calib_post":${calibPoints.last}%.3f,"calib":$calibArr"""
+    val calib = f""""calib_pre":${calibPoints.head}%.3f,"calib_post":${calibPoints.last}%.3f,"calib":$calibArr,"calib_shuffle_pre":$calibShufflePre%.3f,"calib_shuffle_post":$calibShufflePost%.3f"""
     val errNames = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"failed":$errNames,"n_failed":${errors.size},"sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""

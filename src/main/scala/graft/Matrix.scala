@@ -11,12 +11,14 @@ import org.apache.spark.sql.SparkSession
   * run the query `reps` times, assert the engine result equals the
   * independent oracle (q4112_main.c:127 `assert(gen_res == run_res)`),
   * and append one CSV row per run:
-  * `inner,isel,ivmax,outer,osel,ovmax,groups,hh,hhp,threads,repeat,ns,plan,calib`
+  * `inner,...,threads,repeat,ns,plan,calib,calib_shuffle`
   * (the reference's column order, q4112_main.c:128-131, plus the
-  * physical-plan label and the fixed-work calibration-probe seconds
-  * measured immediately before the rep — idle box ≈ 0.41-0.77 s; the
-  * probe makes ratios comparable ACROSS sessions, which the cfg17
-  * 18.76/21.6/27.8 s spread on identical code showed raw times are not).
+  * physical-plan label and TWO fixed-work calibration probes measured
+  * immediately before the rep: the CPU spin (idle ≈ 0.32-0.47 s) and
+  * the ~1 GB shuffle round-trip (idle ≈ 1-2 s; sees the disk/page-
+  * cache debt the spin is blind to). The probes make ratios comparable
+  * ACROSS sessions, which the cfg17 18.76/21.6/27.8 s spread on
+  * identical code showed raw times are not.
   *
   * `runMain graft.Matrix [outCsv] [scale] [part] [reps]` — scale shrinks
   * the reference matrices (outer=1e9 → 1e9·scale); default 1e-3 mirrors
@@ -177,8 +179,24 @@ object Matrix {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // warm the probe's own codegen path, untimed
-    System.err.println(f"[matrix] calib idle-check: ${calibrate()}%.3f s")
+    // fixed-work SHUFFLE probe: 64M longs hashed into 64 partitions and
+    // re-counted — ~1 GB of UnsafeRows through the local shuffle path
+    // (disk write + fetch + page cache), the dimension the CPU spin is
+    // blind to: cfg18's 139 → 183 s rep drift read CLEAN cpu calib
+    // while each rep pushed ~16 GB of packed shuffle through /tmp
+    // (SCALING.md round-8 reading 4). Idle on this box ≈ 1-2 s.
+    def calibrateShuffle(): Double = {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val t0 = System.nanoTime()
+      spark.range(0, 64L * 1024 * 1024, 1, 32)
+        .repartition(64, col("id"))
+        .agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(); calibrateShuffle() // warm both probes' codegen, untimed
+    System.err.println(f"[matrix] calib idle-check: cpu=${calibrate()}%.3f s " +
+      f"shuffle=${calibrateShuffle()}%.3f s")
 
     // per-rep memory telemetry: heap-in-use after the post-rep GC plus
     // process RSS — the rep-3 GC collapse (27.8 → 178 s, SCALING.md
@@ -315,6 +333,7 @@ object Matrix {
         }
         for (rep <- 1 to reps) {
           val calib = calibrate()
+          val calibSh = calibrateShuffle()
           val t0 = System.nanoTime()
           val result =
             if (part == 1) {
@@ -393,10 +412,10 @@ object Matrix {
             cfg.innerTuples, cfg.innerSelectivity, cfg.innerValMax,
             cfg.outerTuples, cfg.outerSelectivity, cfg.outerValMax,
             cfg.groups, cfg.hhGroups, cfg.hhProbability,
-            cpus, rep, ns, planLabel, f"$calib%.3f"
+            cpus, rep, ns, planLabel, f"$calib%.3f", f"$calibSh%.3f"
           ).mkString(","))
           System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s " +
-            f"ok calib=$calib%.3f ${memLine()}")
+            f"ok calib=$calib%.3f calib_sh=$calibSh%.3f ${memLine()}")
           // TWO GC cycles with a settle between them: the first lets
           // ContextCleaner's reference queue notice this rep's dead
           // query state (AQE broadcast exchanges, shuffle deps — each
