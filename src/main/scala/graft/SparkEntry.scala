@@ -27,6 +27,28 @@ object SparkEntry {
     */
   private val recursiveDepthCap = 6
 
+  /** The standing corpus's winnow sketch store as a PERSISTED session
+    * table (written once per session) — the state a real ingest
+    * pipeline keeps between shards, shared by the dedup_incremental
+    * and dedup_stream_probe bench forms so both time the probe, not
+    * the index build. Standing = documents outside the doc_id % 10 = 0
+    * shard bucket.
+    */
+  private def standingSketchTable(s: SparkSession, dir: String): DataFrame = {
+    val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"dedup_inc_sketches_$sid"
+    if (!s.catalog.tableExists(tbl)) {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dedup-inc-$sid").getAbsolutePath
+      Dedup.winnowSketches(
+          t(s, dir, "documents").filter(!(col("doc_id") % 10 === 0)),
+          "doc_id", "text", k = 5, w = 4)
+        .write.mode("overwrite").option("path", path)
+        .format("parquet").saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
   /** items-analog: (p_partkey, price: Long). */
   private def partItems(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(col("p_partkey"), floor(col("p_retailprice")).as("price"))
@@ -1548,6 +1570,47 @@ object SparkEntry {
       import s.implicits._
       Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
         .toDF("max_doc_freq", "subset_ok", "noop_lossless_ok")
+    }),
+    // streaming ingest filter gated through its batch execution: the
+    // SAME dedupProbeStream plan (sketch → posting explode →
+    // stream-static join vs the standing index → pair dedup → Jaccard
+    // verify) run in batch mode must produce EXACTLY the cross-pair
+    // subset of incrementalWinnowPairs (pairs with exactly one
+    // batch-side id, re-oriented batch→standing); self_free_ok pins id
+    // disjointness. The streaming spec pins stream-vs-batch equality
+    // across micro-batches; within-batch pairs are the batch
+    // compaction's job by design (see the operator scaladoc).
+    "dedup_stream_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBatch = col("doc_id") % 10 === 0
+      val standing = Dedup.winnowSketches(docs.filter(!isBatch),
+        "doc_id", "text", k = 5, w = 4)
+      val probe = graft.streaming.Events.dedupProbeStream(
+        docs.filter(isBatch).select(col("doc_id"),
+          lit("2026-01-01 00:00:00").cast("timestamp").as("ts"), col("text")),
+        standing, k = 5, w = 4, threshold = 0.5)
+        .select(col("doc_id"), col("dup_of")).cache()
+      val cross = Dedup.incrementalWinnowPairs(standing, docs.filter(isBatch),
+        "doc_id", "text", k = 5, w = 4, threshold = 0.5)
+        .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+        .select(
+          when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b"))
+            .as("doc_id"),
+          when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a"))
+            .as("dup_of")).cache()
+      System.err.println(s"[dedup_stream_probe] probe_pairs=${probe.count()} " +
+        s"cross_pairs=${cross.count()}")
+      evalGateRow(s,
+        docs.filter(isBatch).agg(count(lit(1)).as("n_batch"))
+          .crossJoin(probe.join(cross, Seq("doc_id", "dup_of"), "left_anti")
+            .agg(count(lit(1)).as("d1"))
+            .crossJoin(cross.join(probe, Seq("doc_id", "dup_of"), "left_anti")
+              .agg(count(lit(1)).as("d2")))
+            .select((col("d1") + col("d2") === 0).as("equal_cross_ok")))
+          .crossJoin(probe.filter(col("doc_id") === col("dup_of"))
+            .agg((count(lit(1)) === 0).as("self_free_ok")))
+          .select(col("n_batch"), col("equal_cross_ok"), col("self_free_ok")),
+        Seq(probe, cross), ("n_batch", "equal_cross_ok", "self_free_ok"))
     }),
     // incremental (new-batch-vs-standing-corpus) winnow dedup — the
     // production ingest shape: the corpus splits by a deterministic
@@ -3833,22 +3896,19 @@ object SparkEntry {
     // ingest pipeline keeps between shards) — the timed path is batch
     // sketching + index probe + candidate verify; the gate's full
     // recompute + set-equality comparison is the verifier
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val isBatch = col("doc_id") % 10 === 0
-      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val tbl = s"dedup_inc_sketches_$sid"
-      if (!s.catalog.tableExists(tbl)) {
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft-dedup-inc-$sid").getAbsolutePath
-        Dedup.winnowSketches(docs.filter(!isBatch), "doc_id", "text",
-            k = 5, w = 4)
-          .write.mode("overwrite").option("path", path)
-          .format("parquet").saveAsTable(tbl)
-      }
-      Dedup.incrementalWinnowPairs(s.table(tbl), docs.filter(isBatch),
-        "doc_id", "text", k = 5, w = 4, threshold = 0.5)
-    }),
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalWinnowPairs(standingSketchTable(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 5, w = 4, threshold = 0.5)),
+    // production form: the ingest filter itself (batch execution of the
+    // streaming plan) against the same persisted store — cross pairs
+    // only, the per-shard steady-state cost
+    "dedup_stream_probe" -> ((s, dir) =>
+      graft.streaming.Events.dedupProbeStream(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            lit("2026-01-01 00:00:00").cast("timestamp").as("ts"), col("text")),
+        standingSketchTable(s, dir), k = 5, w = 4, threshold = 0.5)),
     // production form: the lossless shared-gram inverted-index screen
     // over hashed shingles with the 1%-of-corpus boilerplate valve, on
     // the FULL corpus — the gate's all-pairs string form is the oracle
@@ -4437,6 +4497,12 @@ object SparkEntry {
       "dedup_incremental" ->
         """SELECT cast(count(*) as bigint) AS n_batch,
           |       true AS equal_ok, true AS touches_ok
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      // streaming probe gate: same batch bucket; the cross-pair set
+      // equality and self-freeness are Spark-side anti-join proofs
+      "dedup_stream_probe" ->
+        """SELECT cast(count(*) as bigint) AS n_batch,
+          |       true AS equal_cross_ok, true AS self_free_ok
           |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
       "graph_triangles" ->
         """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s

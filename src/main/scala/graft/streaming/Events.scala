@@ -250,6 +250,60 @@ object Events {
       }
   }
 
+  /** Streaming NEAR-dup probe against the standing corpus's persisted
+    * winnow sketch store — the streaming form of
+    * [[graft.ops.Dedup.incrementalWinnowPairs]]'s cross half, and the
+    * actual shape of a production ingest filter: "is this incoming doc
+    * a near-dup of anything we already hold?" Each micro-batch sketches
+    * its docs, explodes postings, and equi-joins the STATIC standing
+    * posting index (a stream-static inner join — stateless, no
+    * watermark buffering on the join itself), then verifies candidates
+    * with the exact sketch Jaccard. The incoming sketch rides along the
+    * posting rows, so verification needs no stream-stream re-join; the
+    * only streaming state is the watermark-bounded (doc_id, dup_of)
+    * dedup that collapses one candidate row per shared fingerprint to
+    * one per pair. Within-batch (new-vs-new) pairs are out of scope
+    * here by design — they are the batch compaction's job
+    * (incrementalWinnowPairs); a row-at-a-time stream answers the
+    * against-the-index question.
+    *
+    * In batch execution the SAME plan runs with plain dropDuplicates
+    * and no watermark — the `dedup_stream_probe` gate proves its output
+    * equals incrementalWinnowPairs' cross-pair subset exactly, and the
+    * spec pins stream-vs-batch equality across micro-batches.
+    * Output: (doc_id, dup_of, jaccard) with jaccard ≥ threshold.
+    */
+  def dedupProbeStream(
+      docs: DataFrame,
+      standingSketches: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      threshold: Double = 0.5,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
+    val sk = docs.select(col("doc_id"), col("ts"),
+        graft.functions.TextHashFunctions
+          .winnowFingerprint(col("text"), k, w).as("fp"))
+      .filter(size(col("fp")) > 0)
+    val wm = if (docs.isStreaming) sk.withWatermark("ts", watermarkDelay) else sk
+    val posting = wm.select(col("doc_id"), col("ts"), col("fp"),
+      explode(col("fp")).as("f"))
+    val standPosting = standingSketches
+      .select(col("id").as("dup_of"), explode(col("fp")).as("f"))
+    val cands0 = posting.join(standPosting, Seq("f"))
+      .select(col("doc_id"), col("ts"), col("fp"), col("dup_of"))
+    val cands =
+      if (docs.isStreaming) cands0.dropDuplicatesWithinWatermark("doc_id", "dup_of")
+      else cands0.dropDuplicates("doc_id", "dup_of")
+    cands
+      .join(standingSketches.select(col("id").as("dup_of"), col("fp").as("fp_s")),
+        Seq("dup_of"))
+      .select(col("doc_id"), col("dup_of"),
+        graft.functions.TextHashFunctions
+          .jaccardSorted(col("fp"), col("fp_s")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Streaming exact dedup: first occurrence per content key wins, later
     * duplicates dropped. `dropDuplicatesWithinWatermark` bounds the
     * dedup state by the watermark horizon (an unbounded-state global

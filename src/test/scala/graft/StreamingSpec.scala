@@ -316,6 +316,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup probe equals its batch execution across micro-batches") {
+    import graft.ops.Dedup
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // standing corpus: two docs; incoming stream: one near-dup of doc 1
+    // (arrives in batch 1), one unrelated (batch 2), one near-dup of
+    // doc 2 (batch 2) — state must not leak matches across batches
+    val standingDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "completely different standing content about stellar cores"))
+      .toDF("doc_id", "text")
+    val standing = Dedup.winnowSketches(standingDocs, "doc_id", "text",
+      k = 5, w = 4).cache()
+    standing.count()
+    val incoming = Seq(
+      (10L, 1000L, "the quick brown fox jumps over the sleepy dog by the river"),
+      (11L, 2000L, "unrelated incoming text with no standing counterpart at all"),
+      (12L, 3000L, "completely different standing content about stellar bodies"))
+    def row(t: (Long, Long, String)) = (t._1, ts(t._2), t._3)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val query = graft.streaming.Events.dedupProbeStream(
+        stream.toDF().toDF("doc_id", "ts", "text"), standing, threshold = 0.3)
+      .writeStream.format("memory").queryName("dedup_probe_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(row(incoming(0)))
+      query.processAllAvailable()
+      stream.addData(row(incoming(1)), row(incoming(2)))
+      query.processAllAvailable()
+      val streamed = spark.table("dedup_probe_out")
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+      val batch = graft.streaming.Events.dedupProbeStream(
+          incoming.map(row).toDF("doc_id", "ts", "text"), standing,
+          threshold = 0.3)
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((10L, 1L), (12L, 2L))) // 11 matches nothing
+    } finally {
+      query.stop()
+      standing.unpersist()
+    }
+  }
+
   test("attribution state evicts via event-time timeout after the retention window") {
     import graft.streaming.Events.{AttrEvent, Attribution}
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
