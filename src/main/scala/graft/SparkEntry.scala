@@ -27,6 +27,29 @@ object SparkEntry {
     */
   private val recursiveDepthCap = 6
 
+  /** Cramer solve of the 3-unknown least-squares normal equations from
+    * the 9 Gram sums (n, s1, s2, s11, s12, s22, sy, s1y, s2y), in
+    * BigInt (3×3 determinants overflow long), coefficients truncated
+    * to milli units — BigInt `/`, DuckDB `//`, and Spark `div` all
+    * truncate toward zero, so the fit replays exactly, negative slopes
+    * included. Returns (b0, b1, b2, det≠0).
+    */
+  private[graft] def linregMilli(
+      sums: Seq[Long]): (Long, Long, Long, Boolean) = {
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) = sums.map(BigInt(_))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val ok = det != BigInt(0)
+    def milli(di: BigInt): Long = if (ok) ((di * 1000) / det).toLong else 0L
+    (milli(det0), milli(det1), milli(det2), ok)
+  }
+
   /** The standing corpus's winnow sketch store as a PERSISTED session
     * table (written once per session) — the state a real ingest
     * pipeline keeps between shards, shared by the dedup_incremental
@@ -1648,6 +1671,41 @@ object SparkEntry {
             .agg((count(lit(1)) === 0).as("touches_ok")))
           .select(col("n_batch"), col("equal_ok"), col("touches_ok")),
         Seq(inc, full), ("n_batch", "equal_ok", "touches_ok"))
+    }),
+    // closed-form model DISTILLATION — fit a cheap linear proxy of the
+    // corpus-trained LM quality score from scan-time features
+    // (lm_score ≈ b0 + b1·n_chars + b2·n_tokens) by exact least
+    // squares: the 3-unknown normal equations' Gram matrix accumulates
+    // in ONE aggregation pass (9 integer sums — at 100 TB this is a
+    // single map-side-combined scan, the MLlib-free regression
+    // primitive), then Cramer's rule solves it on the driver in BigInt
+    // (determinants overflow long; nothing data-sized leaves the
+    // executors). Coefficients emitted in truncated milli units —
+    // BigInt /, DuckDB //, and Spark div all truncate toward zero, so
+    // the oracle replays the entire fit exactly, negative slopes
+    // included. The distilled scorer is what a pipeline runs at ingest
+    // when the full LM pass is too expensive per shard.
+    "ml_linreg_distill" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = docs
+        .select(col("doc_id"), col("n_chars").as("x1"),
+          TextAnalysis.tokenCount(col("text")).as("x2"))
+        .join(TextAnalysis.lmScore(docs, "doc_id", "text"), Seq("doc_id"))
+        .select(col("x1"), col("x2"), col("lm_score").as("yv"))
+      val r = d.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("yv")).as("sy"),
+        sum(col("x1") * col("yv")).as("s1y"),
+        sum(col("x2") * col("yv")).as("s2y")).collect()(0)
+      val (b0, b1, b2, ok) = linregMilli((0 until 9).map(r.getLong))
+      import s.implicits._
+      Seq((r.getLong(0), b0, b1, b2, ok))
+        .toDF("n_docs", "beta0_milli", "beta1_milli", "beta2_milli",
+          "det_nonzero")
     }),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
@@ -4421,6 +4479,42 @@ object SparkEntry {
       "graph_lpa" -> lpaOracleSql(rounds = 4, knnK = 3),
       "text_bpe_train" -> bpeTrainOracleSql(rounds = 8),
       "text_bpe_segment" -> bpeSegmentOracleSql(rounds = 8),
+      // full replay of the closed-form fit: the text_lm_score training
+      // CTEs produce y, the Gram sums accumulate in HUGEINT (the 3×3
+      // determinants reach ~1e34), Cramer's rule verbatim; // and
+      // BigInt / both truncate toward zero (verified incl. negatives)
+      "ml_linreg_distill" ->
+        """WITH nr AS (SELECT doc_id, text,
+          |    regexp_replace(regexp_replace(lower(text), '[\t\n\x0b\f\r ]', ' ', 'g'),
+          |                   '[^a-z ]', '#', 'g') AS t
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest([substr(t, i, 2) for i in range(1, len(t))]) AS bg
+          |      FROM nr WHERE len(t) >= 2),
+          |w AS (SELECT bg, length(bin(1 + count(*))) - 1 AS w FROM g GROUP BY bg),
+          |sc AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS nb
+          |       FROM g JOIN w USING (bg) GROUP BY doc_id),
+          |f AS (SELECT d.n_chars::BIGINT AS x1,
+          |             len(regexp_extract_all(d.text, '[^\t\n\x0b\f\r ]+'))::BIGINT AS x2,
+          |             coalesce(s.sw // s.nb, 0)::BIGINT AS y
+          |      FROM documents d LEFT JOIN sc s USING (doc_id)),
+          |m AS (SELECT count(*)::HUGEINT AS n,
+          |             sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+          |             sum(x1*x1)::HUGEINT AS s11, sum(x1*x2)::HUGEINT AS s12,
+          |             sum(x2*x2)::HUGEINT AS s22, sum(y)::HUGEINT AS sy,
+          |             sum(x1*y)::HUGEINT AS s1y, sum(x2*y)::HUGEINT AS s2y
+          |      FROM f),
+          |d3 AS (SELECT n,
+          |  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+          |  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+          |  n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+          |  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+          |  FROM m)
+          |SELECT n::BIGINT AS n_docs,
+          |  (CASE WHEN det <> 0 THEN ((det0 * 1000) // det)::BIGINT ELSE 0 END) AS beta0_milli,
+          |  (CASE WHEN det <> 0 THEN ((det1 * 1000) // det)::BIGINT ELSE 0 END) AS beta1_milli,
+          |  (CASE WHEN det <> 0 THEN ((det2 * 1000) // det)::BIGINT ELSE 0 END) AS beta2_milli,
+          |  det <> 0 AS det_nonzero
+          |FROM d3""".stripMargin,
       "dq_rules" ->
         """SELECT count(*) AS n_rows,
           |       cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_cust,

@@ -152,6 +152,34 @@ class SparkEntrySpec extends SparkSpec {
     assert(!physical.contains("CartesianProduct"), s"q21 fell to a cartesian:\n$physical")
   }
 
+  test("linregMilli recovers exact coefficients on residual-free data") {
+    // y = 3 + 2*x1 - x2 over 4 non-collinear points: residuals are
+    // zero, so the least-squares solution is the generating plane and
+    // every milli coefficient is exact
+    val pts = Seq((1L, 1L), (2L, 1L), (1L, 3L), (5L, 2L))
+    def y(x1: Long, x2: Long) = 3L + 2L * x1 - x2
+    val rows = pts.map { case (x1, x2) => (x1, x2, y(x1, x2)) }
+    val sums = Seq(
+      rows.size.toLong,
+      rows.map(_._1).sum, rows.map(_._2).sum,
+      rows.map(r => r._1 * r._1).sum, rows.map(r => r._1 * r._2).sum,
+      rows.map(r => r._2 * r._2).sum, rows.map(_._3).sum,
+      rows.map(r => r._1 * r._3).sum, rows.map(r => r._2 * r._3).sum)
+    assert(SparkEntry.linregMilli(sums) === ((3000L, 2000L, -1000L, true)))
+  }
+
+  test("linregMilli flags a singular system instead of dividing by zero") {
+    // x2 = 2*x1 everywhere: collinear features, det = 0
+    val rows = Seq((1L, 2L, 5L), (2L, 4L, 7L), (3L, 6L, 9L))
+    val sums = Seq(
+      rows.size.toLong,
+      rows.map(_._1).sum, rows.map(_._2).sum,
+      rows.map(r => r._1 * r._1).sum, rows.map(r => r._1 * r._2).sum,
+      rows.map(r => r._2 * r._2).sum, rows.map(_._3).sum,
+      rows.map(r => r._1 * r._3).sum, rows.map(r => r._2 * r._3).sum)
+    assert(SparkEntry.linregMilli(sums) === ((0L, 0L, 0L, false)))
+  }
+
   test("dedup_minhash equals the exact all-pairs Jaccard set on the test corpus") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Engine.table(spark, sfDir, "documents")
