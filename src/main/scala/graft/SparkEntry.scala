@@ -3959,11 +3959,16 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", k = 5, w = 4, threshold = 0.5)),
     // production form: the ingest filter itself (batch execution of the
-    // streaming plan) against the same persisted store — cross pairs
-    // only, the per-shard steady-state cost
+    // streaming plan) against the same persisted store. The probe unit
+    // is a MICRO-BATCH (a handful of docs), not the gate's whole 10%
+    // shard: the plan carries the incoming sketch array through the
+    // posting join (the price of needing no stream-stream re-join), so
+    // its cost scales with batch size × sketch width — bench a 2%
+    // slice (the graph_triangles scope convention) to time the
+    // steady-state per-batch shape rather than a mega-batch
     "dedup_stream_probe" -> ((s, dir) =>
       graft.streaming.Events.dedupProbeStream(
-        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
           .select(col("doc_id"),
             lit("2026-01-01 00:00:00").cast("timestamp").as("ts"), col("text")),
         standingSketchTable(s, dir), k = 5, w = 4, threshold = 0.5)),
