@@ -202,21 +202,25 @@ object Graph {
         .localCheckpoint(true)
       var r = 0
       while (r < iterations) {
-        // dangling mass: one scalar over the checkpointed score table —
-        // the single extra aggregate the directed mode costs per round
-        val dmass = scores.join(dangling, Seq("node"), "left_semi")
-          .agg(coalesce(sum(col("score")), lit(0L)).as("m"))
-          .collect()(0).getLong(0)
-        val share = dmass / nNodes
+        // dangling mass: one scalar aggregate over the checkpointed
+        // score table, folded INTO the round's plan as a 1-row cross
+        // join (broadcast) — the directed mode's extra cost per round
+        // is this sub-plan, not a separate driver round-trip (collect
+        // per round measured ~2× the job dispatches). share = mass div
+        // |nodes|: nonneg, so div's truncation equals the oracle's //
+        val share = scores.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("score")), lit(0L)).as("dm"))
+          .select(expr(s"dm div ${nNodes}L").as("share"))
         val contrib = edgesDeg
           .join(scores, edgesDeg("src") === scores("node"))
           .select(col("dst").as("node"), expr("score div deg").as("contrib"))
           .groupBy(col("node"))
           .agg(sum(col("contrib")).as("insum"))
         scores = nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(share)
           .select(col("node"),
             (lit(base) +
-              expr(s"(85 * (coalesce(insum, 0L) + ${share}L)) div 100"))
+              expr("(85 * (coalesce(insum, 0L) + share)) div 100"))
               .as("score"))
           .localCheckpoint(true)
         r += 1
