@@ -3915,7 +3915,9 @@ object SparkEntry {
     "sim_knn_classify" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val lab = e.select(col("vec_id"), col("label").cast("long").as("label"))
-      val knn = Similarity.knnGraph(e, "vec_id", "embedding",
+      // the SHARED materialized kNN relation (sim_knn_graph ranks the
+      // same corpus — each private re-run paid the full IVF route+rank)
+      val knn = Similarity.knnGraphCached(e, "vec_id", "embedding",
         k = 5, nCentroids = 8, nProbe = 3)
         .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id"))
       Similarity.majorityVote(knn, lab)
@@ -3926,9 +3928,10 @@ object SparkEntry {
             .as("n_correct"))
     }),
     // production form: the raw neighbor-list graph, without the
-    // brute-force verifier the gate runs
+    // brute-force verifier the gate runs — served from the shared
+    // materialized kNN relation
     "sim_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.knnGraphCached(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5, nCentroids = 8, nProbe = 3)
         .select(col("src_id"), col("dst_id"), col("rank"))),
     // production form: corpus-wide IVF-routed hard negatives (every

@@ -231,7 +231,34 @@ object Similarity {
     new BoundedModelCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Int, Int, Int), DataFrame](capacity = 4)
 
-  private[graft] def clearMutualEdgeCache(): Unit = mutualEdgeCache.clear()
+  private val knnCache =
+    new BoundedModelCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, Int), DataFrame](capacity = 4)
+
+  private[graft] def clearMutualEdgeCache(): Unit = {
+    mutualEdgeCache.clear()
+    knnCache.clear()
+  }
+
+  /** [[knnGraph]] materialized once per (corpus plan, k, nCentroids,
+    * nProbe) — the neighbor-list relation itself, shared by every
+    * consumer the way [[mutualKnnEdges]] shares the mutual graph:
+    * the kNN graph, the majority-vote classifier, and the mutual-edge
+    * builder all rank the SAME corpus, and each private re-run pays
+    * the full IVF route + window rank (~1.5 s at sf0.1). The list is
+    * ≤ k·n slim rows; same build-once-per-table-version contract and
+    * [[clearMutualEdgeCache]] boundary as the other relation caches.
+    */
+  def knnGraphCached(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val key = (corpus.select(col(idCol), col(vecCol))
+      .queryExecution.optimizedPlan.canonicalized, k, nCentroids, nProbe)
+    knnCache.getOrElseTrain(key) {
+      knnGraph(corpus, idCol, vecCol, k, nCentroids, nProbe)
+        .localCheckpoint(true)
+    }
+  }
 
   /** The IVF-routed mutual-kNN edge RELATION, materialized once per
     * (corpus plan, k, nCentroids, nProbe) and shared by every consumer
@@ -252,9 +279,10 @@ object Similarity {
       .queryExecution.optimizedPlan.canonicalized, k, nCentroids, nProbe)
     mutualEdgeCache.getOrElseTrain(key) {
       // eager checkpoint: materialize the mutuality JOIN too, not just
-      // its input — consumers re-scan the finished edge list only
+      // its input — consumers re-scan the finished edge list only;
+      // the neighbor list comes from the shared kNN relation
       mutualEdges(
-        knnGraph(corpus, idCol, vecCol, k, nCentroids, nProbe)
+        knnGraphCached(corpus, idCol, vecCol, k, nCentroids, nProbe)
           .select(col("src_id").as("probe_id"), col("dst_id").as("corpus_id")))
         .localCheckpoint(true)
     }
