@@ -1414,6 +1414,23 @@ object SparkEntry {
         .map { case ((x, y, c), i) => (i + 1L, x, y, c) }
         .toDF("merge_rank", "lhs", "rhs", "pair_count")
     }),
+    // the trained tokenizer's VOCABULARY artifact: every surviving
+    // token with its corpus occurrence count after the k merges — what
+    // a tokenizer ships next to its merge table (the id space, the
+    // frequency profile truncation decisions read). One aggregate over
+    // the word-type table through the same kernel; the oracle re-trains
+    // through the full unrolled recurrence and aggregates its final
+    // tok table, so vocab drift in ANY round fails the gate
+    "text_bpe_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(docs, "text", rounds = 8)
+      Bpe.wordFreq(docs, "text")
+        .select(col("freq"), explode(
+          graft.functions.BpeKernels.tokens(col("w"), Bpe.flatten(merges)))
+          .as("token"))
+        .groupBy(col("token"))
+        .agg(sum(col("freq")).as("n_occurrences"))
+    }),
     // the serving path of the trained tokenizer: per-doc BPE token
     // count via the codegen kernel (one pass over the normalized text,
     // no explode/join/shuffle at scoring time); the oracle re-trains
@@ -4372,6 +4389,12 @@ object SparkEntry {
     head + iter
   }
 
+  private def bpeVocabOracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) +
+      s"""
+         |SELECT t AS token, sum(freq)::BIGINT AS n_occurrences
+         |FROM tok$rounds GROUP BY t""".stripMargin
+
   private def bpeTrainOracleSql(rounds: Int): String =
     bpeOracleCtes(rounds) + "\n" +
       (1 to rounds).map(r =>
@@ -4487,6 +4510,7 @@ object SparkEntry {
       "graph_lpa" -> lpaOracleSql(rounds = 4, knnK = 3),
       "text_bpe_train" -> bpeTrainOracleSql(rounds = 8),
       "text_bpe_segment" -> bpeSegmentOracleSql(rounds = 8),
+      "text_bpe_vocab" -> bpeVocabOracleSql(rounds = 8),
       // full replay of the closed-form fit: the text_lm_score training
       // CTEs produce y, the Gram sums accumulate in HUGEINT (the 3×3
       // determinants reach ~1e34), Cramer's rule verbatim; // and
