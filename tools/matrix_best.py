@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
-"""Best-of-reps summary for matrix_results CSVs (12- or 13-column rows;
-col 13 = plan label, added round 3)."""
+"""Best-of-reps summary for matrix_results CSVs (12-15 column rows;
+col 13 = plan label (round 3), cols 14-15 = cpu/shuffle calibration
+probes (round 8) — all reads are positional on the first 13)."""
 import csv
 import sys
 from collections import defaultdict
