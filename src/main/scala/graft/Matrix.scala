@@ -334,6 +334,15 @@ object Matrix {
         for (rep <- 1 to reps) {
           val calib = calibrate()
           val calibSh = calibrateShuffle()
+          // settle between the shuffle probe and the timed rep: the
+          // probe just pushed ~1 GB through the shuffle dirs, and its
+          // dirty pages may still be flushing when t0 starts — a sync
+          // (best-effort) + short sleep drains the writeback so the
+          // probe quantifies session load without contaminating the
+          // measurement it annotates (ADVICE r8)
+          try new ProcessBuilder("sync").start().waitFor()
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(1000)
           val t0 = System.nanoTime()
           val result =
             if (part == 1) {

@@ -35,8 +35,12 @@ object SparkEntry {
     * included. Returns (b0, b1, b2, det≠0).
     */
   private[graft] def linregMilli(
-      sums: Seq[Long]): (Long, Long, Long, Boolean) = {
-    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) = sums.map(BigInt(_))
+      sums: Seq[Long]): (Long, Long, Long, Boolean) =
+    linregMilliBig(sums.map(BigInt(_)))
+
+  private[graft] def linregMilliBig(
+      sums: Seq[BigInt]): (Long, Long, Long, Boolean) = {
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) = sums
     val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
       s2 * (s1 * s12 - s11 * s2)
     val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
@@ -1296,18 +1300,25 @@ object SparkEntry {
       // LOAD BAND: the spin seconds bucketed against fixed thresholds,
       // so a loaded verify session is quantified (not just flagged) in
       // the session record. The band VALUE is load-dependent by design,
-      // so an exact-compare oracle cannot pin it — what the oracle pins
-      // is the ENUM: band_ok asserts the computed band is a member of
-      // the closed {idle, light, heavy, invalid} set under the strictly
-      // increasing thresholds (a banding-logic self-check); the band
-      // itself goes to stderr next to the raw seconds for post-hoc
-      // attribution, and the bench payload carries the raw calib array
+      // so an exact-compare oracle cannot pin it — the band goes to
+      // stderr next to the raw seconds for post-hoc attribution, and
+      // the bench payload carries the raw calib array. What the gate
+      // pins instead is the BANDING FUNCTION itself, falsifiably:
+      // band_ok evaluates it at fixed probe values straddling every
+      // threshold (strict-< boundary semantics included) and compares
+      // against the expected enums — change a threshold, the
+      // comparison direction, or the enum order and the row goes red
+      // (ADVICE r8: the previous membership-in-closed-set check was
+      // tautologically true).
       val thresholds = Seq(0.75 -> "idle", 2.5 -> "light", 10.0 -> "heavy")
-      val band = thresholds.collectFirst {
-        case (cap, name) if secs < cap => name
+      def bandOf(sec: Double): String = thresholds.collectFirst {
+        case (cap, name) if sec < cap => name
       }.getOrElse("invalid")
-      val bandOk = Seq("idle", "light", "heavy", "invalid").contains(band) &&
-        thresholds.map(_._1) == thresholds.map(_._1).sorted
+      val band = bandOf(secs)
+      val bandOk = Seq(
+        0.0 -> "idle", 0.74 -> "idle", 0.75 -> "light", 2.49 -> "light",
+        2.5 -> "heavy", 9.99 -> "heavy", 10.0 -> "invalid", 100.0 -> "invalid")
+        .forall { case (probe, expected) => bandOf(probe) == expected }
       System.err.println(
         f"[probe_calibration] fixed-work spin: $secs%.3f s band=$band")
       import s.implicits._
@@ -1709,16 +1720,28 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).as("x2"))
         .join(TextAnalysis.lmScore(docs, "doc_id", "text"), Seq("doc_id"))
         .select(col("x1"), col("x2"), col("lm_score").as("yv"))
+      // Gram sums accumulate in decimal(38,0), not LongType: Spark's
+      // long sum WRAPS silently at 2^63, and at the 100 TB design point
+      // sum(x1*x1) approaches Long range where no oracle would catch the
+      // corruption. The DuckDB oracle already sums in HUGEINT; decimal
+      // keeps both sides exact (row count bounded by 38-digit headroom,
+      // ~1e19 rows at x1*x1 ≤ 1e19 — far past any real corpus).
+      // factors cast BEFORE the multiply — a Long×Long product wraps
+      // before any widening cast could save it
+      def dec(name: String): Column = col(name).cast("decimal(19,0)")
+      def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
       val r = d.agg(
         count(lit(1)).as("n"),
-        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
-        sum(col("x1") * col("x1")).as("s11"),
-        sum(col("x1") * col("x2")).as("s12"),
-        sum(col("x2") * col("x2")).as("s22"),
-        sum(col("yv")).as("sy"),
-        sum(col("x1") * col("yv")).as("s1y"),
-        sum(col("x2") * col("yv")).as("s2y")).collect()(0)
-      val (b0, b1, b2, ok) = linregMilli((0 until 9).map(r.getLong))
+        dsum(dec("x1")).as("s1"), dsum(dec("x2")).as("s2"),
+        dsum(dec("x1") * dec("x1")).as("s11"),
+        dsum(dec("x1") * dec("x2")).as("s12"),
+        dsum(dec("x2") * dec("x2")).as("s22"),
+        dsum(dec("yv")).as("sy"),
+        dsum(dec("x1") * dec("yv")).as("s1y"),
+        dsum(dec("x2") * dec("yv")).as("s2y")).collect()(0)
+      val sums = BigInt(r.getLong(0)) +:
+        (1 until 9).map(i => BigInt(r.getDecimal(i).toBigInteger))
+      val (b0, b1, b2, ok) = linregMilliBig(sums)
       import s.implicits._
       Seq((r.getLong(0), b0, b1, b2, ok))
         .toDF("n_docs", "beta0_milli", "beta1_milli", "beta2_milli",

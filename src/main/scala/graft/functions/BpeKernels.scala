@@ -85,18 +85,28 @@ object BpeKernels {
 
   /** Column wrapper: BPE token array of a single word. */
   def tokens(word: Column, merges: Array[String]): Column =
-    bridge.toColumn(BpeTokens(bridge.toExpression(word), merges))
+    bridge.toColumn(BpeTokens(bridge.toExpression(word), merges.toSeq))
 
   /** Column wrapper: BPE token count of a normalized text. */
   def tokenCountCol(normalizedText: Column, merges: Array[String]): Column =
-    bridge.toColumn(BpeTokenCount(bridge.toExpression(normalizedText), merges))
+    bridge.toColumn(BpeTokenCount(bridge.toExpression(normalizedText), merges.toSeq))
 }
 
-/** `bpe_tokens(word)` — token array after applying the merge table. */
-case class BpeTokens(child: Expression, merges: Array[String])
+/** `bpe_tokens(word)` — token array after applying the merge table.
+  *
+  * `merges` is a Seq (STRUCTURAL equality), not an Array: case-class ==
+  * on an Array field is reference identity, so two semantically
+  * identical expressions would never compare equal under
+  * canonicalized/semanticEquals, silently defeating subexpression
+  * elimination and plan-equality reuse. The Array the runtime kernel
+  * wants is materialized once per expression instance.
+  */
+case class BpeTokens(child: Expression, merges: Seq[String])
   extends UnaryExpression {
 
   require(merges.length % 2 == 0, "merges must be a flattened pair list")
+
+  @transient private lazy val mergesArr: Array[String] = merges.toArray
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -106,10 +116,10 @@ case class BpeTokens(child: Expression, merges: Array[String])
   }
 
   override def nullSafeEval(input: Any): Any =
-    BpeKernels.tokensArray(input.asInstanceOf[UTF8String], merges)
+    BpeKernels.tokensArray(input.asInstanceOf[UTF8String], mergesArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
+    val m = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeKernels.tokensArray($c, $m)")
   }
 
@@ -118,11 +128,16 @@ case class BpeTokens(child: Expression, merges: Array[String])
   override def prettyName: String = "bpe_tokens"
 }
 
-/** `bpe_token_count(normalized_text)` — Σ per-word BPE token counts. */
-case class BpeTokenCount(child: Expression, merges: Array[String])
+/** `bpe_token_count(normalized_text)` — Σ per-word BPE token counts.
+  * Merge table held as a Seq for structural plan equality (see
+  * [[BpeTokens]]).
+  */
+case class BpeTokenCount(child: Expression, merges: Seq[String])
   extends UnaryExpression {
 
   require(merges.length % 2 == 0, "merges must be a flattened pair list")
+
+  @transient private lazy val mergesArr: Array[String] = merges.toArray
 
   override def dataType: DataType = LongType
 
@@ -132,10 +147,10 @@ case class BpeTokenCount(child: Expression, merges: Array[String])
   }
 
   override def nullSafeEval(input: Any): Any =
-    BpeKernels.tokenCount(input.asInstanceOf[UTF8String], merges)
+    BpeKernels.tokenCount(input.asInstanceOf[UTF8String], mergesArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
+    val m = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeKernels.tokenCount($c, $m)")
   }
 

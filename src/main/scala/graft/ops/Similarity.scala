@@ -227,13 +227,27 @@ object Similarity {
       .select(col("a.probe_id").as("src"), col("a.corpus_id").as("dst"))
   }
 
+  /** Release a cached checkpointed relation the moment it leaves the
+    * cache: `localCheckpoint(true)` pins RDD blocks in the BlockManager,
+    * and dropping the DataFrame reference alone leaves those blocks
+    * resident until GC + ContextCleaner race to reclaim them — the same
+    * memory-pressure mode the Matrix rep hygiene fixes. The checkpointed
+    * RDD is the one the plan's LogicalRDD leaf wraps.
+    */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private val mutualEdgeCache =
     new BoundedModelCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Int, Int, Int), DataFrame](capacity = 4)
+      Int, Int, Int), DataFrame](capacity = 4, onRemove = unpersistCheckpointed)
 
   private val knnCache =
     new BoundedModelCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Int, Int, Int), DataFrame](capacity = 4)
+      Int, Int, Int), DataFrame](capacity = 4, onRemove = unpersistCheckpointed)
 
   private[graft] def clearMutualEdgeCache(): Unit = {
     mutualEdgeCache.clear()
