@@ -260,6 +260,16 @@ object Matrix {
           System.err.println(f"[bucketed-write] $table key=$key " +
             f"write=${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
+        // UNCACHED generator plans, the planner-facing identity of this
+        // config's relations: the layout modes register their written
+        // layout against these plans (LayoutRegistry), and the timed
+        // reps hand THESE to part2Adaptive — the planner must discover
+        // the layout by routing, not by being handed the bucketed scan
+        // (round-8 verdict item 1). Canonicalization makes a fresh
+        // generator plan for the same config compare equal, and no job
+        // ever runs over them on the routed path.
+        val itemsRaw = Q4112Gen.items(spark, cfg).toDF()
+        val ordersRaw = Q4112Gen.orders(spark, cfg).toDF()
         // materialize inputs BEFORE timing — the reference times
         // q4112_run over already-filled arrays (q4112_main.c:101-119,
         // SURVEY §2.5), so the timed section here is also engine-only
@@ -289,6 +299,12 @@ object Matrix {
             spark.table("orders_bkt").as[graft.model.Order].cache()
           } else Q4112Gen.orders(spark, cfg).cache()
         items.count(); orders.count()
+        // route, don't hand over: the bucketed layout is REGISTERED for
+        // the raw relation, and the timed reps query the raw plan —
+        // part2Adaptive discovers the layout itself (CSV plan column
+        // reads bucketed_routed)
+        if (p2Bucketed)
+          graft.ops.LayoutRegistry.registerBucketed(ordersRaw, "storeId", orders.toDF())
         // composed two-layout experiment (round-6, cfg17): materialize
         // the JOINED slim projection (group, v) bucketed on the group
         // key — the dense-probe join runs once at ingest over the fat
@@ -329,6 +345,13 @@ object Matrix {
           items.unpersist(blocking = true)
           orders.unpersist(blocking = true)
           Q4112.clearRelationCaches() // destroys the write-only dense broadcast
+          // register AFTER the cache clear (which also clears the
+          // registry): the joined (storeId, v) layout is keyed on the
+          // raw generator plans, so the timed part2Adaptive calls over
+          // the raw relations route straight to the exchange-free scan
+          graft.ops.LayoutRegistry.registerJoined(
+            itemsRaw, ordersRaw, "id", "itemId", "price", "quantity", "storeId",
+            spark.table("joined_bkt"))
           System.gc()
         }
         for (rep <- 1 to reps) {
@@ -367,8 +390,18 @@ object Matrix {
               // choice in lastChosenPlan → the CSV plan column); the
               // explicit modes exist for differential benchmarking
               val df = p2Plan match {
-                case "auto" | "bucketed" => Q4112.part2Adaptive(items.toDF(), orders.toDF(),
+                // the adaptive modes all call the SAME planner entry;
+                // what differs is which layout was registered above.
+                // auto: none (stats decide). bucketed/joined_bucketed:
+                // the planner is handed the RAW relations and must
+                // route to the registered layout itself — the CSV plan
+                // column records what it chose (bucketed_routed /
+                // joined_bucketed), proving the routing fired.
+                case "auto" => Q4112.part2Adaptive(items.toDF(), orders.toDF(),
                   "id", "itemId", "price", "quantity", "storeId", dense)
+                case "bucketed" | "joined_bucketed" =>
+                  Q4112.part2Adaptive(itemsRaw, ordersRaw,
+                    "id", "itemId", "price", "quantity", "storeId", dense)
                 case "bypass" => Q4112.part2Bypass(items.toDF(), orders.toDF(),
                   "id", "itemId", "price", "quantity", "storeId",
                   Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense)
@@ -381,20 +414,6 @@ object Matrix {
                   "id", "itemId", "price", "quantity", "storeId",
                   Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense,
                   checked = false)
-                // steady-state repeat-query cost over the pre-joined
-                // bucketed layout: exchange-free two-level aggregate,
-                // no join at query time
-                case "joined_bucketed" =>
-                  spark.table("joined_bkt")
-                    .groupBy(col("storeId"))
-                    .agg(org.apache.spark.sql.functions.sum(col("v")).as("s"),
-                      org.apache.spark.sql.functions.count(
-                        org.apache.spark.sql.functions.lit(1)).as("c"))
-                    .select(org.apache.spark.sql.functions.expr("s div c").as("avg_value"))
-                    .agg(org.apache.spark.sql.functions.sum(col("avg_value")).as("ss"),
-                      org.apache.spark.sql.functions.count(
-                        org.apache.spark.sql.functions.lit(1)).as("cc"))
-                    .select(org.apache.spark.sql.functions.expr("ss div cc").as("avg_avg_value"))
                 case _ => // "partial": Catalyst's default partial/final split
                   if (dense) Q4112.part2Dense(items.toDF(), orders.toDF(),
                     "id", "itemId", "price", "quantity", "storeId")
@@ -414,7 +433,8 @@ object Matrix {
             if (part == 1) {
               s"$p1Plan:${Q4112.lastChosenPlan}"
             } else p2Plan match {
-              case "auto" | "bucketed" => s"$p2Plan:${Q4112.lastChosenPlan}"
+              case "auto" | "bucketed" | "joined_bucketed" =>
+                s"$p2Plan:${Q4112.lastChosenPlan}"
               case other => other
             }
           out.println(Seq(

@@ -79,6 +79,7 @@ object Q4112 {
     sampleCache.clear()
     minMaxCache.clear()
     rowCountCache.clear()
+    LayoutRegistry.clear() // routed layouts are relation-keyed too
   }
 
   /** min/max per column as Longs, from CATALOG/plan column statistics
@@ -546,25 +547,52 @@ object Q4112 {
     // motivation: the 1e9-row probe of a 1e5-entry broadcast hash map
     // costs ~175 ns/row (part-2 cfg8 at 3.6× the reference); the array
     // probe is a bounds-check + index into an L2-resident array.
-    val useDense = dense || denseEligible(items, itemKey)
-    // LAYOUT FIRST, statistics second: when the probe table is already
-    // stored clustered on the group key (bucketed layout —
-    // [[clusteredOn]]), the partial/final aggregate needs no exchange at
-    // all, which beats every shuffle-shaping decision the statistics
-    // could make — and the check is free (plan inspection, no job). This
-    // folds the round-3 `SPARK_GRAFT_P2_PLAN=bucketed` env-var mode into
-    // the planner: a user with the right table layout gets the
-    // exchange-free plan automatically (measured 12-22× → 2.4-2.9× of
-    // the reference on the singleton-group shapes, SCALING.md).
-    if (clusteredOn(orders, groupCol)) {
-      lastChosenPlan = "bucketed"
+    // LAYOUT FIRST, statistics second: an exchange-free stored layout
+    // beats every shuffle-shaping decision the statistics could make,
+    // and the checks are free (registry lookup + plan inspection, no
+    // job). Strongest first: a registered JOINED-BUCKETED layout is the
+    // (group, v) projection already materialized clustered on the group
+    // key — no join, no exchange at query time (measured 0.16-1.09× the
+    // reference where the cold plans sat at 2.4-13×, SCALING.md). The
+    // registry routes the ORIGINAL relation's plan to the layout, so a
+    // user querying the raw tables gets the plan they paid for at
+    // ingest without knowing it exists (round-8 verdict item 1).
+    LayoutRegistry.joinedFor(items, orders, itemKey, orderKey,
+      priceCol, quantityCol, groupCol).foreach { layout =>
+      lastChosenPlan = "joined_bucketed"
       advise("")
-      System.err.println(f"[part2-adaptive] layout: clustered on $groupCol " +
+      System.err.println(f"[part2-adaptive] layout: registered joined-bucketed " +
+        f"(group, v) on $groupCol -> exchange-free scan+aggregate, " +
+        f"est=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      return layout
+        .groupBy(col(groupCol))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .select(expr("s div c").as("avg_value"))
+        .agg(sum(col("avg_value")).as("ss"), count(lit(1)).as("cc"))
+        .select(expr("ss div cc").as("avg_avg_value"))
+    }
+    // next: the probe relation stored clustered on the group key —
+    // either the caller handed us the bucketed scan directly
+    // ([[clusteredOn]] on `orders`, the round-3 path), or the registry
+    // maps the raw relation to its bucketed form (routed). Either way
+    // the partial/final aggregate needs no exchange. This folds the
+    // round-3 `SPARK_GRAFT_P2_PLAN=bucketed` env-var mode into the
+    // planner (measured 12-22× → 2.4-2.9× of the reference on the
+    // singleton-group shapes, SCALING.md).
+    val routedOrders = LayoutRegistry.bucketedFor(orders, groupCol)
+    val probeOrders = routedOrders.getOrElse(orders)
+    val useDense = dense || denseEligible(items, itemKey)
+    if (clusteredOn(probeOrders, groupCol)) {
+      lastChosenPlan = if (routedOrders.isDefined) "bucketed_routed" else "bucketed"
+      advise("")
+      System.err.println(f"[part2-adaptive] layout: clustered on $groupCol" +
+        f"${if (routedOrders.isDefined) " (routed via registry)" else ""} " +
         f"-> exchange-free partial/final, est=${(System.nanoTime() - t0) / 1e9}%.3f s")
       return if (useDense)
-        part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
+        part2Dense(items, probeOrders, itemKey, orderKey, priceCol, quantityCol, groupCol)
       else
-        part2(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, BroadcastHash)
+        part2(items, probeOrders, itemKey, orderKey, priceCol, quantityCol, groupCol,
+          BroadcastHash)
     }
     // Row count: from relation statistics when they exist (a materialized
     // cached relation counts its rows; a catalog table has ANALYZE
