@@ -121,6 +121,15 @@ object SparkEntry {
     * cached plans in executor storage across Verify + bench repetitions
     * for the session lifetime.
     */
+  /** 1-row (`name`: boolean) frame: a set-equals b on a's columns (both
+    * anti-join directions empty) — the shared proof shape of every
+    * equality gate. Array-typed columns compare structurally.
+    */
+  private def setEq(a: DataFrame, b: DataFrame, name: String): DataFrame =
+    a.join(b, a.columns.toSeq, "left_anti").agg(count(lit(1)).as("d1"))
+      .crossJoin(b.join(a, a.columns.toSeq, "left_anti").agg(count(lit(1)).as("d2")))
+      .select((col("d1") + col("d2") === 0).as(name))
+
   private def evalGateRow(s: SparkSession, gate: DataFrame,
       cached: Seq[DataFrame], names: (String, String, String)): DataFrame = {
     val row = try gate.collect()(0) finally cached.foreach(_.unpersist())
@@ -1766,6 +1775,157 @@ object SparkEntry {
             .agg((count(lit(1)) === 0).as("touches_ok")))
           .select(col("n_batch"), col("equal_ok"), col("touches_ok")),
         Seq(inc, full), ("n_batch", "equal_ok", "touches_ok"))
+    }),
+    // the MAINTAINED-STATE form of the incremental probe (round-8
+    // verdict items 2+5): the valve reads the stored per-fingerprint
+    // df counts (one equi-join lookup) instead of re-windowing the full
+    // posting union per batch, and a bloom filter over the batch's
+    // fingerprints prunes the standing posting scan before the
+    // equi-join. Gate: (a) the indexed form (stored df + bloom) EQUALS
+    // the window-recount form at the same derived cap — the lookup
+    // valve is indistinguishable from the recount; (b) both EQUAL the
+    // capped full recompute restricted to batch-touching pairs — the
+    // whole incremental path stays lossless under the valve.
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBatch = col("doc_id") % 10 === 0
+      val nDocs = docs.count()
+      val cap = math.min(math.max(2L, nDocs / 100L), Int.MaxValue.toLong).toInt
+      val standing = Dedup.winnowSketches(
+        docs.filter(!isBatch), "doc_id", "text", k = 5, w = 4).cache()
+      val sdf = ModelStore.winnowDfCounts(standing).cache()
+      def sel(df: DataFrame) = df.select(col("id_a"), col("id_b"))
+      val indexed = sel(Dedup.incrementalWinnowPairs(standing, docs.filter(isBatch),
+        "doc_id", "text", k = 5, w = 4, threshold = 0.5, maxDocFreq = cap,
+        standingDf = Some(sdf), bloomProbe = true)).cache()
+      val recount = sel(Dedup.incrementalWinnowPairs(standing, docs.filter(isBatch),
+        "doc_id", "text", k = 5, w = 4, threshold = 0.5, maxDocFreq = cap)).cache()
+      val full = sel(Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 5, w = 4, threshold = 0.5, maxDocFreq = cap)
+        .filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)).cache()
+      System.err.println(s"[dedup_incremental_indexed] cap=$cap " +
+        s"pairs_indexed=${indexed.count()} pairs_recount=${recount.count()} " +
+        s"pairs_full_touching=${full.count()}")
+      evalGateRow(s,
+        docs.filter(isBatch).agg(count(lit(1)).as("n_batch"))
+          .crossJoin(setEq(indexed, recount, "lookup_valve_ok"))
+          .crossJoin(setEq(indexed, full, "full_equal_ok"))
+          .select(col("n_batch"), col("lookup_valve_ok"), col("full_equal_ok")),
+        Seq(standing, sdf, indexed, recount, full),
+        ("n_batch", "lookup_valve_ok", "full_equal_ok"))
+    }),
+    // STANDING-INDEX MAINTENANCE — the other half of the ingest loop
+    // (round-8 verdict item 4): after the batch is probed and accepted,
+    // standing' = standing ∪ accepted sketches and the maintained df
+    // counts absorb the batch deltas. Gate: incremental upkeep is
+    // indistinguishable from rebuild — standing' set-equals
+    // winnowSketches of the GROWN corpus, df' set-equals the recomputed
+    // per-fingerprint counts.
+    "dedup_standing_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBatch = col("doc_id") % 10 === 0
+      val standing = Dedup.winnowSketches(
+        docs.filter(!isBatch), "doc_id", "text", k = 5, w = 4).cache()
+      val batchSk = Dedup.winnowSketches(
+        docs.filter(isBatch), "doc_id", "text", k = 5, w = 4).cache()
+      val (grownSk, grownDf) = Dedup.updateStandingIndex(
+        standing, ModelStore.winnowDfCounts(standing), batchSk)
+      val rebuiltSk = Dedup.winnowSketches(docs, "doc_id", "text", k = 5, w = 4)
+      val rebuiltDf = ModelStore.winnowDfCounts(rebuiltSk)
+      evalGateRow(s,
+        docs.filter(isBatch).agg(count(lit(1)).as("n_batch"))
+          .crossJoin(setEq(grownSk, rebuiltSk, "sketches_ok"))
+          .crossJoin(setEq(grownDf, rebuiltDf, "df_ok"))
+          .select(col("n_batch"), col("sketches_ok"), col("df_ok")),
+        Seq(standing, batchSk), ("n_batch", "sketches_ok", "df_ok"))
+    }),
+    // ARTIFACT PERSISTENCE for the winnow index (round-8 verdict item
+    // 3): train → write (sketches + df counts as parquet,
+    // ModelStore.saveWinnowIndex) → load → prove (a) the round-trip
+    // lost nothing (set equality on sketches AND df counts) and (b) the
+    // loaded store serves the incremental probe with output identical
+    // to the in-memory index — the cross-session serving contract.
+    "index_persist_winnow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBatch = col("doc_id") % 10 === 0
+      val nDocs = docs.count()
+      val cap = math.min(math.max(2L, nDocs / 100L), Int.MaxValue.toLong).toInt
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-winnow-store-$sid").getAbsolutePath
+      val standing = Dedup.winnowSketches(
+        docs.filter(!isBatch), "doc_id", "text", k = 5, w = 4).cache()
+      val row = try {
+        ModelStore.saveWinnowIndex(standing, path)
+        val loaded = ModelStore.loadWinnowSketches(s, path)
+        val loadedDf = ModelStore.loadWinnowDf(s, path)
+        def sel(df: DataFrame) = df.select(col("id_a"), col("id_b"))
+        val fromLoaded = sel(Dedup.incrementalWinnowPairs(loaded, docs.filter(isBatch),
+          "doc_id", "text", k = 5, w = 4, threshold = 0.5, maxDocFreq = cap,
+          standingDf = Some(loadedDf), bloomProbe = true)).cache()
+        val fromMem = sel(Dedup.incrementalWinnowPairs(standing, docs.filter(isBatch),
+          "doc_id", "text", k = 5, w = 4, threshold = 0.5, maxDocFreq = cap)).cache()
+        try docs.filter(isBatch).agg(count(lit(1)).as("n_batch"))
+          .crossJoin(setEq(standing, loaded, "sk_rt")
+            .crossJoin(setEq(ModelStore.winnowDfCounts(standing), loadedDf, "df_rt"))
+            .select((col("sk_rt") && col("df_rt")).as("roundtrip_ok")))
+          .crossJoin(setEq(fromLoaded, fromMem, "probe_ok"))
+          .select(col("n_batch"), col("roundtrip_ok"), col("probe_ok"))
+          .collect()(0)
+        finally Seq(fromLoaded, fromMem).foreach(_.unpersist())
+      } finally {
+        standing.unpersist()
+        try {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+      import s.implicits._
+      Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
+        .toDF("n_batch", "roundtrip_ok", "probe_ok")
+    }),
+    // ARTIFACT PERSISTENCE for the trained models (round-8 verdict item
+    // 3): k-means/IVF centroids, PQ codebooks, and the BPE merge table
+    // each round-trip through parquet (ModelStore) and load back
+    // IDENTICAL — exact Double/string equality, which implies identical
+    // downstream scoring because every consumer is a pure function of
+    // the artifact. The session model caches are cleared before the
+    // reload so nothing can serve from memory.
+    "index_persist_models" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-model-store-$sid").getAbsolutePath
+      val (annOk, bpeOk, nVec) = try {
+        val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+        val pq = Quantization.trainPq(e, "vec_id", "embedding", m = 4, k = 16, maxIter = 4)
+        val merges = Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)
+        ModelStore.saveKmeans(s, km, s"$base/kmeans")
+        ModelStore.savePq(s, pq, s"$base/pq")
+        ModelStore.saveBpe(s, merges, s"$base/bpe")
+        Clustering.clearModelCache()
+        Quantization.clearModelCache()
+        Bpe.clearModelCache()
+        val km2 = ModelStore.loadKmeans(s, s"$base/kmeans")
+        val pq2 = ModelStore.loadPq(s, s"$base/pq")
+        val merges2 = ModelStore.loadBpe(s, s"$base/bpe")
+        val kmOk = km.centroids.length == km2.centroids.length &&
+          km.centroids.zip(km2.centroids).forall { case (a, b) => a.sameElements(b) } &&
+          km.inertiaTrace == km2.inertiaTrace
+        val pqOk = pq.m == pq2.m && pq.k == pq2.k && pq.subDim == pq2.subDim &&
+          pq.codebooks.zip(pq2.codebooks).forall { case (ba, bb) =>
+            ba.length == bb.length &&
+              ba.zip(bb).forall { case (a, b) => a.sameElements(b) } } &&
+          pq.errorTrace == pq2.errorTrace
+        (kmOk && pqOk, merges == merges2, e.count())
+      } finally {
+        try {
+          val hp = new org.apache.hadoop.fs.Path(base)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+      import s.implicits._
+      Seq((nVec, annOk, bpeOk)).toDF("n_vectors", "ann_ok", "bpe_ok")
     }),
     // closed-form model DISTILLATION — fit a cheap linear proxy of the
     // corpus-trained LM quality score from scan-time features
@@ -4751,6 +4911,24 @@ object SparkEntry {
         """SELECT cast(count(*) as bigint) AS n_batch,
           |       true AS equal_ok, true AS touches_ok
           |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      // maintained-df valve + bloom probe: equality proofs are
+      // Spark-side anti-joins; the batch size is oracle-recomputable
+      "dedup_incremental_indexed" ->
+        """SELECT cast(count(*) as bigint) AS n_batch,
+          |       true AS lookup_valve_ok, true AS full_equal_ok
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      "dedup_standing_update" ->
+        """SELECT cast(count(*) as bigint) AS n_batch,
+          |       true AS sketches_ok, true AS df_ok
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      "index_persist_winnow" ->
+        """SELECT cast(count(*) as bigint) AS n_batch,
+          |       true AS roundtrip_ok, true AS probe_ok
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      "index_persist_models" ->
+        """SELECT cast(count(*) as bigint) AS n_vectors,
+          |       true AS ann_ok, true AS bpe_ok
+          |FROM embeddings""".stripMargin,
       // streaming probe gate: same batch bucket; the cross-pair set
       // equality and self-freeness are Spark-side anti-join proofs
       "dedup_stream_probe" ->

@@ -298,25 +298,68 @@ object Dedup {
       k: Int = 5,
       w: Int = 4,
       threshold: Double = 0.5,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = Int.MaxValue,
+      standingDf: Option[DataFrame] = None,
+      bloomProbe: Boolean = false): DataFrame = {
     require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
     val batchPrep = winnowSketches(batch, idCol, textCol, k, w)
     val standing = standingSketches.select(col("id"), col("fp"))
-    // slim (id, f, is_new) postings; the valve's df is counted over the
-    // combined corpus BEFORE splitting sides, so capped incremental ==
-    // capped full recompute (same df, same dropped lists)
-    val posting = standing.select(col("id"), explode(col("fp")).as("f"),
-        lit(false).as("is_new"))
-      .union(batchPrep.select(col("id"), explode(col("fp")).as("f"),
-        lit(true).as("is_new")))
-    val screened =
-      if (maxDocFreq == Int.MaxValue) posting
-      else posting
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
-        .filter(col("df") <= maxDocFreq).drop("df")
-    val newPost = screened.filter(col("is_new")).select(col("id"), col("f"))
-    val oldPost = screened.filter(!col("is_new")).select(col("id"), col("f"))
+    val newPostRaw = batchPrep.select(col("id"), explode(col("fp")).as("f"))
+    val oldPostRaw = {
+      val raw = standing.select(col("id"), explode(col("fp")).as("f"))
+      if (!bloomProbe) raw
+      else {
+        // bloom-prefilter the standing probe (round-8 verdict item 5):
+        // a bloom filter over the BATCH's fingerprint set screens the
+        // standing posting scan down to ~batch selectivity before the
+        // equi-join ships anything. False positives survive only to the
+        // join (which removes them — lossless); false negatives don't
+        // exist, so every batch-relevant posting row survives, keeping
+        // the window-recount df EXACT for every fingerprint the batch
+        // touches (fingerprints the bloom drops generate no pairs).
+        // Same runtime-filter pattern as Joins.bloomPrefilteredJoin.
+        import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graft.bridge
+        val bloomAgg = bridge.toColumn(
+          new BloomFilterAggregate(bridge.toExpression(xxhash64(col("f"))))
+            .toAggregateExpression())
+        val bloomBytes = newPostRaw.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+        if (bloomBytes == null) raw.limit(0) // empty batch probes nothing
+        else raw.filter(bridge.toColumn(BloomFilterMightContain(
+          bridge.toExpression(lit(bloomBytes)),
+          bridge.toExpression(xxhash64(col("f"))))))
+      }
+    }
+    // the valve's df is a COMBINED-corpus property. Preferred input: the
+    // maintained per-fingerprint count relation the index store keeps
+    // (`standingDf`, see ModelStore.saveWinnowIndex /
+    // updateStandingIndex) plus the batch's own O(|batch|) counts — the
+    // valve becomes an equi-join lookup. Fallback: recount via a window
+    // over the full posting union (gate-exact, but a per-shard recount
+    // of a corpus property — the form the stored counts exist to avoid).
+    val (newPost, oldPost) =
+      if (maxDocFreq == Int.MaxValue) (newPostRaw, oldPostRaw)
+      else standingDf match {
+        case Some(sdf) =>
+          val batchDf = newPostRaw.groupBy(col("f")).agg(count(lit(1)).as("bdf"))
+          val keep = sdf.select(col("f"), col("df"))
+            .join(batchDf, Seq("f"), "full_outer")
+            .select(col("f"),
+              (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("cdf"))
+            .filter(col("cdf") <= maxDocFreq)
+            .select(col("f"))
+          (newPostRaw.join(keep, Seq("f")), oldPostRaw.join(keep, Seq("f")))
+        case None =>
+          val posting = oldPostRaw.withColumn("is_new", lit(false))
+            .union(newPostRaw.withColumn("is_new", lit(true)))
+          val screened = posting
+            .withColumn("df", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
+            .filter(col("df") <= maxDocFreq).drop("df")
+          (screened.filter(col("is_new")).select(col("id"), col("f")),
+            screened.filter(!col("is_new")).select(col("id"), col("f")))
+      }
     // batch probes the standing index (both orders collapse via
     // least/greatest — ids are disjoint by contract) + within-batch pairs
     val cross = newPost.as("nb").join(oldPost.as("st"), Seq("f"))
@@ -333,6 +376,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The other half of the daily-ingest loop (round-8 verdict item 4):
+    * after [[incrementalWinnowPairs]] has probed a batch and the
+    * caller's keep policy has decided which batch docs enter the
+    * corpus, the standing index must GROW — standing′ = standing ∪
+    * accepted sketches, and the maintained per-fingerprint df counts
+    * (the valve input) absorb the accepted batch's deltas so the next
+    * batch's valve still reads stored state, not a recount.
+    *
+    * Exactness contract (the `dedup_standing_update` gate): standing′
+    * set-equals [[winnowSketches]] of the grown corpus, and df′
+    * set-equals [[ModelStore.winnowDfCounts]] recomputed from it —
+    * incremental upkeep is indistinguishable from rebuild. Ids must
+    * stay disjoint (the incremental contract).
+    *
+    * Scale shape: the union is a metadata concat; the df merge
+    * aggregates standing counts (one row per distinct fingerprint — the
+    * index's own size, not the corpus's) with O(|batch|) deltas. At
+    * 100 TB both sides live as parquet tables
+    * ([[ModelStore.saveWinnowIndex]]) and the merge is one shuffle on
+    * the fingerprint key — or exchange-free with the store bucketed
+    * on `f`.
+    */
+  def updateStandingIndex(
+      standingSketches: DataFrame,
+      standingDf: DataFrame,
+      acceptedSketches: DataFrame): (DataFrame, DataFrame) = {
+    val sketches = standingSketches.select(col("id"), col("fp"))
+      .union(acceptedSketches.select(col("id"), col("fp")))
+    val deltas = acceptedSketches.select(explode(col("fp")).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("df"))
+    val merged = standingDf.select(col("f"), col("df"))
+      .union(deltas)
+      .groupBy(col("f")).agg(sum(col("df")).as("df"))
+    (sketches, merged)
   }
 
   /** Production containment pair search: ordered pairs (a, b) where at

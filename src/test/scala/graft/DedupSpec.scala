@@ -234,6 +234,56 @@ class DedupSpec extends SparkSpec {
     assert(incAt(Int.MaxValue) === fullAt(Int.MaxValue))
   }
 
+  test("incremental maintained-df valve and bloom probe equal the recount form") {
+    // docs 1-8 share heavy boilerplate (df 8 — dropped at cap 3);
+    // docs 21/22 are a RARE near-dup pair (df 2 fingerprints — kept),
+    // one on each side of the batch split, so the capped set is
+    // non-empty and the valve provably trips
+    val d = ((1L to 20L).map { i =>
+      (i, if (i <= 8) "boilerplate header every document shares " + s"unique tail $i"
+          else s"distinct content number $i " * 3)
+    } ++ Seq((21L, "rare duplicated passage appearing twice only"),
+      (22L, "rare duplicated passage appearing twice only!"))).toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 2 === 0
+    val standing = Dedup.winnowSketches(d.filter(!isBatch), "doc_id", "text", k = 5, w = 4)
+    val sdf = graft.ops.ModelStore.winnowDfCounts(standing)
+    def run(cap: Int, stored: Boolean, bloom: Boolean) =
+      Dedup.incrementalWinnowPairs(standing, d.filter(isBatch),
+        "doc_id", "text", k = 5, w = 4, threshold = 0.2, maxDocFreq = cap,
+        standingDf = if (stored) Some(sdf) else None, bloomProbe = bloom)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recount = run(3, stored = false, bloom = false)
+    assert(run(3, stored = true, bloom = false) === recount,
+      "stored-df valve must equal the window recount")
+    assert(run(3, stored = true, bloom = true) === recount,
+      "bloom prefilter must be lossless under the valve")
+    val uncapped = run(Int.MaxValue, stored = false, bloom = false)
+    assert(run(Int.MaxValue, stored = true, bloom = true) === uncapped,
+      "bloom prefilter must be lossless uncapped")
+    assert(recount.nonEmpty, "fixture must produce pairs under the cap")
+    assert(recount !== uncapped, "fixture must make the valve trip")
+  }
+
+  test("updateStandingIndex upkeep is indistinguishable from rebuild") {
+    val d = (1L to 20L).map { i =>
+      (i, if (i <= 8) "boilerplate header every document shares " + s"unique tail $i"
+          else s"distinct content number $i " * 3)
+    }.toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 2 === 0
+    val standing = Dedup.winnowSketches(d.filter(!isBatch), "doc_id", "text", k = 5, w = 4)
+    val batchSk = Dedup.winnowSketches(d.filter(isBatch), "doc_id", "text", k = 5, w = 4)
+    val (grownSk, grownDf) = Dedup.updateStandingIndex(
+      standing, graft.ops.ModelStore.winnowDfCounts(standing), batchSk)
+    val rebuiltSk = Dedup.winnowSketches(d, "doc_id", "text", k = 5, w = 4)
+    val rebuiltDf = graft.ops.ModelStore.winnowDfCounts(rebuiltSk)
+    assert(grownSk.select("id").as[Long].collect().sorted.toSeq ===
+      rebuiltSk.select("id").as[Long].collect().sorted.toSeq)
+    assert(grownSk.exceptAll(rebuiltSk).count() === 0)
+    assert(rebuiltSk.exceptAll(grownSk).count() === 0)
+    assert(grownDf.as[(Long, Long)].collect().toMap ===
+      rebuiltDf.as[(Long, Long)].collect().toMap)
+  }
+
   test("containmentPairs maxDocFreq valve only drops pairs, never invents") {
     val d = (1L to 30L).map { i =>
       (i, if (i <= 10) "boilerplate header everyone shares " + s"unique $i"

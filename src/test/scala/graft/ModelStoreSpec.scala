@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.{Bpe, Clustering, ModelStore, Quantization}
+
+import org.apache.spark.sql.functions._
+
+/** Artifact persistence (round-8 verdict, "what's missing" #1): every
+  * trained model round-trips through parquet BIT-IDENTICAL — doubles by
+  * IEEE-bit equality, strings exactly, order pinned by index columns —
+  * so a session that loads an artifact serves exactly what the training
+  * session computed.
+  */
+class ModelStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(s"graft-mstore-$name")
+    f.toFile.deleteOnExit()
+    f.toString + "/artifact"
+  }
+
+  private def vecs = (1L to 64L).map { i =>
+    (i, Array.tabulate(8)(j => ((i * 31 + j * 17) % 101).toFloat / 10f))
+  }.toDF("vec_id", "embedding")
+
+  test("k-means model round-trips bit-identical") {
+    val (_, model) = Clustering.kmeans(vecs, "vec_id", "embedding", k = 4, maxIter = 3)
+    val path = tmp("km")
+    ModelStore.saveKmeans(spark, model, path)
+    val loaded = ModelStore.loadKmeans(spark, path)
+    assert(loaded.centroids.length === model.centroids.length)
+    loaded.centroids.zip(model.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b)) }
+    assert(loaded.inertiaTrace === model.inertiaTrace)
+  }
+
+  test("PQ model round-trips bit-identical") {
+    val model = Quantization.trainPq(vecs, "vec_id", "embedding", m = 2, k = 4, maxIter = 3)
+    val path = tmp("pq")
+    ModelStore.savePq(spark, model, path)
+    val loaded = ModelStore.loadPq(spark, path)
+    assert((loaded.m, loaded.k, loaded.subDim) === ((model.m, model.k, model.subDim)))
+    loaded.codebooks.zip(model.codebooks).foreach { case (ba, bb) =>
+      assert(ba.length === bb.length)
+      ba.zip(bb).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+    assert(loaded.errorTrace === model.errorTrace)
+  }
+
+  test("BPE merge table round-trips exactly, rank order preserved") {
+    val docs = Seq("the cat sat on the mat", "the cat ate the rat",
+      "a cat and a rat sat").map(Tuple1(_)).toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", rounds = 6)
+    assert(merges.nonEmpty)
+    val path = tmp("bpe")
+    ModelStore.saveBpe(spark, merges, path)
+    assert(ModelStore.loadBpe(spark, path) === merges)
+  }
+
+  test("winnow index store round-trips sketches and df counts") {
+    val docs = (1L to 12L).map(i => (i, s"some shared words plus tail $i")).toDF("doc_id", "text")
+    val sk = graft.ops.Dedup.winnowSketches(docs, "doc_id", "text", k = 5, w = 4)
+    val path = tmp("winnow")
+    ModelStore.saveWinnowIndex(sk, path)
+    val loaded = ModelStore.loadWinnowSketches(spark, path)
+    assert(sk.exceptAll(loaded).count() === 0)
+    assert(loaded.exceptAll(sk).count() === 0)
+    val df = ModelStore.loadWinnowDf(spark, path).as[(Long, Long)].collect().toMap
+    assert(df === ModelStore.winnowDfCounts(sk).as[(Long, Long)].collect().toMap)
+    // df counts one row per containing doc: every df ≥ 1, and Σ df =
+    // total posting rows
+    assert(df.values.forall(_ >= 1L))
+    assert(df.values.sum ===
+      sk.select(explode(col("fp"))).count())
+  }
+}
