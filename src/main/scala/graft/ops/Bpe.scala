@@ -64,7 +64,75 @@ object Bpe {
     modelCache.getOrElseTrain(key)(trainMergesUncached(docs, textCol, rounds))
   }
 
-  /** The actual training loop (no model cache). */
+  /** Corpus vocabulary size (distinct surviving tokens) after applying
+    * `flat` merges — one aggregate over the word-TYPE table.
+    */
+  private def vocabSize(words: DataFrame, flat: Array[String]): Long =
+    words.select(explode(BpeKernels.tokens(col("w"), flat)).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+
+  /** VOCABULARY-SIZE-TARGETED training — the way tokenizers are
+    * actually specced (train until |vocab| = V, not "run k rounds"):
+    * learn merges until the corpus's distinct-token count first reaches
+    * `targetVocab`, capped at `maxRounds`. Each round adds the merged
+    * symbol and may retire constituents that vanish, so the stop round
+    * is data-dependent; the loop checks the vocab aggregate (one
+    * distinct-count over the word-type table per round) after each
+    * merge. A corpus whose base alphabet already meets the target
+    * learns zero merges. Same oracle convention as [[trainMerges]]:
+    * the DuckDB gate unrolls maxRounds, computes the per-round vocab
+    * sizes, and selects merges up to the same stop round.
+    */
+  def trainMergesToVocab(
+      docs: DataFrame, textCol: String,
+      targetVocab: Long, maxRounds: Int): Merges = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val words = wordFreq(docs, textCol).cache()
+    try {
+      if (vocabSize(words, Array.empty) >= targetVocab) return Vector.empty
+      val out = Vector.newBuilder[(String, String, Long)]
+      var flat = Array.empty[String]
+      var r = 0
+      var done = false
+      while (r < maxRounds && !done) {
+        trainOneRound(words, flat) match {
+          case None => done = true // no adjacent pair left
+          case Some((x, y, c)) =>
+            out += ((x, y, c))
+            flat = flat ++ Array(x, y)
+            r += 1
+            if (vocabSize(words, flat) >= targetVocab) done = true
+        }
+      }
+      out.result()
+    } finally words.unpersist()
+  }
+
+  /** One training round: the (count DESC, x, y)-argmax adjacent pair of
+    * the tokenization under `flat`, or None when no pair remains.
+    */
+  private def trainOneRound(
+      words: DataFrame, flat: Array[String]): Option[(String, String, Long)] = {
+    val toks = words
+      .select(col("freq"), BpeKernels.tokens(col("w"), flat).as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) as x, element_at(t, i + 1) as y))"))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum(col("freq")).as("c"))
+    pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
+      .limit(1).collect().headOption
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+  }
+
+  /** The actual training loop (no model cache). Each round re-derives
+    * the tokenization from the merges learned so far (identical to
+    * evolving it incrementally — a round merges exactly one pair
+    * corpus-wide) and takes the argmax pair via [[trainOneRound]].
+    */
   def trainMergesUncached(docs: DataFrame, textCol: String, rounds: Int): Merges = {
     require(rounds >= 1, "rounds must be >= 1")
     val words = wordFreq(docs, textCol).cache()
@@ -74,29 +142,12 @@ object Bpe {
       var r = 0
       var exhausted = false
       while (r < rounds && !exhausted) {
-        // re-derive round-r tokens from the word by applying the merges
-        // learned so far (identical to evolving the tokenization
-        // incrementally — each round merges exactly one pair corpus-wide)
-        val toks = words
-          .select(col("freq"), BpeKernels.tokens(col("w"), flat).as("t"))
-          .filter(size(col("t")) >= 2)
-        val pairs = toks
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(t) - 1)," +
-              " i -> struct(element_at(t, i) as x, element_at(t, i + 1) as y))"))
-            .as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum(col("freq")).as("c"))
-        val best = pairs
-          .orderBy(col("c").desc, col("x").asc, col("y").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val row = best(0)
-          val (x, y, c) = (row.getString(0), row.getString(1), row.getLong(2))
-          out += ((x, y, c))
-          flat = flat ++ Array(x, y)
-          r += 1
+        trainOneRound(words, flat) match {
+          case None => exhausted = true
+          case Some((x, y, c)) =>
+            out += ((x, y, c))
+            flat = flat ++ Array(x, y)
+            r += 1
         }
       }
       out.result()

@@ -87,4 +87,33 @@ class BpeSpec extends SparkSpec {
     }.toMap
     assert(viaKernel === viaDriver)
   }
+
+  test("trainMergesToVocab stops at the first round reaching the target vocab") {
+    // mixed-word corpus: merged symbols' constituents persist in other
+    // words, so each early merge grows the vocab by one net symbol
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the rat ate a hat the cat"),
+      (3L, "a bat and a mat sat")).toDF("doc_id", "text")
+    def vocabAfter(merges: Bpe.Merges): Long =
+      Bpe.wordFreq(docs, "text")
+        .select(org.apache.spark.sql.functions.explode(
+          BpeKernels.tokens(org.apache.spark.sql.functions.col("w"),
+            Bpe.flatten(merges))).as("t"))
+        .agg(org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("t"))).head().getLong(0)
+    val v0 = vocabAfter(Vector.empty)
+    val target = v0 + 2
+    val merges = Bpe.trainMergesToVocab(docs, "text", target, maxRounds = 10)
+    // targeted training is a PREFIX of fixed-round training
+    assert(merges === Bpe.trainMergesUncached(docs, "text", rounds = merges.length))
+    assert(merges.nonEmpty && merges.length < 10,
+      s"expected a mid-run stop, got ${merges.length}")
+    // stop condition: the stop round reaches the target, the round
+    // before it did not
+    assert(vocabAfter(merges) >= target)
+    assert(vocabAfter(merges.dropRight(1)) < target)
+    // a target already met by the base alphabet learns nothing
+    assert(Bpe.trainMergesToVocab(docs, "text", v0, maxRounds = 10).isEmpty)
+  }
 }
