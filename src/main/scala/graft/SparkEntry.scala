@@ -3293,6 +3293,18 @@ object SparkEntry {
       Multimodal.sampleFrames(media, everyMs = 60000L)
         .select(col("media_id"), col("frame_ts_ms"), col("frame_ref"))
     }),
+    // byte-block banded near-dup over BINARY payloads (round-8 verdict
+    // item 8 — the dedup family extended to opaque media bytes):
+    // signature = distinct xxhash64 per 32-byte block, inverted-index
+    // screen (lossless for threshold > 0), exact Jaccard verify over
+    // the sorted block-hash sets. The oracle replays the ENTIRE
+    // pipeline on the text payloads (pure ASCII here, so char slices ==
+    // byte blocks): per-block md5 signatures, the shared-block
+    // candidate join, and the same correctly-rounded Jaccard division
+    "dedup_multimodal" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.payloadNearDupPairs(media, blockSize = 32, threshold = 0.5)
+    }),
 
     // ------------------------------------------------ generator (§2.1 S1)
     // Seeded distributed q4112_gen-contract generator + the full query
@@ -6452,6 +6464,28 @@ object SparkEntry {
           |SELECT media_id, ts AS frame_ts_ms,
           |       md5(media_id || ':' || ts) AS frame_ref
           |FROM m, unnest(range(0, greatest(duration_ms - 1, 0) + 1, 60000)) AS u(ts)""".stripMargin,
+      // full replay of the byte-block near-dup pipeline: the corpus is
+      // pure ASCII (len == octet_length for every doc, both sf tiers),
+      // so DuckDB's char-indexed substr(text, i*32+1, 32) slices the
+      // same 32 bytes Spark's binary substring does; md5-vs-xxhash64
+      // block keys are interchangeable equality proxies, and the
+      // Jaccard is the same correctly-rounded division of exact ints
+      "dedup_multimodal" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+          |b AS (SELECT doc_id,
+          |        unnest([md5(substr(text, i*32 + 1, 32))
+          |                for i in range(0, 1 + (len(text) - 1) // 32)]) AS bh
+          |      FROM d),
+          |bd AS (SELECT DISTINCT doc_id, bh FROM b),
+          |cand AS (SELECT a.doc_id AS ia, x.doc_id AS ib, count(*)::BIGINT AS inter
+          |         FROM bd a JOIN bd x USING (bh)
+          |         WHERE a.doc_id < x.doc_id GROUP BY 1, 2),
+          |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM bd GROUP BY 1)
+          |SELECT ia AS id_a, ib AS id_b,
+          |       inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+          |FROM cand JOIN sz sa ON sa.doc_id = cand.ia
+          |          JOIN sz sb ON sb.doc_id = cand.ib
+          |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin,
 
       // explicit [\t\n\x0B\f\r ] whitespace class and \p{N} digit class:
       // identical semantics in RE2 and in the one-pass TextStats kernel

@@ -102,6 +102,66 @@ object Multimodal {
       }
   }
 
+  /** Banded near-dup pair search over BINARY payloads — the dedup
+    * family extended past text and embeddings to opaque media bytes:
+    * the signature is the DISTINCT set of xxhash64 values of
+    * fixed-size byte blocks; an inverted index over block hashes
+    * yields candidates (two payloads sharing ANY block — LOSSLESS for
+    * any threshold > 0, the [[Dedup.winnowPairs]] screen shape, since
+    * Jaccard > 0 needs a shared block); candidates verify by exact
+    * Jaccard over the sorted block-hash sets with the same codegen
+    * merge kernel as the text path. `maxDocFreq` is the same
+    * boilerplate valve (a block in f payloads contributes f²
+    * candidates — think shared media headers/watermarks).
+    *
+    * Scope: block alignment means this catches bit-identical and
+    * block-aligned-near-identical payloads (the exact-dup and
+    * appended/truncated-container class). Content-SHIFTED media
+    * near-dup needs a decode-side feature ([[extractFeatures]] + the
+    * embedding dedup family), not a byte screen.
+    *
+    * Scale shape: signatures are computed scan-side (one pass per
+    * payload, ~len/blockSize longs each); the posting shuffle carries
+    * slim (hash, id) longs; full signature arrays are re-joined for
+    * candidate verification only. Output: (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    */
+  def payloadNearDupPairs(
+      media: DataFrame,
+      blockSize: Int = 32,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0, "the shared-block screen needs threshold > 0")
+    require(blockSize > 0)
+    val sig = media
+      .filter(length(col("payload")) > 0) // empty payload = no evidence
+      .select(col("media_id").as("id"),
+        expr("array_sort(array_distinct(transform(" +
+          s"sequence(0, (length(payload) - 1) div $blockSize), " +
+          s"i -> xxhash64(substring(payload, i * $blockSize + 1, $blockSize)))))")
+          .as("bh"))
+      .repartition(media.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val posting = sig.select(col("id"), explode(col("bh")).as("h"))
+    val screened =
+      if (maxDocFreq == Int.MaxValue) posting
+      else posting
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("df") <= maxDocFreq).drop("df")
+    val candidates = screened.as("a")
+      .join(screened.as("b"), Seq("h"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("bh").as("bh_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("bh").as("bh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextHashFunctions.jaccardSorted(
+          col("bh_a"), col("bh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Frame sampling for video-shaped rows: one output row per sampled
     * frame timestamp (every `everyMs`). Pure `sequence`+`explode` — the
     * fan-out happens scan-side, distributed.

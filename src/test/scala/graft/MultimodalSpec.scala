@@ -61,4 +61,45 @@ class MultimodalSpec extends SparkSpec {
       .optimizedPlan.toString
     assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
   }
+
+  test("payloadNearDupPairs: lossless screen, exact Jaccard, alignment scope") {
+    import spark.implicits._
+    val blockA = "A" * 32; val blockB = "B" * 32
+    val blockC = "C" * 32; val blockD = "D" * 32
+    val rows = Seq(
+      (1L, blockA + blockB + blockC),        // 3 blocks
+      (2L, blockA + blockB + blockC),        // exact dup of 1 -> jaccard 1.0
+      (3L, blockA + blockB + blockD),        // 2 of 3 shared -> jaccard 0.5
+      (4L, blockD * 3),                      // one distinct block, shares D with 3
+      (5L, "x" + blockA + blockB + blockC))  // SHIFTED by one byte: no aligned block
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(rows, "doc_id", "text")
+    val got = Multimodal.payloadNearDupPairs(media, blockSize = 32, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got((1L, 3L)) === 0.5)
+    assert(got((2L, 3L)) === 0.5)
+    // doc 4 shares only block D with doc 3: jaccard 1/3 < 0.5 -> absent
+    assert(!got.contains((3L, 4L)))
+    // byte-shifted content produces no aligned block: the documented
+    // scope boundary (decode-side features catch this class)
+    assert(!got.keys.exists { case (a, b) => a == 5L || b == 5L })
+    // screen is lossless: banded output equals exhaustive all-pairs
+    val sigs = rows.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.getBytes("UTF-8").grouped(32).map(bl => new String(bl, "UTF-8")).toSet
+    }.toMap
+    val exhaustive = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      inter = (sigs(a) intersect sigs(b)).size
+      uni = (sigs(a) union sigs(b)).size
+      if inter.toDouble / uni >= 0.5
+    } yield (a, b)).toSet
+    assert(got.keySet === exhaustive)
+    // the df valve only drops, never invents
+    val capped = Multimodal.payloadNearDupPairs(media, blockSize = 32,
+        threshold = 0.5, maxDocFreq = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(got.keySet))
+  }
 }
