@@ -4,21 +4,58 @@ import graft.gen.Q4112Gen
 import graft.model.GenConfig
 import graft.ops.Q4112
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Per-rep Spark-native IO attribution (round-8 verdict item 9): sums
+  * TaskMetrics shuffle write/read and memory/disk spill bytes across
+  * every task that ends between `reset()` and `snapshot()`, so each
+  * matrix CSV row carries EXACT shuffle/spill volume next to the
+  * wall-clock probes — IO attribution measured, not inferred (cfg18's
+  * ~16 GB/rep through /tmp was previously deduced from probe drift).
+  */
+final class RepMetricsListener extends SparkListener {
+  private val shufW = new java.util.concurrent.atomic.AtomicLong
+  private val shufR = new java.util.concurrent.atomic.AtomicLong
+  private val spillMem = new java.util.concurrent.atomic.AtomicLong
+  private val spillDisk = new java.util.concurrent.atomic.AtomicLong
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      spillMem.addAndGet(m.memoryBytesSpilled)
+      spillDisk.addAndGet(m.diskBytesSpilled)
+    }
+  }
+
+  def reset(): Unit = {
+    shufW.set(0); shufR.set(0); spillMem.set(0); spillDisk.set(0)
+  }
+
+  /** (shuffleWriteMB, shuffleReadMB, memSpillMB, diskSpillMB). */
+  def snapshot(): (Long, Long, Long, Long) =
+    (shufW.get >> 20, shufR.get >> 20, spillMem.get >> 20, spillDisk.get >> 20)
+}
 
 /** Config-matrix harness — the Spark port of the reference's driver loop
   * (q4112_main.c:114-132): for each configuration, generate seeded data,
   * run the query `reps` times, assert the engine result equals the
   * independent oracle (q4112_main.c:127 `assert(gen_res == run_res)`),
   * and append one CSV row per run:
-  * `inner,...,threads,repeat,ns,plan,calib,calib_shuffle`
+  * `inner,...,threads,repeat,ns,plan,calib,calib_shuffle,
+  *  shuf_w_mb,shuf_r_mb,spill_mem_mb,spill_disk_mb`
   * (the reference's column order, q4112_main.c:128-131, plus the
-  * physical-plan label and TWO fixed-work calibration probes measured
-  * immediately before the rep: the CPU spin (idle ≈ 0.32-0.47 s) and
+  * physical-plan label, TWO fixed-work calibration probes measured
+  * immediately before the rep — the CPU spin (idle ≈ 0.32-0.47 s) and
   * the ~1 GB shuffle round-trip (idle ≈ 1-2 s; sees the disk/page-
-  * cache debt the spin is blind to). The probes make ratios comparable
-  * ACROSS sessions, which the cfg17 18.76/21.6/27.8 s spread on
-  * identical code showed raw times are not.
+  * cache debt the spin is blind to) — and the rep's EXACT TaskMetrics
+  * IO: shuffle write/read and memory/disk spill MB. The probes make
+  * ratios comparable ACROSS sessions, which the cfg17
+  * 18.76/21.6/27.8 s spread on identical code showed raw times are
+  * not; the TaskMetrics columns attribute drift to measured IO
+  * instead of inference.
   *
   * `runMain graft.Matrix [outCsv] [scale] [part] [reps]` — scale shrinks
   * the reference matrices (outer=1e9 → 1e9·scale); default 1e-3 mirrors
@@ -136,6 +173,10 @@ object Matrix {
     // uniform per-row cost) — opt-in, for the >2x-shape investigations
     if (sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("1"))
       spark.sparkContext.addSparkListener(new StageSkewListener)
+    // always-on per-rep IO attribution: exact shuffle/spill bytes per
+    // timed rep land in the CSV next to the wall-clock probes
+    val repMetrics = new RepMetricsListener
+    spark.sparkContext.addSparkListener(repMetrics)
 
     // JIT/code-cache warm-up at 1e7 rows, untimed: measured on this box,
     // a session's FIRST config otherwise absorbs compilation + allocator
@@ -366,6 +407,9 @@ object Matrix {
           try new ProcessBuilder("sync").start().waitFor()
           catch { case scala.util.control.NonFatal(_) => () }
           Thread.sleep(1000)
+          // reset AFTER the probes (which shuffle ~1 GB of their own):
+          // the snapshot attributes the timed rep's tasks only
+          repMetrics.reset()
           val t0 = System.nanoTime()
           val result =
             if (part == 1) {
@@ -425,6 +469,11 @@ object Matrix {
           val ns = System.nanoTime() - t0
           assert(result == oracle,
             s"result $result != oracle $oracle for $cfg") // q4112_main.c:127
+          // listener events post asynchronously; a short drain keeps the
+          // snapshot complete (collect() returned, so all jobs are done
+          // — only the bus can lag)
+          Thread.sleep(300)
+          val (shufWMb, shufRMb, spillMemMb, spillDiskMb) = repMetrics.snapshot()
           // the plan column names the PHYSICAL plan that ran: for the
           // adaptive modes that is part2Adaptive's recorded choice
           // (mode:choice), so matrix_best.py can attribute auto-mode
@@ -441,10 +490,13 @@ object Matrix {
             cfg.innerTuples, cfg.innerSelectivity, cfg.innerValMax,
             cfg.outerTuples, cfg.outerSelectivity, cfg.outerValMax,
             cfg.groups, cfg.hhGroups, cfg.hhProbability,
-            cpus, rep, ns, planLabel, f"$calib%.3f", f"$calibSh%.3f"
+            cpus, rep, ns, planLabel, f"$calib%.3f", f"$calibSh%.3f",
+            shufWMb, shufRMb, spillMemMb, spillDiskMb
           ).mkString(","))
           System.err.println(f"[matrix] part$part $cfg rep$rep: ${ns / 1e9}%.3f s " +
-            f"ok calib=$calib%.3f calib_sh=$calibSh%.3f ${memLine()}")
+            f"ok calib=$calib%.3f calib_sh=$calibSh%.3f " +
+            f"shufW=${shufWMb}MB shufR=${shufRMb}MB " +
+            f"spill=${spillMemMb}/${spillDiskMb}MB ${memLine()}")
           // TWO GC cycles with a settle between them: the first lets
           // ContextCleaner's reference queue notice this rep's dead
           // query state (AQE broadcast exchanges, shuffle deps — each
