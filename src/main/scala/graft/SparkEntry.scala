@@ -76,6 +76,24 @@ object SparkEntry {
     s.table(tbl)
   }
 
+  /** The standing store's maintained per-fingerprint df counts as a
+    * PERSISTED session table (written once) — the valve input the
+    * indexed probe reads instead of recounting (ModelStore's store
+    * layout, bench-shared like [[standingSketchTable]]).
+    */
+  private def standingDfTable(s: SparkSession, dir: String): DataFrame = {
+    val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"dedup_inc_df_$sid"
+    if (!s.catalog.tableExists(tbl)) {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dedup-inc-df-$sid").getAbsolutePath
+      ModelStore.winnowDfCounts(standingSketchTable(s, dir))
+        .write.mode("overwrite").option("path", path)
+        .format("parquet").saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
   /** items-analog: (p_partkey, price: Long). */
   private def partItems(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(col("p_partkey"), floor(col("p_retailprice")).as("price"))
@@ -4323,6 +4341,72 @@ object SparkEntry {
       Dedup.incrementalWinnowPairs(standingSketchTable(s, dir),
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", k = 5, w = 4, threshold = 0.5)),
+    // production form of the INDEXED probe: batch sketching + bloom-
+    // pruned standing scan + df-LOOKUP valve against the persisted
+    // store (sketches + maintained df counts, both written once per
+    // session) — the gate's three-way recount/full-recompute equality
+    // is the verifier, not the operator
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val nDocs = t(s, dir, "documents").count()
+      val cap = math.min(math.max(2L, nDocs / 100L), Int.MaxValue.toLong).toInt
+      Dedup.incrementalWinnowPairs(standingSketchTable(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 5, w = 4, threshold = 0.5, maxDocFreq = cap,
+        standingDf = Some(standingDfTable(s, dir)), bloomProbe = true)
+    }),
+    // production form: the index UPDATE itself — batch sketching + df
+    // merge (one shuffle on the fingerprint key); the gate's
+    // rebuild-equality anti-joins are the verifier
+    "dedup_standing_update" -> ((s, dir) => {
+      val batchSk = Dedup.winnowSketches(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 5, w = 4)
+      val (_, grownDf) = Dedup.updateStandingIndex(
+        standingSketchTable(s, dir), standingDfTable(s, dir), batchSk)
+      grownDf
+    }),
+    // production form: probe served from the LOADED parquet store (the
+    // cross-session path — load the sketches + df counts a previous
+    // session persisted, then run the indexed probe); the write is
+    // ingest cost paid once per session, the round-trip equality is
+    // the gate's verifier
+    "index_persist_winnow" -> ((s, dir) => {
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-winnow-store-bench-$sid").getAbsolutePath
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp))
+        ModelStore.saveWinnowIndex(standingSketchTable(s, dir), path)
+      val nDocs = t(s, dir, "documents").count()
+      val cap = math.min(math.max(2L, nDocs / 100L), Int.MaxValue.toLong).toInt
+      Dedup.incrementalWinnowPairs(ModelStore.loadWinnowSketches(s, path),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 5, w = 4, threshold = 0.5, maxDocFreq = cap,
+        standingDf = Some(ModelStore.loadWinnowDf(s, path)), bloomProbe = true)
+    }),
+    // production form: save + load of the CACHED trained models (first
+    // rep pays training and caches; best-of-N then times the artifact
+    // round-trip itself, the operation a serving session runs)
+    "index_persist_models" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-model-store-bench-$sid").getAbsolutePath
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      val pq = Quantization.trainPq(e, "vec_id", "embedding", m = 4, k = 16, maxIter = 4)
+      val merges = Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)
+      ModelStore.saveKmeans(s, km, s"$base/kmeans")
+      ModelStore.savePq(s, pq, s"$base/pq")
+      ModelStore.saveBpe(s, merges, s"$base/bpe")
+      val km2 = ModelStore.loadKmeans(s, s"$base/kmeans")
+      val pq2 = ModelStore.loadPq(s, s"$base/pq")
+      val merges2 = ModelStore.loadBpe(s, s"$base/bpe")
+      import s.implicits._
+      Seq((e.count(),
+        km2.centroids.length == km.centroids.length && pq2.m == pq.m,
+        merges2 == merges)).toDF("n_vectors", "ann_ok", "bpe_ok")
+    }),
     // production form: the ingest filter itself (batch execution of the
     // streaming plan) against the same persisted store. The probe unit
     // is a MICRO-BATCH (a handful of docs), not the gate's whole 10%
