@@ -1991,6 +1991,208 @@ object SparkEntry {
       import s.implicits._
       Seq((nVec, annOk, bpeOk)).toDF("n_vectors", "ann_ok", "bpe_ok")
     }),
+    // DELETION PROPAGATION through the standing index — the takedown /
+    // right-to-be-forgotten half of maintenance (the inverse of
+    // dedup_standing_update): docs leave the corpus, their sketches
+    // leave the store, and the maintained df counts shed exactly their
+    // contributions. Gate: forget is indistinguishable from rebuild —
+    // kept sketches set-equal winnowSketches of the surviving corpus,
+    // shrunk df set-equals the recomputed counts (zero-count
+    // fingerprints gone on both sides).
+    "index_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isGone = col("doc_id") % 7 === 0
+      val standing = Dedup.winnowSketches(docs, "doc_id", "text",
+        k = 5, w = 4).cache()
+      val sdf = ModelStore.winnowDfCounts(standing).cache()
+      val (kept, shrunk) = Dedup.forgetFromStandingIndex(standing, sdf,
+        docs.filter(isGone).select(col("doc_id").as("id")))
+      val rebuiltSk = Dedup.winnowSketches(docs.filter(!isGone),
+        "doc_id", "text", k = 5, w = 4)
+      val rebuiltDf = ModelStore.winnowDfCounts(rebuiltSk)
+      evalGateRow(s,
+        docs.filter(isGone).agg(count(lit(1)).as("n_deleted"))
+          .crossJoin(setEq(kept, rebuiltSk, "sketches_ok"))
+          .crossJoin(setEq(shrunk, rebuiltDf, "df_ok"))
+          .select(col("n_deleted"), col("sketches_ok"), col("df_ok")),
+        Seq(standing, sdf), ("n_deleted", "sketches_ok", "df_ok"))
+    }),
+    // INCREMENTAL VECTOR-INDEX MAINTENANCE — the ANN analog of
+    // dedup_standing_update: a new embedding batch is assigned to the
+    // FROZEN trained centroids (per-row pure function) and appended to
+    // the standing posting relation as a union; the quantizer is not
+    // retrained per batch (the production IVF contract — retraining is
+    // a scheduled rebuild). Gate: (a) serving from the appended index
+    // equals the from-scratch build over the full corpus (identical
+    // (probe, corpus, rank) sets), (b) the posting relation
+    // round-trips parquet (ModelStore.saveIvfPostings) and the LOADED
+    // store serves identically — the cross-session path.
+    "sim_ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      val isBatch = col("vec_id") % 10 === 0
+      val probes = e.filter(col("vec_id") % 37 === 0)
+      val grown = Similarity.ivfAssign(
+          e.filter(!isBatch), "vec_id", "embedding", km.centroids)
+        .union(Similarity.ivfAssign(
+          e.filter(isBatch), "vec_id", "embedding", km.centroids))
+      def sel(df: DataFrame) =
+        df.select(col("probe_id"), col("corpus_id"), col("rank"))
+      val served = sel(Similarity.ivfTopKServe(grown, probes,
+        "vec_id", "embedding", km.centroids, k = 5, nProbe = 3)).cache()
+      val direct = sel(Similarity.ivfTopKTrained(e, "vec_id", "embedding",
+        probes, "vec_id", "embedding", km.centroids, k = 5, nProbe = 3)).cache()
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-ivf-store-$sid").getAbsolutePath
+      val row = try {
+        ModelStore.saveIvfPostings(grown, path)
+        val fromLoaded = sel(Similarity.ivfTopKServe(
+          ModelStore.loadIvfPostings(s, path), probes,
+          "vec_id", "embedding", km.centroids, k = 5, nProbe = 3)).cache()
+        try e.filter(isBatch).agg(count(lit(1)).as("n_batch"))
+          .crossJoin(setEq(served, direct, "append_ok"))
+          .crossJoin(setEq(fromLoaded, served, "persist_ok"))
+          .select(col("n_batch"), col("append_ok"), col("persist_ok"))
+          .collect()(0)
+        finally fromLoaded.unpersist()
+      } finally {
+        Seq(served, direct).foreach(_.unpersist())
+        try {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+      import s.implicits._
+      Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
+        .toDF("n_batch", "append_ok", "persist_ok")
+    }),
+    // AGGREGATE PUSHDOWN into the DSv2 source — COUNT/MIN/MAX/SUM over
+    // the generated id range answered ANALYTICALLY by the source
+    // (GenScanBuilder.pushAggregation, complete pushdown: Spark's
+    // Aggregate node disappears and the scan emits the 1-row answer;
+    // the query is O(1) at any scale — the strongest form of the
+    // footer-stats shortcut parquet gives COUNT(*)). Gate: (a) the
+    // pushed plan has NO logical Aggregate while the residual-filter
+    // plan (price ≥ 0 is not pushable, blocking agg pushdown) keeps
+    // one — falsifiable on both sides; (b) both paths return identical
+    // values; the oracle recomputes the arithmetic series.
+    "source_agg_pushdown" -> ((s, dir) => {
+      val rows = 20000L; val genSeed = 4112L; val valMax = 1000000L
+      def src = s.read.format("graft.sources.GenSource")
+        .option("rows", rows).option("seed", genSeed)
+        .option("valMax", valMax).option("partitions", 8).load()
+      def aggOf(d: DataFrame) = d.agg(count(lit(1)).as("n"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        sum(col("id")).as("sm"))
+      val pushedDf = aggOf(src.filter(col("id") > 5000L))
+      val rawDf = aggOf(src.filter(col("id") > 5000L && col("price") >= 0L))
+      def hasAgg(d: DataFrame): Boolean = d.queryExecution.optimizedPlan
+        .collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isDefined
+      val p = pushedDf.collect()(0)
+      val r = rawDf.collect()(0)
+      import s.implicits._
+      Seq((p.getLong(3), !hasAgg(pushedDf) && hasAgg(rawDf),
+        (0 until 4).forall(i => p.getLong(i) == r.getLong(i))))
+        .toDF("sum_id", "pushed_ok", "equal_ok")
+    }),
+    // PARTITIONED LAYOUT + DYNAMIC PARTITION PRUNING — the 100 TB
+    // fact-table idiom the flat testdata can't show: the fact written
+    // hive-partitioned on a derived key (order month), joined to a
+    // tiny dim filtered on an attribute (quarter), and Spark's DPP
+    // turns the dim's broadcast into a runtime partition filter on the
+    // fact scan — 9 of 12 partition directories are never opened.
+    // Gate: (a) the executed plan carries a dynamicpruning partition
+    // filter (falsifiable — flat scans never show one), (b) the
+    // pruned-join result equals the same aggregate replayed on the raw
+    // unpartitioned table (which the oracle recomputes).
+    "layout_partitioned_dpp" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dpp-$sid").getAbsolutePath
+      val row = try {
+        o.withColumn("om", month(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("om").parquet(path)
+        val fact = s.read.parquet(path)
+        // the month→quarter dim derives from the raw PARQUET table, not a
+        // local Seq: Catalyst folds a filtered LocalRelation to literal
+        // rows, and with no selective predicate left on the filtering
+        // side the DPP rule never fires (measured — dpp_plan_ok false)
+        val dim = o.select(month(col("o_orderdate")).as("om")).distinct()
+          .withColumn("qtr", expr("(om - 1) div 3 + 1"))
+        val joined = fact.join(dim.filter(col("qtr") === 1), Seq("om"))
+          .agg(count(lit(1)).as("n_q1"),
+            sum(col("o_orderkey")).as("key_sum"))
+        val dppOk = joined.queryExecution.executedPlan.toString
+          .toLowerCase.contains("dynamicpruning")
+        val raw = o.filter(month(col("o_orderdate")) <= 3)
+          .agg(count(lit(1)).as("n_raw"),
+            sum(col("o_orderkey")).as("sum_raw"))
+        joined.crossJoin(raw)
+          .select(col("n_q1"), lit(dppOk).as("dpp_plan_ok"),
+            (col("n_q1") === col("n_raw") &&
+              col("key_sum") === col("sum_raw")).as("equal_raw_ok"))
+          .collect()(0)
+      } finally {
+        try {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+      import s.implicits._
+      Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
+        .toDF("n_q1", "dpp_plan_ok", "equal_raw_ok")
+    }),
+    // one-pass TABLE PROFILER — the ANALYZE-style column statistics a
+    // pipeline collects before planning over unknown data: per column
+    // null count, exact distinct count, min/max (string-rendered for a
+    // uniform schema). One scan: Spark rewrites the multi-distinct
+    // aggregate through one Expand (row × #distinct-aggs), still a
+    // single pass over the table — at 100 TB the exact ndv swaps for
+    // the HLL sketch family (distinct_hll) with the same shape.
+    "dq_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      def prof(c: String) = Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      val exprs = cols.flatMap(prof)
+      val one = o.agg(exprs.head, exprs.tail: _*)
+      one.select(expr("stack(" + cols.length + ", " +
+        cols.map(c => s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
+          .mkString(", ") +
+        ") as (col_name, n_nulls, n_distinct, min_val, max_val)"))
+    }),
+    // DOMAIN-MIXTURE RESAMPLING — rebalance the corpus toward a
+    // uniform per-domain mixture under a 30% token budget (the
+    // Pile/Dolma-style source reweighting step): per-domain acceptance
+    // rate in basis points = the domain's share of the uniform budget,
+    // capped at keep-all; membership decided by a deterministic
+    // multiplicative hash of the doc id, so the sample is reproducible
+    // (and oracle-replayable) independent of partitioning. One scan +
+    // two tiny broadcast relations (counts, rates); all arithmetic
+    // integer (div truncation pinned on both sides).
+    "sample_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_domain"))
+      val tot = docs.agg(count(lit(1)).as("n"),
+        countDistinct(col("source")).as("k"))
+      val rates = cnts.crossJoin(tot)
+        .select(col("source"), col("n_domain"),
+          least(lit(10000L),
+            expr("((n * 3 div 10) div k) * 10000 div n_domain")).as("rate_bp"))
+      docs.join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"), col("n_domain"), col("rate_bp"))
+        .agg(count(when(
+          pmod(col("doc_id") * lit(2654435761L), lit(10000L)) < col("rate_bp"),
+          1)).as("n_sampled"))
+        .select(col("source"), col("n_domain"), col("rate_bp"), col("n_sampled"))
+    }),
     // closed-form model DISTILLATION — fit a cheap linear proxy of the
     // corpus-trained LM quality score from scan-time features
     // (lm_score ≈ b0 + b1·n_chars + b2·n_tokens) by exact least
@@ -4407,6 +4609,57 @@ object SparkEntry {
         km2.centroids.length == km.centroids.length && pq2.m == pq.m,
         merges2 == merges)).toDF("n_vectors", "ann_ok", "bpe_ok")
     }),
+    // production form: the takedown itself — sketch anti-join + df
+    // decrement merge against the session's standing store (the gate's
+    // rebuild-equality anti-joins are the verifier)
+    "index_forget" -> ((s, dir) => {
+      val (_, shrunk) = Dedup.forgetFromStandingIndex(
+        standingSketchTable(s, dir), standingDfTable(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("id")))
+      shrunk
+    }),
+    // production form: assign-and-serve against the frozen trained
+    // quantizer (model-cached after rep 1) — the steady-state probe
+    // path; the gate's rebuild + parquet round-trip is the verifier
+    "sim_ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      Similarity.ivfTopKServe(
+        Similarity.ivfAssign(e, "vec_id", "embedding", km.centroids),
+        e.filter(col("vec_id") % 37 === 0), "vec_id", "embedding",
+        km.centroids, k = 5, nProbe = 3)
+    }),
+    // production form: the pushed aggregate alone — the O(1) query the
+    // pushdown exists for (the gate's raw-path comparison re-scans the
+    // generated rows by construction)
+    "source_agg_pushdown" -> ((s, dir) =>
+      s.read.format("graft.sources.GenSource")
+        .option("rows", 20000L).option("seed", 4112L)
+        .option("valMax", 1000000L).option("partitions", 8).load()
+        .filter(col("id") > 5000L)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"), sum(col("id")).as("sm"))),
+    // production form: the DPP join against an already-written
+    // partitioned table (the write is ingest cost paid once per
+    // session; steady state is the pruned read)
+    "layout_partitioned_dpp" -> ((s, dir) => {
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dpp-bench-$sid").getAbsolutePath
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp))
+        t(s, dir, "orders").withColumn("om", month(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("om").parquet(path)
+      // parquet-derived dim (not a LocalRelation) so the qtr filter
+      // survives optimization and DPP fires — see the gate's note
+      val dim = t(s, dir, "orders")
+        .select(month(col("o_orderdate")).as("om")).distinct()
+        .withColumn("qtr", expr("(om - 1) div 3 + 1"))
+      s.read.parquet(path).join(dim.filter(col("qtr") === 1), Seq("om"))
+        .agg(count(lit(1)).as("n_q1"), sum(col("o_orderkey")).as("key_sum"))
+    }),
     // production form: the ingest filter itself (batch execution of the
     // streaming plan) against the same persisted store. The probe unit
     // is a MICRO-BATCH (a handful of docs), not the gate's whole 10%
@@ -5117,6 +5370,79 @@ object SparkEntry {
         """SELECT cast(count(*) as bigint) AS n_vectors,
           |       true AS ann_ok, true AS bpe_ok
           |FROM embeddings""".stripMargin,
+      // forget gate: the delete set is the deterministic doc_id % 7 = 0
+      // bucket; rebuild-equality proofs are Spark-side anti-joins
+      "index_forget" ->
+        """SELECT cast(count(*) as bigint) AS n_deleted,
+          |       true AS sketches_ok, true AS df_ok
+          |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+      // IVF append gate: batch bucket is vec_id % 10 = 0; the
+      // append-vs-rebuild and loaded-vs-memory serving equalities are
+      // Spark-side anti-joins over (probe, corpus, rank) sets
+      "sim_ivf_append" ->
+        """SELECT cast(count(*) as bigint) AS n_batch,
+          |       true AS append_ok, true AS persist_ok
+          |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+      // aggregate-pushdown gate: the oracle recomputes the pushed
+      // SUM(id) as the arithmetic series over the filtered id range
+      // (id > 5000 of 1..20000); plan-shape and pushed-vs-raw equality
+      // are Spark-side
+      "source_agg_pushdown" ->
+        """SELECT cast(sum(i) as bigint) AS sum_id,
+          |       true AS pushed_ok, true AS equal_ok
+          |FROM range(5001, 20001) t(i)""".stripMargin,
+      // DPP gate: the oracle recomputes the Q1 rowcount from the raw
+      // table (month 1-3); the dynamicpruning plan assertion and the
+      // partitioned-vs-raw equality are Spark-side
+      "layout_partitioned_dpp" ->
+        """SELECT cast(count(*) as bigint) AS n_q1,
+          |       true AS dpp_plan_ok, true AS equal_raw_ok
+          |FROM orders WHERE month(o_orderdate) <= 3""".stripMargin,
+      "dq_profile" ->
+        """SELECT 'o_orderkey' AS col_name,
+          |       cast(count(*) FILTER (o_orderkey IS NULL) as bigint) AS n_nulls,
+          |       cast(count(DISTINCT o_orderkey) as bigint) AS n_distinct,
+          |       cast(min(o_orderkey) as varchar) AS min_val,
+          |       cast(max(o_orderkey) as varchar) AS max_val
+          |FROM orders
+          |UNION ALL
+          |SELECT 'o_custkey',
+          |       cast(count(*) FILTER (o_custkey IS NULL) as bigint),
+          |       cast(count(DISTINCT o_custkey) as bigint),
+          |       cast(min(o_custkey) as varchar),
+          |       cast(max(o_custkey) as varchar)
+          |FROM orders
+          |UNION ALL
+          |SELECT 'o_orderstatus',
+          |       cast(count(*) FILTER (o_orderstatus IS NULL) as bigint),
+          |       cast(count(DISTINCT o_orderstatus) as bigint),
+          |       min(o_orderstatus), max(o_orderstatus)
+          |FROM orders
+          |UNION ALL
+          |SELECT 'o_orderpriority',
+          |       cast(count(*) FILTER (o_orderpriority IS NULL) as bigint),
+          |       cast(count(DISTINCT o_orderpriority) as bigint),
+          |       min(o_orderpriority), max(o_orderpriority)
+          |FROM orders""".stripMargin,
+      // mixture resampling: full integer replay — per-domain counts,
+      // uniform 30%-budget share, bp rate, and the multiplicative-hash
+      // membership test
+      "sample_mixture" ->
+        """WITH c AS (SELECT source, count(*) AS n_domain
+          |           FROM documents GROUP BY source),
+          |t AS (SELECT count(*) AS n, count(DISTINCT source) AS k
+          |      FROM documents),
+          |r AS (SELECT source, n_domain,
+          |             least(10000, ((n * 3 // 10) // k) * 10000 // n_domain)
+          |               AS rate_bp
+          |      FROM c, t)
+          |SELECT r.source, cast(r.n_domain as bigint) AS n_domain,
+          |       cast(r.rate_bp as bigint) AS rate_bp,
+          |       cast(count(*) FILTER (
+          |         (d.doc_id * 2654435761) % 10000 < r.rate_bp) as bigint)
+          |         AS n_sampled
+          |FROM documents d JOIN r ON d.source = r.source
+          |GROUP BY r.source, r.n_domain, r.rate_bp""".stripMargin,
       // streaming probe gate: same batch bucket; the cross-pair set
       // equality and self-freeness are Spark-side anti-join proofs
       "dedup_stream_probe" ->

@@ -414,6 +414,44 @@ object Dedup {
     (sketches, merged)
   }
 
+  /** Deletion propagation through the standing index — the takedown /
+    * right-to-be-forgotten half of index maintenance: when documents
+    * leave the corpus (license revocation, PII purge, poisoning
+    * removal), their sketches must leave the store AND the maintained
+    * per-fingerprint df counts must shed exactly the departed docs'
+    * contributions, or the valve starts reading stale corpus
+    * properties.
+    *
+    * Exactness contract (the `index_forget` gate): forget is
+    * indistinguishable from rebuild — standing′ set-equals
+    * [[winnowSketches]] of the corpus minus the deleted docs, and df′
+    * set-equals [[ModelStore.winnowDfCounts]] recomputed from it
+    * (fingerprints whose count reaches zero disappear, matching the
+    * rebuild's groupBy which never emits empty groups).
+    *
+    * Scale shape: one anti-join on the id (the sketch removal), one
+    * semi-join + explode over only the DELETED docs' sketches (the df
+    * deltas — O(|deleted|), not corpus-sized), and one outer-join merge
+    * on the fingerprint key. Nothing rescans the surviving corpus.
+    */
+  def forgetFromStandingIndex(
+      standingSketches: DataFrame,
+      standingDf: DataFrame,
+      deleteIds: DataFrame): (DataFrame, DataFrame) = {
+    val ids = deleteIds.select(col("id"))
+    val kept = standingSketches.select(col("id"), col("fp"))
+      .join(ids, Seq("id"), "left_anti")
+    val removedDeltas = standingSketches.select(col("id"), col("fp"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(explode(col("fp")).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("gone"))
+    val shrunk = standingDf.select(col("f"), col("df"))
+      .join(removedDeltas, Seq("f"), "left_outer")
+      .select(col("f"), (col("df") - coalesce(col("gone"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    (kept, shrunk)
+  }
+
   /** Production containment pair search: ordered pairs (a, b) where at
     * least `thresholdBp` basis points of a's distinct character n-grams
     * also occur in b — the ASYMMETRIC complement of Jaccard dedup that

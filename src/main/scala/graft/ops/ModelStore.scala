@@ -130,4 +130,23 @@ object ModelStore {
 
   def loadWinnowDf(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/df")
+
+  // -------------------------------------------------------- IVF postings
+
+  /** Persist the IVF posting relation ((corpus_id, cv, bucket), see
+    * [[graft.ops.Similarity.ivfAssign]]) — the corpus-sized half of a
+    * vector index (the KB-sized half is the centroid model,
+    * [[saveKmeans]]). Written distributed; parquet round-trips the
+    * float vectors bit-exactly, so a loaded posting store serves
+    * [[graft.ops.Similarity.ivfTopKServe]] with output identical to
+    * the in-memory build (the `sim_ivf_append` gate). At production
+    * scale this table is additionally bucketed on `bucket` for an
+    * exchange-free candidate join.
+    */
+  def saveIvfPostings(assignments: DataFrame, path: String): Unit =
+    assignments.select(col("corpus_id"), col("cv"), col("bucket"))
+      .write.mode("overwrite").parquet(path)
+
+  def loadIvfPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

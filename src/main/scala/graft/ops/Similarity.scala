@@ -122,10 +122,46 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       probes: DataFrame, probeId: String, probeVec: String,
       centroids: Array[Array[Double]],
+      k: Int = 10, nProbe: Int = 4): DataFrame =
+    ivfTopKServe(ivfAssign(corpus, corpusId, corpusVec, centroids),
+      probes, probeId, probeVec, centroids, k, nProbe)
+
+  /** The IVF index build step in isolation: every corpus vector homed
+    * to its nearest trained centroid — (corpus_id, cv, bucket), the
+    * posting relation [[ivfTopKServe]] probes and
+    * [[graft.ops.ModelStore.saveIvfPostings]] persists. Splitting
+    * build from serve is what makes the index MAINTAINABLE: a new
+    * vector batch is assigned with the SAME frozen centroids (per-row
+    * pure function — order- and partitioning-independent) and appended
+    * as a union, so standing ∪ assign(batch) is bit-identical to
+    * assign(standing-corpus ∪ batch), the `sim_ivf_append` gate.
+    */
+  def ivfAssign(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import graft.functions.KmeansKernels
+    corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+      .withColumn("bucket", KmeansKernels.nearestIndex(col("cv"), centroids))
+  }
+
+  /** Serve top-k probes from a PREBUILT posting relation
+    * ((corpus_id, cv, bucket), see [[ivfAssign]]) — the cross-session
+    * path: load the postings a previous session persisted and search
+    * without touching the raw corpus. Same plan shape as [[ivfTopK]]:
+    * probes fan out to their nProbe nearest centroid buckets
+    * (broadcast), candidates within a bucket score exactly, top-k per
+    * probe capped below the exchange by WindowGroupLimit. At 100 TB
+    * the postings live as a parquet table bucketed on `bucket`, so
+    * the candidate join is exchange-free on the corpus side.
+    * Output: (probe_id, corpus_id, cosine, rank).
+    */
+  def ivfTopKServe(
+      assignments: DataFrame,
+      probes: DataFrame, probeId: String, probeVec: String,
+      centroids: Array[Array[Double]],
       k: Int = 10, nProbe: Int = 4): DataFrame = {
     import graft.functions.KmeansKernels
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
-      .withColumn("bucket", KmeansKernels.nearestIndex(col("cv"), centroids))
+    val c = assignments.select(col("corpus_id"), col("cv"), col("bucket"))
     val probeBuckets = probes.select(col(probeId).as("probe_id"), col(probeVec).as("pv"))
       .withColumn("bucket",
         explode(KmeansKernels.topIndices(col("pv"), centroids, nProbe)))

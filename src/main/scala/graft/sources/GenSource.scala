@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -86,12 +88,14 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
     batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = GenSource.schema
   // generated id range [lo, hi), narrowed by pushed id bounds
   private var lo: Long = 1L
   private var hi: Long = rows + 1L
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -119,9 +123,108 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GenScan(required, math.max(lo, 1L), math.min(hi, rows + 1L),
-      seed, valMax, partitions, batchRows)
+  /** Aggregate pushdown (`SupportsPushDownAggregates`) — the aggregates
+    * a generated range can answer ANALYTICALLY, with zero rows produced:
+    * over [lo, hi) (post-filter-pushdown bounds), COUNT(*) = hi−lo,
+    * COUNT/COUNT DISTINCT(id) = hi−lo (ids are dense and unique),
+    * MIN(id) = lo, MAX(id) = hi−1, SUM(id) = the arithmetic series. The
+    * pushdown is COMPLETE (Spark drops its Aggregate node entirely and
+    * reads the 1-row answer), which is the strongest form of the
+    * scan-side work elimination parquet footers give COUNT(*): at any
+    * scale the query is O(1). Anything touching `price` (hash-valued)
+    * or grouped is declined and Spark falls back to the row scan.
+    */
+  private def answers(agg: Aggregation): Option[Array[AggregateFunc]] = {
+    def isId(refs: Array[_]): Boolean = refs.length == 1 && (refs(0) match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+    if (agg.groupByExpressions.nonEmpty) return None
+    val fns = agg.aggregateExpressions
+    val ok = fns.nonEmpty && fns.forall {
+      case _: CountStar => true
+      case c: Count => isId(c.children)       // unique ⇒ distinct-safe
+      case m: Min => isId(m.children)
+      case m: Max => isId(m.children)
+      case s: Sum if !s.isDistinct => isId(s.children)
+      case _ => false
+    }
+    if (ok) Some(fns) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answers(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    answers(agg) match {
+      case Some(_) => pushedAgg = Some(agg); true
+      case None => false
+    }
+
+  override def build(): Scan = {
+    val blo = math.max(lo, 1L)
+    val bhi = math.min(hi, rows + 1L)
+    pushedAgg match {
+      case Some(agg) => new GenAggScan(agg, blo, bhi)
+      case None =>
+        new GenScan(required, blo, bhi, seed, valMax, partitions, batchRows)
+    }
+  }
+}
+
+/** The 1-row answer scan for a completely-pushed aggregation: the agg
+  * values are closed-form functions of the generated id range, so the
+  * "scan" is a single partition emitting a single precomputed row.
+  * Empty ranges follow Spark's ungrouped-aggregate semantics (count 0,
+  * null min/max/sum); SUM reproduces Spark's non-ANSI wrap by taking
+  * the low 64 bits of the exact BigInt series.
+  */
+class GenAggScan(agg: Aggregation, lo: Long, hi: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+  private val n = math.max(0L, hi - lo)
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map { case (f, i) =>
+      val nullable = !(f.isInstanceOf[CountStar] || f.isInstanceOf[Count])
+      StructField(s"agg_$i", LongType, nullable)
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PushedAggregates: [${agg.aggregateExpressions.mkString(", ")}]"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes: util.OptionalLong =
+      util.OptionalLong.of(8L * agg.aggregateExpressions.length)
+    override def numRows: util.OptionalLong = util.OptionalLong.of(1L)
+  }
+
+  private def row: InternalRow = InternalRow.fromSeq(
+    agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => n
+      case _: Count => n
+      case _: Min => if (n == 0) null else lo
+      case _: Max => if (n == 0) null else hi - 1L
+      case _: Sum =>
+        if (n == 0) null
+        else ((BigInt(lo) + BigInt(hi) - 1) * n / 2).toLong
+    })
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenRange(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenAggReaderFactory(row)
+}
+
+class GenAggReaderFactory(answer: InternalRow) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = answer
+      override def close(): Unit = ()
+    }
 }
 
 class GenScan(

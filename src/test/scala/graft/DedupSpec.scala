@@ -284,6 +284,32 @@ class DedupSpec extends SparkSpec {
       rebuiltDf.as[(Long, Long)].collect().toMap)
   }
 
+  test("forgetFromStandingIndex equals rebuild on the surviving corpus") {
+    val d = (1L to 20L).map { i =>
+      (i, if (i <= 8) "boilerplate header every document shares " + s"unique tail $i"
+          else s"distinct content number $i " * 3)
+    }.toDF("doc_id", "text")
+    val isGone = col("doc_id") % 3 === 0
+    val standing = Dedup.winnowSketches(d, "doc_id", "text", k = 5, w = 4)
+    val (kept, shrunk) = Dedup.forgetFromStandingIndex(
+      standing, graft.ops.ModelStore.winnowDfCounts(standing),
+      d.filter(isGone).select(col("doc_id").as("id")))
+    val rebuiltSk = Dedup.winnowSketches(d.filter(!isGone), "doc_id", "text", k = 5, w = 4)
+    val rebuiltDf = graft.ops.ModelStore.winnowDfCounts(rebuiltSk)
+    assert(kept.exceptAll(rebuiltSk).count() === 0)
+    assert(rebuiltSk.exceptAll(kept).count() === 0)
+    assert(shrunk.as[(Long, Long)].collect().toMap ===
+      rebuiltDf.as[(Long, Long)].collect().toMap)
+    // zero-count fingerprints are gone, not zero-valued
+    assert(shrunk.filter(col("df") <= 0).count() === 0)
+    // deleting nothing is a no-op
+    val (kept0, df0) = Dedup.forgetFromStandingIndex(
+      standing, graft.ops.ModelStore.winnowDfCounts(standing),
+      d.filter(col("doc_id") < 0).select(col("doc_id").as("id")))
+    assert(kept0.exceptAll(standing).count() === 0)
+    assert(df0.exceptAll(graft.ops.ModelStore.winnowDfCounts(standing)).count() === 0)
+  }
+
   test("containmentPairs maxDocFreq valve only drops pairs, never invents") {
     val d = (1L to 30L).map { i =>
       (i, if (i <= 10) "boilerplate header everyone shares " + s"unique $i"

@@ -73,4 +73,22 @@ class ModelStoreSpec extends SparkSpec {
     assert(df.values.sum ===
       sk.select(explode(col("fp"))).count())
   }
+
+  test("IVF postings round-trip and the loaded store serves identically") {
+    import graft.ops.Similarity
+    val (_, km) = Clustering.kmeans(vecs, "vec_id", "embedding", k = 4, maxIter = 3)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", km.centroids)
+    val path = tmp("ivf")
+    ModelStore.saveIvfPostings(assigned, path)
+    val loaded = ModelStore.loadIvfPostings(spark, path)
+    assert(assigned.exceptAll(loaded).count() === 0)
+    assert(loaded.exceptAll(assigned).count() === 0)
+    val probes = vecs.filter(col("vec_id") % 7 === 0)
+    def serve(a: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKServe(a, probes, "vec_id", "embedding",
+          km.centroids, k = 3, nProbe = 2)
+        .select("probe_id", "corpus_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(serve(loaded) === serve(assigned))
+  }
 }

@@ -206,4 +206,22 @@ class SimilaritySpec extends SparkSpec {
       .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(full === exact)
   }
+
+  test("IVF append: standing ∪ assign(batch) serves identically to a full rebuild") {
+    import graft.ops.Clustering
+    val (_, km) = Clustering.kmeans(corpus, "id", "v", k = 4, maxIter = 3)
+    val isBatch = col("id") % 5 === 0
+    val grown = Similarity.ivfAssign(corpus.filter(!isBatch), "id", "v", km.centroids)
+      .union(Similarity.ivfAssign(corpus.filter(isBatch), "id", "v", km.centroids))
+    val served = Similarity.ivfTopKServe(grown, probes, "id", "v",
+        km.centroids, k = 4, nProbe = 2)
+      .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val direct = Similarity.ivfTopKTrained(corpus, "id", "v", probes, "id", "v",
+        km.centroids, k = 4, nProbe = 2)
+      .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(served === direct)
+    // assignments are a pure per-row function: every vector homed once
+    assert(grown.count() === corpus.count())
+    assert(grown.select("corpus_id").distinct().count() === corpus.count())
+  }
 }

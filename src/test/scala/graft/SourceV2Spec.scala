@@ -75,4 +75,54 @@ class SourceV2Spec extends SparkSpec {
       assert(batches >= 4, s"expected ≥4 bounded micro-batches, saw $batches")
     } finally q.stop()
   }
+
+  private def hasAggregate(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined
+
+  test("aggregate pushdown: COUNT/MIN/MAX/SUM(id) answered analytically, Aggregate node gone") {
+    val df = v2.agg(count(lit(1)), min(col("id")), max(col("id")), sum(col("id")))
+    assert(!hasAggregate(df), "complete pushdown should remove the Aggregate")
+    val r = df.collect()(0)
+    assert(r.getLong(0) === rows)
+    assert(r.getLong(1) === 1L)
+    assert(r.getLong(2) === rows)
+    assert(r.getLong(3) === rows * (rows + 1) / 2)
+  }
+
+  test("aggregate pushdown composes with pushed id filters (narrowed range)") {
+    val df = v2.filter(col("id") > 1000L && col("id") <= 2000L)
+      .agg(count(lit(1)), min(col("id")), max(col("id")), sum(col("id")))
+    assert(!hasAggregate(df))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 1000L)
+    assert(r.getLong(1) === 1001L)
+    assert(r.getLong(2) === 2000L)
+    assert(r.getLong(3) === (1001L to 2000L).sum)
+  }
+
+  test("aggregate pushdown declines price aggregates and grouped aggregates") {
+    val priceAgg = v2.agg(sum(col("price")))
+    assert(hasAggregate(priceAgg), "sum(price) is not analytic — must not push")
+    val grouped = v2.groupBy(col("price") % 2).agg(count(lit(1)))
+    assert(hasAggregate(grouped), "grouped aggregation must not push")
+    // and the declined path still computes the right answer
+    assert(priceAgg.collect()(0).getLong(0) ===
+      declarative.agg(sum(col("price"))).collect()(0).getLong(0))
+  }
+
+  test("aggregate pushdown declines when a residual filter survives") {
+    val df = v2.filter(col("price") >= 0L).agg(count(lit(1)))
+    assert(hasAggregate(df), "post-scan filter must block aggregate pushdown")
+    assert(df.collect()(0).getLong(0) === rows)
+  }
+
+  test("aggregate pushdown on an empty pushed range: count 0, null min/max/sum") {
+    val df = v2.filter(col("id") > rows).agg(count(lit(1)),
+      min(col("id")), max(col("id")), sum(col("id")))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
 }
