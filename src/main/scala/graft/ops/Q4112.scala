@@ -486,6 +486,86 @@ object Q4112 {
       .select(expr("ss div cc").as("avg_avg_value"))
   }
 
+  /** Group-domain ceiling for [[part2DenseAgg]]: 2²² slots = 64 MB of
+    * accumulators per task (two long arrays) — L3-adjacent, and bounded
+    * at ~2 GB across 32 concurrent tasks. Above this the arrays stop
+    * fitting cache and the hash aggregate's locality is no worse.
+    */
+  val DenseAggMaxDomain: Long = 1L << 22
+
+  /** Part 2 with the PARTIAL AGGREGATE itself dense — the reference's
+    * own accumulation shape (q4112.c:225-297 aggregates into a sized
+    * global array after its FM sketch bounds the group count): when the
+    * group domain is contiguous and bounded ([lo, hi], hi−lo+1 ≤
+    * [[DenseAggMaxDomain]], proven from cached column min/max
+    * statistics), each task accumulates sum/count into two plain long
+    * arrays indexed by (group − lo) and emits one (group, s, c) row per
+    * non-empty slot at task end. This replaces the per-row
+    * UnsafeFixedWidthAggregationMap probe (hash + row compare over a
+    * ~1e6-entry map that misses cache) with a bounds-checked array add —
+    * the profiled r9 attribution put that probe at the center of the
+    * cold cfg10/17 gap (one uniform CPU-bound stage, ~430 ns/row, zero
+    * spill). The final reduce is Catalyst partial/final over ≤
+    * tasks × domain slim rows, then the same integer avg-of-avgs.
+    *
+    * Exactness: identical arithmetic to [[part2]] — long sums with the
+    * same wrap semantics, `s div c` per group, integer avg-of-avgs.
+    * Array indexing is total on the proven [lo, hi] domain.
+    */
+  def part2DenseAgg(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String,
+      groupCol: String,
+      minGroup: Long,
+      domain: Int,
+      dense: Boolean = false): DataFrame = {
+    require(domain > 0 && domain <= DenseAggMaxDomain,
+      s"dense aggregate domain out of range: $domain")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val gv = groupedValues(items, orders, itemKey, orderKey, priceCol,
+        quantityCol, groupCol, dense)
+      .select(col(groupCol).cast("long"), col("v").cast("long"))
+    val spark = gv.sparkSession
+    val mg = minGroup
+    val dom = domain
+    val rdd = gv.queryExecution.toRdd.mapPartitions { it =>
+      val sums = new Array[Long](dom)
+      val cnts = new Array[Long](dom)
+      while (it.hasNext) {
+        val r = it.next() // primitives read immediately; row reuse is fine
+        val g = (r.getLong(0) - mg).toInt
+        sums(g) += r.getLong(1)
+        cnts(g) += 1L
+      }
+      new scala.collection.AbstractIterator[InternalRow] {
+        private var i = 0
+        private def skip(): Unit = while (i < dom && cnts(i) == 0L) i += 1
+        skip()
+        override def hasNext: Boolean = i < dom
+        override def next(): InternalRow = {
+          val row = new GenericInternalRow(Array[Any](i + mg, sums(i), cnts(i)))
+          i += 1; skip(); row
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("g", LongType, nullable = false),
+      StructField("s", LongType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    org.apache.spark.sql.graft.bridge.internalDataFrame(spark, rdd, schema)
+      .groupBy(col("g"))
+      .agg(sum(col("s")).as("s2"), sum(col("c")).as("c2"))
+      .select(expr("s2 div c2").as("avg_value"))
+      .agg(sum(col("avg_value")).as("ss"), count(lit(1)).as("cc"))
+      .select(expr("ss div cc").as("avg_avg_value"))
+  }
+
   /** Pure bounds check for the packed exchange, fed with column min/max
     * statistics: true only when EVERY row they can describe packs into
     * group·2^34 + v without a field borrowing into the other's bits.
@@ -705,12 +785,28 @@ object Q4112 {
         part2Bypass(items, orders, itemKey, orderKey, priceCol, quantityCol,
           groupCol, parts, useDense)
       }
-    } else if (useDense) {
-      lastChosenPlan = "partial"
-      part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
     } else {
-      lastChosenPlan = "partial"
-      part2(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, BroadcastHash)
+      // partial-aggregation family. When the group domain is contiguous
+      // and bounded (cached min/max stats — same source as the packing
+      // bound), the dense-ARRAY partial aggregate replaces the per-task
+      // hash map: the r9 1e9 profile put the cold partial plan's cost in
+      // one uniform CPU-bound stage (~430 ns/row, zero spill) dominated
+      // by the ~1e6-entry aggregation-map probe; array indexing removes
+      // it without changing the exchange or the arithmetic.
+      val Seq((minGroup, maxGroup)) = minMaxLongs(orders, Seq(groupCol))
+      // width computed subtraction-first so extreme domains can't overflow
+      val denseDomain = maxGroup >= minGroup && maxGroup - minGroup < DenseAggMaxDomain
+      if (denseDomain) {
+        lastChosenPlan = "partial_dense"
+        part2DenseAgg(items, orders, itemKey, orderKey, priceCol, quantityCol,
+          groupCol, minGroup, (maxGroup - minGroup + 1).toInt, useDense)
+      } else if (useDense) {
+        lastChosenPlan = "partial"
+        part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)
+      } else {
+        lastChosenPlan = "partial"
+        part2(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol, BroadcastHash)
+      }
     }
   }
 

@@ -139,8 +139,29 @@ class Q4112Spec extends SparkSpec {
           .otherwise(col("id") % 100L).as("storeId"))
     val items = Seq((1L, 5L)).toDF("id", "price")
     Q4112.part2Adaptive(items, orders, "id", "itemId", "price", "quantity", "storeId")
-    assert(Q4112.lastChosenPlan === "partial",
+    assert(Set("partial", "partial_dense").contains(Q4112.lastChosenPlan),
       s"prefix-biased sample mis-planned: ${Q4112.lastChosenPlan}")
+  }
+
+  test("dense-array partial aggregate equals the hash partial plan exactly") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val items = (1L to 500L).map(i => (i, (i * 7) % 1000)).toDF("id", "price")
+    val orders = spark.range(0L, 100000L, 1L, 8)
+      .select((col("id") % 500L + 1L).as("itemId"),
+        (col("id") % 9L).as("quantity"),
+        (col("id") % 37L + 100L).as("storeId")) // domain [100, 136]
+    val viaHash = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    val viaDense = Q4112.part2DenseAgg(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", minGroup = 100L, domain = 37).collect()(0).getLong(0)
+    assert(viaDense === viaHash)
+    // the adaptive chooser routes this bounded-domain shape to the dense form
+    val adaptive = Q4112.part2Adaptive(items, orders, "id", "itemId", "price",
+      "quantity", "storeId").collect()(0).getLong(0)
+    assert(Q4112.lastChosenPlan === "partial_dense", Q4112.lastChosenPlan)
+    assert(adaptive === viaHash)
   }
 
   test("adaptive planners detect a bucketed layout: part1 elides the join exchanges, part2 the group-by exchange") {
