@@ -236,8 +236,33 @@ object Matrix {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate(); calibrateShuffle() // warm both probes' codegen, untimed
-    System.err.println(f"[matrix] calib idle-check: cpu=${calibrate()}%.3f s " +
-      f"shuffle=${calibrateShuffle()}%.3f s")
+    val idleShuffle = {
+      System.err.println(f"[matrix] calib idle-check: cpu=${calibrate()}%.3f s")
+      val s = calibrateShuffle()
+      System.err.println(f"[matrix] calib idle-check: shuffle=$s%.3f s")
+      s
+    }
+
+    /** Drain session writeback until the shuffle probe returns to its
+      * idle band (bounded): layout modes write a ~16 GB materialization
+      * and the 1e9 oracle right before the rep loop, and the r9 cfg17
+      * run showed the per-rep 1 s settle cannot absorb that tail — all
+      * three reps measured under shuffle probes at 5-6× idle. Waiting
+      * for quiet is measurement hygiene, not a speedup: the probe
+      * columns still record whatever state the rep actually ran under.
+      */
+    def settleUntilQuiet(maxWaitSec: Int = 120): Unit = {
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      var p = calibrateShuffle()
+      while (p > math.max(2.0 * idleShuffle, idleShuffle + 1.0) &&
+          System.nanoTime() < deadline) {
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case scala.util.control.NonFatal(_) => () }
+        Thread.sleep(5000)
+        p = calibrateShuffle()
+      }
+      System.err.println(f"[matrix] settle: shuffle probe $p%.3f s (idle $idleShuffle%.3f s)")
+    }
 
     // per-rep memory telemetry: heap-in-use after the post-rep GC plus
     // process RSS — the rep-3 GC collapse (27.8 → 178 s, SCALING.md
@@ -395,6 +420,12 @@ object Matrix {
             spark.table("joined_bkt"))
           System.gc()
         }
+        // layout modes reach this point right after the materialization
+        // write + the 1e9 oracle — wait out the writeback tail so rep 1
+        // is not measured under the harness's own flush (see
+        // settleUntilQuiet; probes still record the state reps ran under)
+        if (p2Plan == "bucketed" || p2Plan == "joined_bucketed" || p1Bucketed)
+          settleUntilQuiet()
         for (rep <- 1 to reps) {
           val calib = calibrate()
           val calibSh = calibrateShuffle()
