@@ -522,15 +522,23 @@ object Q4112 {
       groupCol: String,
       minGroup: Long,
       domain: Int,
-      dense: Boolean = false): DataFrame = {
+      dense: Boolean = false): DataFrame =
+    denseGroupedAvg(
+      groupedValues(items, orders, itemKey, orderKey, priceCol,
+        quantityCol, groupCol, dense)
+        .select(col(groupCol).cast("long"), col("v").cast("long")),
+      minGroup, domain)
+
+  /** The dense-accumulation stage of [[part2DenseAgg]] over a prepared
+    * (group, v) projection — exposed separately so the accumulation can
+    * be measured/tested without the join front half.
+    */
+  def denseGroupedAvg(gv: DataFrame, minGroup: Long, domain: Int): DataFrame = {
     require(domain > 0 && domain <= DenseAggMaxDomain,
       s"dense aggregate domain out of range: $domain")
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val gv = groupedValues(items, orders, itemKey, orderKey, priceCol,
-        quantityCol, groupCol, dense)
-      .select(col(groupCol).cast("long"), col("v").cast("long"))
     val spark = gv.sparkSession
     val mg = minGroup
     val dom = domain
