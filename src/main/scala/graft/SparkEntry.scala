@@ -2067,6 +2067,32 @@ object SparkEntry {
       Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
         .toDF("n_batch", "append_ok", "persist_ok")
     }),
+    // VECTOR-STORE DELETION — the ANN analog of index_forget: departing
+    // vectors leave the posting relation by one anti-join; because
+    // assignment is a per-row pure function the forgotten store is
+    // EXACTLY the rebuild on the survivors. Gate: posting set equality
+    // AND identical serving output vs the from-scratch rebuild.
+    "sim_ivf_forget" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      val isGone = col("vec_id") % 9 === 0
+      val probes = e.filter(col("vec_id") % 37 === 0)
+      val forgotten = Similarity.ivfForget(
+        Similarity.ivfAssign(e, "vec_id", "embedding", km.centroids),
+        e.filter(isGone).select(col("vec_id").as("id"))).cache()
+      val rebuilt = Similarity.ivfAssign(
+        e.filter(!isGone), "vec_id", "embedding", km.centroids).cache()
+      def sel(a: DataFrame) = Similarity.ivfTopKServe(a, probes,
+          "vec_id", "embedding", km.centroids, k = 5, nProbe = 3)
+        .select(col("probe_id"), col("corpus_id"), col("rank"))
+      evalGateRow(s,
+        e.filter(isGone).agg(count(lit(1)).as("n_deleted"))
+          .crossJoin(setEq(forgotten.select(col("corpus_id"), col("bucket")),
+            rebuilt.select(col("corpus_id"), col("bucket")), "posting_ok"))
+          .crossJoin(setEq(sel(forgotten), sel(rebuilt), "serve_ok"))
+          .select(col("n_deleted"), col("posting_ok"), col("serve_ok")),
+        Seq(forgotten, rebuilt), ("n_deleted", "posting_ok", "serve_ok"))
+    }),
     // AGGREGATE PUSHDOWN into the DSv2 source — COUNT/MIN/MAX/SUM over
     // the generated id range answered ANALYTICALLY by the source
     // (GenScanBuilder.pushAggregation, complete pushdown: Spark's
@@ -4630,6 +4656,16 @@ object SparkEntry {
         e.filter(col("vec_id") % 37 === 0), "vec_id", "embedding",
         km.centroids, k = 5, nProbe = 3)
     }),
+    // production form: the takedown anti-join itself over the assigned
+    // store (model-cached quantizer); the gate's rebuild equality and
+    // serving comparison are the verifier
+    "sim_ivf_forget" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      Similarity.ivfForget(
+        Similarity.ivfAssign(e, "vec_id", "embedding", km.centroids),
+        e.filter(col("vec_id") % 9 === 0).select(col("vec_id").as("id")))
+    }),
     // production form: the pushed aggregate alone — the O(1) query the
     // pushdown exists for (the gate's raw-path comparison re-scans the
     // generated rows by construction)
@@ -5383,6 +5419,12 @@ object SparkEntry {
         """SELECT cast(count(*) as bigint) AS n_batch,
           |       true AS append_ok, true AS persist_ok
           |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+      // IVF forget gate: delete set is vec_id % 9 = 0; posting and
+      // serving equalities are Spark-side anti-joins
+      "sim_ivf_forget" ->
+        """SELECT cast(count(*) as bigint) AS n_deleted,
+          |       true AS posting_ok, true AS serve_ok
+          |FROM embeddings WHERE vec_id % 9 = 0""".stripMargin,
       // aggregate-pushdown gate: the oracle recomputes the pushed
       // SUM(id) as the arithmetic series over the filtered id range
       // (id > 5000 of 1..20000); plan-shape and pushed-vs-raw equality

@@ -144,6 +144,20 @@ object Similarity {
       .withColumn("bucket", KmeansKernels.nearestIndex(col("cv"), centroids))
   }
 
+  /** Deletion propagation for the vector store — the ANN analog of
+    * [[graft.ops.Dedup.forgetFromStandingIndex]]: vectors leaving the
+    * corpus (takedown, PII purge, poisoning removal) leave the posting
+    * relation by one anti-join on the id. Because assignment is a
+    * per-row pure function, forget is exactly rebuild-on-the-survivors
+    * ([[ivfAssign]] of corpus − deleted) — the `sim_ivf_forget` gate
+    * asserts identical serving output. No array rewrite, no retraining:
+    * the centroid model is unchanged (retraining is a scheduled rebuild,
+    * same as append's contract).
+    */
+  def ivfForget(assignments: DataFrame, deleteIds: DataFrame): DataFrame =
+    assignments.join(deleteIds.select(col("id").as("corpus_id")),
+      Seq("corpus_id"), "left_anti")
+
   /** Serve top-k probes from a PREBUILT posting relation
     * ((corpus_id, cv, bucket), see [[ivfAssign]]) — the cross-session
     * path: load the postings a previous session persisted and search

@@ -89,6 +89,7 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
+    with SupportsPushDownLimit
     with SupportsPushDownAggregates {
   private var required: StructType = GenSource.schema
   // generated id range [lo, hi), narrowed by pushed id bounds
@@ -122,6 +123,17 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
          // are exact here, so returning `rest` only is also correct
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** Limit pushdown: an unordered LIMIT n over a generated range is the
+    * range's first n ids — narrow [lo, hi) so out-of-limit rows are
+    * never produced (the same generation-elision as the id-range filter
+    * pushdown). Spark keeps its own Limit on top (isPartiallyPushed
+    * default), which is a no-op over the already-exact row count.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit >= 0 && lo + limit < hi) hi = lo + limit
+    true
+  }
 
   /** Aggregate pushdown (`SupportsPushDownAggregates`) — the aggregates
     * a generated range can answer ANALYTICALLY, with zero rows produced:

@@ -224,4 +224,24 @@ class SimilaritySpec extends SparkSpec {
     assert(grown.count() === corpus.count())
     assert(grown.select("corpus_id").distinct().count() === corpus.count())
   }
+
+  test("IVF forget equals a rebuild on the surviving corpus") {
+    import graft.ops.Clustering
+    val (_, km) = Clustering.kmeans(corpus, "id", "v", k = 4, maxIter = 3)
+    val isGone = col("id") % 4 === 0
+    val forgotten = Similarity.ivfForget(
+      Similarity.ivfAssign(corpus, "id", "v", km.centroids),
+      corpus.filter(isGone).select(col("id")))
+    val rebuilt = Similarity.ivfAssign(corpus.filter(!isGone), "id", "v", km.centroids)
+    assert(forgotten.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(forgotten).count() === 0)
+    def serve(a: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKServe(a, probes, "id", "v", km.centroids, k = 4, nProbe = 2)
+        .select("probe_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(serve(forgotten) === serve(rebuilt))
+    // forgetting nothing is a no-op
+    val all = Similarity.ivfAssign(corpus, "id", "v", km.centroids)
+    assert(Similarity.ivfForget(all, corpus.filter(col("id") < 0).select(col("id")))
+      .exceptAll(all).count() === 0)
+  }
 }

@@ -118,6 +118,20 @@ class SourceV2Spec extends SparkSpec {
     assert(df.collect()(0).getLong(0) === rows)
   }
 
+  test("limit pushdown narrows generation: the scan produces exactly n rows") {
+    val df = v2.limit(137)
+    assert(df.count() === 137L)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    df.collect()
+    val produced = scan.metrics("numOutputRows").value
+    assert(produced === 137L,
+      s"limit not pushed: source produced $produced rows for limit 137")
+    // composes with a pushed filter: limit applies to the narrowed range
+    val filtered = v2.filter(col("id") > 4000L).limit(50)
+    assert(filtered.collect().map(_.getLong(0)).toSeq ===
+      (4001L to 4050L))
+  }
+
   test("aggregate pushdown on an empty pushed range: count 0, null min/max/sum") {
     val df = v2.filter(col("id") > rows).agg(count(lit(1)),
       min(col("id")), max(col("id")), sum(col("id")))
