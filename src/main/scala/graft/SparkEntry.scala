@@ -2093,6 +2093,41 @@ object SparkEntry {
           .select(col("n_deleted"), col("posting_ok"), col("serve_ok")),
         Seq(forgotten, rebuilt), ("n_deleted", "posting_ok", "serve_ok"))
     }),
+    // STREAMING EMBEDDING-INGEST PROBE — the vector analog of
+    // dedup_stream_probe, closing the ingest loop for the sim_ivf_*
+    // family: incoming vectors route to their nProbe nearest buckets
+    // under the frozen quantizer, stream-static join against the
+    // standing postings, exact-cosine verify. Gate: batch execution of
+    // the streaming plan set-equals the independent batch comparator
+    // (ivfTopKServe with an unbounded k, thresholded) — same recall
+    // contract, different join/dedup/ranking path — and no self-pairs.
+    "sim_stream_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      val isBatch = col("vec_id") % 10 === 0
+      val standing = Similarity.ivfAssign(
+        e.filter(!isBatch), "vec_id", "embedding", km.centroids).cache()
+      val probeOut = graft.streaming.Events.simProbeStream(
+          e.filter(isBatch).select(col("vec_id"),
+            lit("2026-01-01 00:00:00").cast("timestamp").as("ts"),
+            col("embedding")),
+          standing, km.centroids, nProbe = 3, threshold = 0.35)
+        .select(col("vec_id"), col("dup_of")).cache()
+      val comparator = Similarity.ivfTopKServe(standing, e.filter(isBatch),
+          "vec_id", "embedding", km.centroids, k = Int.MaxValue, nProbe = 3)
+        .filter(col("cosine") >= 0.35)
+        .select(col("probe_id").as("vec_id"), col("corpus_id").as("dup_of"))
+        .cache()
+      System.err.println(s"[sim_stream_probe] pairs=${probeOut.count()}")
+      evalGateRow(s,
+        e.filter(isBatch).agg(count(lit(1)).as("n_batch"))
+          .crossJoin(setEq(probeOut, comparator, "equal_cross_ok"))
+          .crossJoin(probeOut.filter(col("vec_id") === col("dup_of"))
+            .agg((count(lit(1)) === 0).as("self_free_ok")))
+          .select(col("n_batch"), col("equal_cross_ok"), col("self_free_ok")),
+        Seq(standing, probeOut, comparator),
+        ("n_batch", "equal_cross_ok", "self_free_ok"))
+    }),
     // AGGREGATE PUSHDOWN into the DSv2 source — COUNT/MIN/MAX/SUM over
     // the generated id range answered ANALYTICALLY by the source
     // (GenScanBuilder.pushAggregation, complete pushdown: Spark's
@@ -4666,6 +4701,21 @@ object SparkEntry {
         Similarity.ivfAssign(e, "vec_id", "embedding", km.centroids),
         e.filter(col("vec_id") % 9 === 0).select(col("vec_id").as("id")))
     }),
+    // production form: batch execution of the streaming vector probe
+    // over a micro-batch-sized 2% slice against the standing postings
+    // (the dedup_stream_probe scope convention); the gate's comparator
+    // equality is the verifier
+    "sim_stream_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      graft.streaming.Events.simProbeStream(
+        e.filter(col("vec_id") % 50 === 0).select(col("vec_id"),
+          lit("2026-01-01 00:00:00").cast("timestamp").as("ts"),
+          col("embedding")),
+        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", km.centroids),
+        km.centroids, nProbe = 3, threshold = 0.35)
+    }),
     // production form: the pushed aggregate alone — the O(1) query the
     // pushdown exists for (the gate's raw-path comparison re-scans the
     // generated rows by construction)
@@ -5425,6 +5475,12 @@ object SparkEntry {
         """SELECT cast(count(*) as bigint) AS n_deleted,
           |       true AS posting_ok, true AS serve_ok
           |FROM embeddings WHERE vec_id % 9 = 0""".stripMargin,
+      // streaming vector probe gate: batch bucket is vec_id % 10 = 0;
+      // the comparator equality and self-freeness are Spark-side
+      "sim_stream_probe" ->
+        """SELECT cast(count(*) as bigint) AS n_batch,
+          |       true AS equal_cross_ok, true AS self_free_ok
+          |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
       // aggregate-pushdown gate: the oracle recomputes the pushed
       // SUM(id) as the arithmetic series over the filtered id range
       // (id > 5000 of 1..20000); plan-shape and pushed-vs-raw equality

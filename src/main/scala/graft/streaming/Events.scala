@@ -304,6 +304,52 @@ object Events {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming embedding-ingest near-dup probe against the standing IVF
+    * posting store — the vector analog of [[dedupProbeStream]], closing
+    * the same ingest loop for the `sim_ivf_*` index family: each
+    * incoming vector routes to its `nProbe` nearest centroid buckets
+    * under the SAME frozen trained quantizer the store was assigned
+    * with, stream-static equi-joins on the 4-byte bucket id against the
+    * posting relation, and candidate pairs verify with the exact cosine.
+    *
+    * State shape: the bucket join is stateless (stream-static); the only
+    * state is the watermark-bounded (vec_id, dup_of) pair dedup, and the
+    * candidate rows carry no vectors through it — the standing vector
+    * re-joins AFTER the dedup, and the incoming embedding rides the
+    * slim candidate row only until its verify. Recall contract is IVF's:
+    * a standing near-duplicate is found iff its home bucket is among the
+    * probe's `nProbe` nearest — the same bound as [[graft.ops.Similarity
+    * .ivfTopKServe]], which the gate uses as the independent batch
+    * comparator.
+    */
+  def simProbeStream(
+      vecs: DataFrame,
+      standingPostings: DataFrame,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 3,
+      threshold: Double = 0.8,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.KmeansKernels
+    val wm = if (vecs.isStreaming) vecs.withWatermark("ts", watermarkDelay) else vecs
+    val probed = wm.select(col("vec_id"), col("ts"), col("embedding"),
+      explode(KmeansKernels.topIndices(col("embedding"), centroids, nProbe))
+        .as("bucket"))
+    val cands0 = probed
+      .join(standingPostings.select(col("corpus_id").as("dup_of"), col("bucket")),
+        Seq("bucket"))
+      .select(col("vec_id"), col("ts"), col("embedding"), col("dup_of"))
+    val cands =
+      if (vecs.isStreaming) cands0.dropDuplicatesWithinWatermark("vec_id", "dup_of")
+      else cands0.dropDuplicates("vec_id", "dup_of")
+    cands
+      .join(standingPostings.select(col("corpus_id").as("dup_of"), col("cv")),
+        Seq("dup_of"))
+      .select(col("vec_id"), col("dup_of"),
+        graft.functions.VectorFunctions
+          .cosineSimilarity(col("embedding"), col("cv")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Streaming exact dedup: first occurrence per content key wins, later
     * duplicates dropped. `dropDuplicatesWithinWatermark` bounds the
     * dedup state by the watermark horizon (an unbounded-state global

@@ -358,6 +358,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming vector probe equals its batch execution across micro-batches") {
+    import graft.ops.{Clustering, Similarity}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(d => (((seed * 131 + d * 17) % 19) - 9) / 9.0f)
+    val corpus = (1 to 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val (_, km) = Clustering.kmeans(corpus, "vec_id", "embedding", k = 4, maxIter = 3)
+    val standing = Similarity.ivfAssign(corpus, "vec_id", "embedding", km.centroids)
+      .cache()
+    standing.count()
+    // incoming: exact copies of standing vectors 1 and 25 (cosine 1.0;
+    // identical vector ⇒ same home bucket ⇒ within any nProbe ≥ 1),
+    // arriving in separate micro-batches
+    val incoming = Seq((101L, 1000L, vec(1)), (102L, 2000L, vec(25)))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    val query = graft.streaming.Events.simProbeStream(
+        stream.toDF().toDF("vec_id", "ts", "embedding"), standing,
+        km.centroids, nProbe = 2, threshold = 0.95)
+      .writeStream.format("memory").queryName("sim_probe_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((101L, ts(1000L), vec(1)))
+      query.processAllAvailable()
+      stream.addData((102L, ts(2000L), vec(25)))
+      query.processAllAvailable()
+      val streamed = spark.table("sim_probe_out")
+        .select("vec_id", "dup_of").as[(Long, Long)].collect().toSet
+      val batch = graft.streaming.Events.simProbeStream(
+          incoming.map(t => (t._1, ts(t._2), t._3))
+            .toDF("vec_id", "ts", "embedding"),
+          standing, km.centroids, nProbe = 2, threshold = 0.95)
+        .select("vec_id", "dup_of").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.contains((101L, 1L)))
+      assert(streamed.contains((102L, 25L)))
+    } finally {
+      query.stop()
+      standing.unpersist()
+    }
+  }
+
   test("attribution state evicts via event-time timeout after the retention window") {
     import graft.streaming.Events.{AttrEvent, Attribution}
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
