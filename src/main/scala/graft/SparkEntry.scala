@@ -220,6 +220,18 @@ object SparkEntry {
       Q4112.part2BypassPacked(partItems(s, dir), liOrders(s, dir),
         "p_partkey", "l_partkey", "price", "quantity", "l_suppkey",
         numPartitions = s.sparkContext.defaultParallelism)),
+    // the dense-array partial aggregate through the correctness gate in
+    // its OWN right (not only via the adaptive chooser, whose routing
+    // could change): domain bounds derived from the supplier-key range
+    // the same way the chooser proves them from stats
+    "q4112_part2_dense_agg" -> ((s, dir) => {
+      val lo = liOrders(s, dir)
+      val Seq(mn, mx) = lo.agg(min(col("l_suppkey")), max(col("l_suppkey")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      Q4112.part2DenseAgg(partItems(s, dir), lo,
+        "p_partkey", "l_partkey", "price", "quantity", "l_suppkey",
+        minGroup = mn, domain = (mx - mn + 1).toInt)
+    }),
     // the LAYOUT ROUTER through the correctness gate (round-8 verdict
     // item 1): the user queries the RAW relations; the planner must
     // discover a registered exchange-free layout by plan identity and
@@ -5588,6 +5600,9 @@ object SparkEntry {
         s"""WITH g AS ($groupedCte)
            |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
       "q4112_part2_adaptive" ->
+        s"""WITH g AS ($groupedCte)
+           |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
+      "q4112_part2_dense_agg" ->
         s"""WITH g AS ($groupedCte)
            |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
       "q4112_part2_packed" ->
