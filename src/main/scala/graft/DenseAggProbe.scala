@@ -17,10 +17,11 @@ object DenseAggProbe {
     val rows = args.headOption.map(_.toLong).getOrElse(400000000L)
     val mode = if (args.length > 1) args(1) else "dense"
     val reps = if (args.length > 2) args(2).toInt else 4
+    val groups = if (args.length > 3) args(3).toLong else 1000000L
     val spark = Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("WARN")
     val gv = spark.range(0L, rows, 1L, 32)
-      .select((col("id") % 1000000L).as("g0"), (col("id") % 97L).as("v0"))
+      .select((col("id") % groups).as("g0"), (col("id") % 97L).as("v0"))
       .cache()
     gv.count()
     def heapGb: Double = {
@@ -34,7 +35,7 @@ object DenseAggProbe {
       val r = mode match {
         case "dense" =>
           graft.ops.Q4112.denseGroupedAvg(gv.select(col("g0"), col("v0").as("v")),
-            minGroup = 0L, domain = 1000000).collect()(0).getLong(0)
+            minGroup = 0L, domain = groups.toInt).collect()(0).getLong(0)
         case "accum" =>
           // bisection: toRdd + the per-task array accumulation WITHOUT
           // internalCreateDataFrame / the downstream aggregates — if
@@ -42,15 +43,16 @@ object DenseAggProbe {
           // the accumulation; if not, it's the LogicalRDD/agg tail
           gv.select(col("g0"), col("v0")).queryExecution.toRdd
             .mapPartitions { it =>
-              val sums = new Array[Long](1000000)
-              val cnts = new Array[Long](1000000)
+              val dom = groups.toInt
+              val sums = new Array[Long](dom)
+              val cnts = new Array[Long](dom)
               while (it.hasNext) {
                 val row = it.next()
                 val g = row.getLong(0).toInt
                 sums(g) += row.getLong(1); cnts(g) += 1L
               }
               var s = 0L; var i = 0
-              while (i < 1000000) { s += sums(i) + cnts(i); i += 1 }
+              while (i < dom) { s += sums(i) + cnts(i); i += 1 }
               Iterator.single(s)
             }.sum().toLong
         case _ =>
