@@ -75,6 +75,47 @@ object Bench {
       }
     }
     calibrate(); calibrateShuffle() // warm both probes' codegen paths
+
+    // the idle shuffle band for THIS box, taken as the best of three
+    // warmed probes — the settle loop and the outlier re-run below are
+    // both defined relative to it (Matrix.scala:254 established the
+    // pattern; Bench lacked it and round 9 committed a payload with a
+    // 10.4× session-weather row that nothing caught)
+    val idleShuffle = Seq.fill(3)(calibrateShuffle()).min
+
+    /** Drain external load / writeback until the shuffle probe returns
+      * to its idle band (bounded wait). Measurement hygiene only: the
+      * probe columns still record whatever state the run was in.
+      */
+    def settleUntilQuiet(maxWaitSec: Int = 120): Unit = {
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      var p = calibrateShuffle()
+      while (p > math.max(2.0 * idleShuffle, idleShuffle + 1.0) &&
+          System.nanoTime() < deadline) {
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case scala.util.control.NonFatal(_) => () }
+        Thread.sleep(5000)
+        p = calibrateShuffle()
+      }
+      System.err.println(f"[bench] settle: shuffle probe $p%.3f s (idle $idleShuffle%.3f s)")
+    }
+
+    // previous committed payload (read BEFORE this run overwrites it):
+    // the end-of-run outlier pass re-times any query that regressed >2×
+    // against it, separating session weather from real plan regressions
+    val priorTimes: Map[String, Double] = {
+      val f = new java.io.File("BENCH_full_latest.json")
+      if (!f.isFile) Map.empty
+      else try {
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val qsec = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(qsec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+
+    settleUntilQuiet()
     val calibPoints = scala.collection.mutable.ArrayBuffer[Double]()
     calibPoints += calibrate()
     val calibShufflePre = calibrateShuffle()
@@ -110,12 +151,52 @@ object Bench {
       val a = once
       val b = once
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }.toMap
+
+    // OUTLIER RE-RUN (round-9 verdict item 1): any query >2× its
+    // previous committed time gets one settled re-measure at end of run;
+    // the better time is kept and the row is annotated. A row that
+    // STAYS >2× after a settled re-run is a real regression and is
+    // reported as such — the harness no longer lets session weather
+    // masquerade as one (round 9's payload carried graph_pagerank at
+    // 28.0 s where a settled session measures ~3.2 s).
+    val suspects = results.collect {
+      case (name, sec) if sec > 0 &&
+        priorTimes.get(name).exists(p => p > 0 && sec > 2.0 * p && sec - p > 0.25) => name
+    }.toSeq.sorted
+    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    if (suspects.nonEmpty) {
+      System.err.println(s"[bench] re-timing ${suspects.size} outlier(s) vs prior payload: " +
+        suspects.mkString(", "))
+      settleUntilQuiet()
     }
-    val qs = results.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val finalResults = results ++ suspects.flatMap { name =>
+      val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
+      val re = try Seq.fill(2)(time { exec(fn(spark, sfDir)) }).min
+        catch { case _: Throwable => -1.0 }
+      if (re < 0) None
+      else {
+        retimed(name) = (results(name), re)
+        Some(name -> math.min(results(name), re))
+      }
+    }
+    val inflated = finalResults.collect {
+      case (name, sec) if sec > 0 &&
+        priorTimes.get(name).exists(p => p > 0 && sec > 2.0 * p && sec - p > 0.25) => name
+    }.toSeq.sorted
+    val results2 = finalResults.toSeq
+
+    val qs = results2.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results2.map(_._2).filter(_ >= 0).sum
+    // annotation fields: what was re-timed (sweep time vs settled
+    // re-run) and what REMAINS >2× the prior committed payload
+    val retimedJson = retimed.map { case (k, (orig, re)) =>
+      "\"" + k + f"""\":{"sweep":$orig%.3f,"settled":$re%.3f}""" }
+      .mkString("{", ",", "}")
+    val inflatedJson = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
     // stdout is a tail-captured channel with finite length (round 4 lost
     // every timing to 9 error messages) — keep the stdout line minimal:
     // timings + failed query NAMES only. Full error messages go to a
@@ -125,8 +206,9 @@ object Bench {
     val calibArr = calibPoints.map(c => f"$c%.3f").mkString("[", ",", "]")
     val calib = f""""calib_pre":${calibPoints.head}%.3f,"calib_post":${calibPoints.last}%.3f,"calib":$calibArr,"calib_shuffle_pre":$calibShufflePre%.3f,"calib_shuffle_post":$calibShufflePost%.3f"""
     val errNames = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"failed":$errNames,"n_failed":${errors.size},"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    val hygiene = f""""idle_shuffle":$idleShuffle%.3f,"retimed":$retimedJson,"inflated_vs_prior":$inflatedJson"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"failed":$errNames,"n_failed":${errors.size},"inflated_vs_prior":$inflatedJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,$hygiene,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
     // the stdout line is tail-captured with finite length (round 6 lost
     // ~60 timings + the calib fields to truncation) — persist the FULL
     // payload both to /tmp and to the repo root, where the round's

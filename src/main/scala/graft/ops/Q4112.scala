@@ -65,7 +65,7 @@ object Q4112 {
       (LogicalPlan, String), (Long, Long, Double)] // (tot, sampleNdv, sharedMass)
   private val minMaxCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (LogicalPlan, Seq[String]), Seq[(Long, Long)]]
+      (LogicalPlan, Seq[String]), Option[Seq[(Long, Long)]]]
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]
 
@@ -88,7 +88,7 @@ object Q4112 {
     * catalog already knows — falling back to ONE cached agg scan for
     * bare un-analyzed sources (paid once per relation, not per query).
     */
-  def minMaxLongs(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
+  def minMaxLongsOpt(df: DataFrame, cols: Seq[String]): Option[Seq[(Long, Long)]] = {
     val plan = df.queryExecution.optimizedPlan
     def toLong(v: Any): Long = v match {
       case l: Long => l
@@ -109,14 +109,25 @@ object Q4112 {
       }
       if (perCol.forall(_.isDefined)) Some(perCol.map(_.get)) else None
     }
-    fromStats.getOrElse {
+    fromStats.map(Some(_)).getOrElse {
       minMaxCache.computeIfAbsent((plan.canonicalized, cols), { _ =>
         val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
-        cols.indices.map(i => (r.getLong(2 * i), r.getLong(2 * i + 1)))
+        // an empty relation (or an all-NULL column) yields NULL min/max —
+        // report "no stats" so callers fall back to the plain plan
+        // instead of NPE-ing in the planner (round-9 advice item 3)
+        if (cols.indices.exists(i => r.isNullAt(2 * i) || r.isNullAt(2 * i + 1))) None
+        else Some(cols.indices.map(i => (r.getLong(2 * i), r.getLong(2 * i + 1))))
       })
     }
   }
+
+  /** [[minMaxLongsOpt]] for callers that have already proven the relation
+    * non-empty; throws on missing stats (empty/all-NULL input).
+    */
+  def minMaxLongs(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] =
+    minMaxLongsOpt(df, cols).getOrElse(throw new IllegalStateException(
+      s"no min/max stats for ${cols.mkString(",")} (empty or all-NULL input)"))
 
   /** Relation row count from plan/catalog statistics when present (zero
     * jobs — a cached relation knows its row count, an ANALYZEd table has
@@ -542,29 +553,77 @@ object Q4112 {
     val spark = gv.sparkSession
     val mg = minGroup
     val dom = domain
-    val rdd = gv.queryExecution.toRdd.mapPartitions { it =>
-      val sums = new Array[Long](dom)
-      val cnts = new Array[Long](dom)
-      while (it.hasNext) {
-        val r = it.next() // primitives read immediately; row reuse is fine
-        val g = (r.getLong(0) - mg).toInt
-        sums(g) += r.getLong(1)
-        cnts(g) += 1L
-      }
-      new scala.collection.AbstractIterator[InternalRow] {
-        private var i = 0
-        private def skip(): Unit = while (i < dom && cnts(i) == 0L) i += 1
-        skip()
-        override def hasNext: Boolean = i < dom
-        override def next(): InternalRow = {
-          val row = new GenericInternalRow(Array[Any](i + mg, sums(i), cnts(i)))
-          i += 1; skip(); row
+    // Nullability decided from gv's SCHEMA, once, at plan time: the
+    // unguarded loop reads primitives directly and would misread a NULL
+    // group as 0 (silent cross-group merge when minGroup == 0, executor
+    // crash otherwise — round-9 advice item 2). A nullable input takes a
+    // guarded loop that reproduces the hash plan's semantics exactly:
+    // NULL group is its own group; `count(lit(1))` counts every row;
+    // `sum(v)` skips NULL v and is itself NULL when a group saw no
+    // non-NULL v (tracked per slot in `hasV`). Column min/max stats
+    // ignore NULLs, so non-NULL groups remain provably in-domain.
+    val gNullable = gv.schema.fields(0).nullable
+    val vNullable = gv.schema.fields(1).nullable
+    val rdd = if (!gNullable && !vNullable) {
+      gv.queryExecution.toRdd.mapPartitions { it =>
+        val sums = new Array[Long](dom)
+        val cnts = new Array[Long](dom)
+        while (it.hasNext) {
+          val r = it.next() // primitives read immediately; row reuse is fine
+          val g = (r.getLong(0) - mg).toInt
+          sums(g) += r.getLong(1)
+          cnts(g) += 1L
         }
+        new scala.collection.AbstractIterator[InternalRow] {
+          private var i = 0
+          private def skip(): Unit = while (i < dom && cnts(i) == 0L) i += 1
+          skip()
+          override def hasNext: Boolean = i < dom
+          override def next(): InternalRow = {
+            val row = new GenericInternalRow(Array[Any](i + mg, sums(i), cnts(i)))
+            i += 1; skip(); row
+          }
+        }
+      }
+    } else {
+      gv.queryExecution.toRdd.mapPartitions { it =>
+        val sums = new Array[Long](dom)
+        val cnts = new Array[Long](dom)
+        val hasV = new Array[Boolean](dom)
+        var nullSum = 0L
+        var nullCnt = 0L
+        var nullHasV = false
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.isNullAt(0)) {
+            nullCnt += 1L
+            if (!r.isNullAt(1)) { nullSum += r.getLong(1); nullHasV = true }
+          } else {
+            val g = (r.getLong(0) - mg).toInt
+            cnts(g) += 1L
+            if (!r.isNullAt(1)) { sums(g) += r.getLong(1); hasV(g) = true }
+          }
+        }
+        val dense = new scala.collection.AbstractIterator[InternalRow] {
+          private var i = 0
+          private def skip(): Unit = while (i < dom && cnts(i) == 0L) i += 1
+          skip()
+          override def hasNext: Boolean = i < dom
+          override def next(): InternalRow = {
+            val s: Any = if (hasV(i)) sums(i) else null
+            val row = new GenericInternalRow(Array[Any](i + mg, s, cnts(i)))
+            i += 1; skip(); row
+          }
+        }
+        if (nullCnt > 0L)
+          dense ++ Iterator[InternalRow](new GenericInternalRow(
+            Array[Any](null, if (nullHasV) nullSum else null, nullCnt)))
+        else dense
       }
     }
     val schema = StructType(Seq(
-      StructField("g", LongType, nullable = false),
-      StructField("s", LongType, nullable = false),
+      StructField("g", LongType, nullable = gNullable),
+      StructField("s", LongType, nullable = vNullable),
       StructField("c", LongType, nullable = false)))
     org.apache.spark.sql.graft.bridge.internalDataFrame(spark, rdd, schema)
       .groupBy(col("g"))
@@ -713,7 +772,10 @@ object Q4112 {
     val (tot, sampleNdv, sharedMass) = sampleCache.computeIfAbsent(
       (orders.queryExecution.optimizedPlan.canonicalized, groupCol), { _ =>
         val slim = orders.select(col(groupCol)).rdd
-        val nParts = math.max(1, slim.getNumPartitions)
+        // a provably-empty relation plans zero partitions — there is
+        // nothing to sample and runJob on partition 0 would throw
+        if (slim.getNumPartitions == 0) (0L, 0L, 1.0) else {
+        val nParts = slim.getNumPartitions
         val targetRows = 2000000L
         // ALWAYS spread the sample across many partitions (capped at 64,
         // strided across the range), never concentrate it in few: reading
@@ -744,6 +806,7 @@ object Q4112 {
         var shared = 0L
         counts.values.forEach(c => if (c > 1) shared += c)
         (n, counts.size.toLong, if (n == 0L) 1.0 else shared.toDouble / n)
+        }
       })
     // sharedMass < 0.4 already implies partial aggregation would leave
     // ≥60% of the rows uncollapsed — it subsumes any ndv-ratio test
@@ -757,10 +820,15 @@ object Q4112 {
     val packable = bypass && {
       // catalog/plan column stats when present (zero jobs), one cached
       // agg scan per relation otherwise — never a scan per query
-      val Seq((minGroup, maxGroup), (minQty, maxQty)) =
-        minMaxLongs(orders, Seq(groupCol, quantityCol))
-      val Seq((minPrice, maxPrice)) = minMaxLongs(items, Seq(priceCol))
-      packBoundsOk(minGroup, maxGroup, minPrice, maxPrice, minQty, maxQty)
+      // missing stats (empty/all-NULL relation) ⇒ not provably packable —
+      // the unpacked bypass is always safe
+      (minMaxLongsOpt(orders, Seq(groupCol, quantityCol)),
+        minMaxLongsOpt(items, Seq(priceCol))) match {
+        case (Some(Seq((minGroup, maxGroup), (minQty, maxQty))),
+              Some(Seq((minPrice, maxPrice)))) =>
+          packBoundsOk(minGroup, maxGroup, minPrice, maxPrice, minQty, maxQty)
+        case _ => false
+      }
     }
     System.err.println(f"[part2-adaptive] rows=$rows sampled=$tot " +
       f"sampleNdv=$sampleNdv sharedMass=$sharedMass%.3f bypass=$bypass packable=$packable " +
@@ -801,13 +869,23 @@ object Q4112 {
       // one uniform CPU-bound stage (~430 ns/row, zero spill) dominated
       // by the ~1e6-entry aggregation-map probe; array indexing removes
       // it without changing the exchange or the arithmetic.
-      val Seq((minGroup, maxGroup)) = minMaxLongs(orders, Seq(groupCol))
-      // width computed subtraction-first so extreme domains can't overflow
-      val denseDomain = maxGroup >= minGroup && maxGroup - minGroup < DenseAggMaxDomain
-      if (denseDomain) {
+      // Dense routing requires (a) stats at all — an empty/all-NULL
+      // relation has none and must fall back, not NPE (advice item 3);
+      // (b) a domain width that provably fits: the width `maxGroup −
+      // minGroup` is computed ONCE and required non-negative, because for
+      // domains wider than 2^63 the long subtraction wraps NEGATIVE and
+      // would otherwise pass the `< DenseAggMaxDomain` bound with a
+      // garbage array size (advice item 1).
+      val denseStats = minMaxLongsOpt(orders, Seq(groupCol)).collect {
+        case Seq((mn, mx)) if mx >= mn && {
+          val w = mx - mn; w >= 0L && w < DenseAggMaxDomain
+        } => (mn, (mx - mn + 1L).toInt)
+      }
+      if (denseStats.isDefined) {
+        val (minGroup, domain) = denseStats.get
         lastChosenPlan = "partial_dense"
         part2DenseAgg(items, orders, itemKey, orderKey, priceCol, quantityCol,
-          groupCol, minGroup, (maxGroup - minGroup + 1).toInt, useDense)
+          groupCol, minGroup, domain, useDense)
       } else if (useDense) {
         lastChosenPlan = "partial"
         part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)

@@ -131,6 +131,13 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
     * default), which is a no-op over the already-exact row count.
     */
   override def pushLimit(limit: Int): Boolean = {
+    // never narrow under a pushed aggregate: the analytic answers are
+    // functions of the FULL [lo, hi) range, and a limit-truncated range
+    // would make them silently wrong. Spark's optimizer currently makes
+    // the combination unreachable (EliminateLimits removes limits over
+    // 1-row ungrouped aggregates before V2 pushdown), but the builder
+    // must not rely on that ordering (round-9 advice item 4).
+    if (pushedAgg.isDefined) return false
     if (limit >= 0 && lo + limit < hi) hi = lo + limit
     true
   }
@@ -153,12 +160,24 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
     })
     if (agg.groupByExpressions.nonEmpty) return None
     val fns = agg.aggregateExpressions
+    // SUM(id) is answered only when the exact arithmetic series fits a
+    // signed long over the CURRENT (post-filter-pushdown, clamped)
+    // range: a wrapped value would diverge from the engine's own Sum
+    // (non-ANSI wraps identically only by accident of implementation;
+    // ANSI mode would throw). Declining keeps the pushdown sound under
+    // every overflow config (round-9 advice item 5).
+    def sumFits: Boolean = {
+      val blo = math.max(lo, 1L)
+      val bhi = math.min(hi, rows + 1L)
+      val n = math.max(0L, bhi - blo)
+      n == 0L || ((BigInt(blo) + BigInt(bhi) - 1) * n / 2).isValidLong
+    }
     val ok = fns.nonEmpty && fns.forall {
       case _: CountStar => true
       case c: Count => isId(c.children)       // unique ⇒ distinct-safe
       case m: Min => isId(m.children)
       case m: Max => isId(m.children)
-      case s: Sum if !s.isDistinct => isId(s.children)
+      case s: Sum if !s.isDistinct => isId(s.children) && sumFits
       case _ => false
     }
     if (ok) Some(fns) else None
@@ -188,8 +207,9 @@ class GenScanBuilder(rows: Long, seed: Long, valMax: Long, partitions: Int,
   * values are closed-form functions of the generated id range, so the
   * "scan" is a single partition emitting a single precomputed row.
   * Empty ranges follow Spark's ungrouped-aggregate semantics (count 0,
-  * null min/max/sum); SUM reproduces Spark's non-ANSI wrap by taking
-  * the low 64 bits of the exact BigInt series.
+  * null min/max/sum); SUM is exact — `answers` declines the pushdown
+  * whenever the BigInt series would not fit a signed long, so the
+  * `.toLong` below never wraps.
   */
 class GenAggScan(agg: Aggregation, lo: Long, hi: Long)
     extends Scan with Batch with SupportsReportStatistics {

@@ -164,6 +164,69 @@ class Q4112Spec extends SparkSpec {
     assert(adaptive === viaHash)
   }
 
+  test("dense-array partial aggregate reproduces hash-plan NULL semantics exactly") {
+    // NULL group is its own group; count(lit(1)) counts every row; a
+    // group whose every v is NULL contributes a NULL per-group avg that
+    // the outer sum skips but the outer count still counts (advice r9 #2)
+    val spark2 = spark
+    import spark2.implicits._
+    val orders = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 2L, 100L),
+      (1L, null, 100L),  // NULL v inside a live group
+      (2L, 3L, 101L),
+      (2L, null, 102L),  // group 102: ALL v NULL -> NULL per-group avg
+      (1L, 4L, null),    // NULL group
+      (2L, null, null)   // NULL group, NULL v
+    ).toDF("itemId", "quantity", "storeId")
+    assert(orders.schema.forall(_.nullable), "test requires nullable inputs")
+    val items = Seq((1L, 10L), (2L, 20L)).toDF("id", "price")
+    val viaHash = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0)
+    val viaDense = Q4112.part2DenseAgg(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", minGroup = 100L, domain = 3).collect()(0)
+    // expected by hand: avgs {100->10, 101->60, 102->NULL, NULL->20};
+    // sum(10,60,20)=90 over count 4 -> 90 div 4 = 22
+    assert(viaHash.getLong(0) === 22L)
+    assert(viaDense.getLong(0) === viaHash.getLong(0))
+  }
+
+  test("adaptive part2 on an empty relation falls back instead of throwing") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val items = (1L to 10L).map(i => (i, i * 3)).toDF("id", "price")
+    val empty = spark.range(0).select(col("id").as("itemId"),
+      col("id").as("quantity"), col("id").as("storeId"))
+    val viaHash = Q4112.part2(items, empty, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0)
+    // pre-fix this NPE'd in minMaxLongs on the NULL min/max row (advice r9 #3)
+    val adaptive = Q4112.part2Adaptive(items, empty, "id", "itemId", "price",
+      "quantity", "storeId").collect()(0)
+    assert(viaHash.isNullAt(0) && adaptive.isNullAt(0))
+    assert(Q4112.lastChosenPlan === "partial", Q4112.lastChosenPlan)
+  }
+
+  test("a group domain wider than 2^63 is rejected by the dense router, not wrapped") {
+    // [Long.MinValue, Long.MaxValue]: the width subtraction wraps to -1,
+    // which pre-fix passed `< DenseAggMaxDomain` and produced a garbage
+    // array size (advice r9 #1); the w >= 0 guard must reject it
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val spark2 = spark
+    import spark2.implicits._
+    val items = (1L to 50L).map(i => (i, (i * 7) % 100)).toDF("id", "price")
+    val orders = spark.range(0L, 10000L, 1L, 4)
+      .select((col("id") % 50L + 1L).as("itemId"),
+        (col("id") % 7L).as("quantity"),
+        when(col("id") % 2L === 0L, lit(Long.MinValue))
+          .otherwise(lit(Long.MaxValue)).as("storeId"))
+    val viaHash = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    val adaptive = Q4112.part2Adaptive(items, orders, "id", "itemId", "price",
+      "quantity", "storeId").collect()(0).getLong(0)
+    assert(Q4112.lastChosenPlan === "partial", Q4112.lastChosenPlan)
+    assert(adaptive === viaHash)
+  }
+
   test("adaptive planners detect a bucketed layout: part1 elides the join exchanges, part2 the group-by exchange") {
     val cfg = GenConfig(1000, 1.0, 999, 20000, 1.0, 999, 50, 0, 0.0, seed = 41)
     def writeBkt(df: org.apache.spark.sql.DataFrame, table: String, key: String): Unit = {

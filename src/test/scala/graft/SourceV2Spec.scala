@@ -132,6 +132,35 @@ class SourceV2Spec extends SparkSpec {
       (4001L to 4050L))
   }
 
+  test("builder never narrows a pushed limit under a pushed aggregate") {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    val b = new graft.sources.GenScanBuilder(rows, seed, valMax, 7, 1000L)
+    assert(b.pushAggregation(new Aggregation(
+      Array(new CountStar), Array.empty)), "count(*) must push")
+    // pre-fix this narrowed [lo, hi) and the pushed COUNT would have
+    // counted the truncated range (advice r9 #4)
+    assert(!b.pushLimit(10), "limit must be refused once an aggregate is pushed")
+    val scan = b.build()
+    assert(scan.isInstanceOf[graft.sources.GenAggScan])
+    assert(scan.description().contains("COUNT(*)"))
+  }
+
+  test("SUM(id) pushdown declines when the exact series overflows a long") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Sum}
+    // 5e9 ids sum to ~1.25e19 > Long.MaxValue: the pushed answer would
+    // wrap where ANSI mode's own Sum would throw (advice r9 #5)
+    val big = new graft.sources.GenScanBuilder(5000000000L, seed, valMax, 7, 1000L)
+    val sumAgg = new Aggregation(
+      Array(new Sum(Expressions.column("id"), false)), Array.empty)
+    assert(!big.pushAggregation(sumAgg), "overflowing SUM(id) must not push")
+    // counts remain analytic on the same range
+    assert(big.pushAggregation(new Aggregation(Array(new CountStar), Array.empty)))
+    // and a fitting range still pushes SUM
+    val small = new graft.sources.GenScanBuilder(rows, seed, valMax, 7, 1000L)
+    assert(small.pushAggregation(sumAgg), "in-range SUM(id) must still push")
+  }
+
   test("aggregate pushdown on an empty pushed range: count 0, null min/max/sum") {
     val df = v2.filter(col("id") > rows).agg(count(lit(1)),
       min(col("id")), max(col("id")), sum(col("id")))
