@@ -149,4 +149,66 @@ object ModelStore {
 
   def loadIvfPostings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Idempotent per-batch upsert into a DELTA posting store — the
+    * streaming half of the IVF lifecycle (round-9 verdict item 4). Each
+    * micro-batch's assignments land in their own `ingest_batch=<id>`
+    * partition via dynamic partition overwrite, so a retried batch
+    * REPLACES its own partition instead of duplicating rows — the
+    * exactly-once sink contract [[graft.streaming.Events.runIncremental]]
+    * documents. The served store is base ∪ delta
+    * ([[loadIvfDelta]]); a scheduled compaction folds the delta into
+    * the base (same contract as append: assignment is a per-row pure
+    * function, so base ∪ delta ≡ rebuild-on-grown-corpus — the
+    * `sim_ivf_stream_update` gate asserts exactly that equality).
+    */
+  def upsertIvfPostings(assignments: DataFrame, path: String, batchId: Long): Unit =
+    assignments.select(col("corpus_id"), col("cv"), col("bucket"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(path)
+
+  def loadIvfDelta(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("corpus_id"), col("cv"), col("bucket"))
+
+  // -------------------------------------------------------- rebuild policy
+
+  /** WHEN to rebuild a maintained index — the policy predicate over the
+    * store's own ledger that [[graft.ops.Dedup.updateStandingIndex]] /
+    * [[graft.ops.Dedup.forgetFromStandingIndex]] /
+    * [[upsertIvfPostings]] leave open: incremental upkeep is EXACT
+    * (the `dedup_standing_update` / `index_forget` / `sim_ivf_*` gates
+    * prove set equality with a rebuild), so the only reason to rebuild
+    * is drift in what the index was OPTIMIZED for — a trained quantizer
+    * or df valve tuned to the corpus as of build time. The ledger is
+    * three counters every maintenance op already increments (rows at
+    * build, rows deleted since, rows added since); the policy is exact
+    * integer basis-point arithmetic on them, so the decision is
+    * reproducible in any engine and oracle-replayable:
+    *
+    *  - deleted_bp = 10000·deleted/atBuild — tombstone mass: every
+    *    deleted row is dead weight the probes still scan past until a
+    *    compaction (the anti-join valve hides it from RESULTS, not from
+    *    IO).
+    *  - churn_bp = 10000·(deleted+added)/atBuild — distribution drift:
+    *    k-means centroids / df counts describe the build-time corpus;
+    *    past a churn bound the trained artifact is stale regardless of
+    *    result exactness.
+    *
+    * Defaults: rebuild at ≥5% tombstones or ≥20% churn.
+    */
+  def rebuildDue(
+      nAtBuild: Long, nDeleted: Long, nAdded: Long,
+      deletedThresholdBp: Long = 500L,
+      churnThresholdBp: Long = 2000L): (Long, Long, Boolean) = {
+    require(nAtBuild > 0L, "rebuild policy needs a non-empty build ledger")
+    require(nDeleted >= 0L && nAdded >= 0L && nDeleted <= nAtBuild,
+      s"inconsistent ledger: atBuild=$nAtBuild deleted=$nDeleted added=$nAdded")
+    val deletedBp = nDeleted * 10000L / nAtBuild
+    val churnBp = (nDeleted + nAdded) * 10000L / nAtBuild
+    (deletedBp, churnBp,
+      deletedBp >= deletedThresholdBp || churnBp >= churnThresholdBp)
+  }
 }

@@ -68,6 +68,47 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, weightPct: Column): DataFrame =
     df.filter(hashBucket(id) < weightPct)
 
+  /** Domain-mixture resampling toward an ARBITRARY target distribution —
+    * the Pile/Dolma-style source-reweighting step, parameterized by a
+    * per-domain weights relation instead of a hardcoded mixture
+    * (round-9 verdict item 5): under a global budget of
+    * `budgetNum/budgetDen` of the corpus, domain d's target share is
+    * `weight_d / Σweights`, realized as a per-domain acceptance rate in
+    * basis points (capped at keep-all) with membership decided by a
+    * deterministic multiplicative hash of the row id — reproducible
+    * across runs, partitionings, and engines, and oracle-replayable.
+    * All arithmetic is integer with a pinned order of truncating
+    * divisions, so any SQL engine's `//` replays it exactly.
+    *
+    * Scale shape: one corpus scan + three tiny aggregates (per-domain
+    * counts, corpus total, weight total) joined broadcast; the accept
+    * test is a pure per-row filter — no shuffle of the corpus, no RNG,
+    * no state. The uniform mixture is just weights ≡ 1.
+    *
+    * Output: (domain, n_domain, weight, rate_bp, n_sampled) per domain.
+    */
+  def mixtureResample(
+      docs: DataFrame, idCol: String, domainCol: String,
+      weights: DataFrame,
+      budgetNum: Long = 3L, budgetDen: Long = 10L): DataFrame = {
+    val cnts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n_domain"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val wtot = weights.agg(sum(col("weight")).as("w_total"))
+    val rates = cnts.join(weights, Seq(domainCol))
+      .crossJoin(tot).crossJoin(wtot)
+      .select(col(domainCol), col("n_domain"), col("weight"),
+        least(lit(10000L),
+          expr(s"((n * $budgetNum div $budgetDen) * weight div w_total) " +
+            "* 10000 div n_domain")).as("rate_bp"))
+    docs.join(broadcast(rates), Seq(domainCol))
+      .groupBy(col(domainCol), col("n_domain"), col("weight"), col("rate_bp"))
+      .agg(count(when(
+        pmod(col(idCol) * lit(2654435761L), lit(10000L)) < col("rate_bp"),
+        1)).as("n_sampled"))
+      .select(col(domainCol), col("n_domain"), col("weight"),
+        col("rate_bp"), col("n_sampled"))
+  }
+
   /** Exactly-k-per-group deterministic sample (the reservoir-sampling
     * use case, minus the RNG): rank each group's rows by md5(id) — a
     * uniform, content-addressed priority — and keep the k lowest. "Give

@@ -502,20 +502,52 @@ object Events {
     q.awaitTermination()
   }
 
+  /** Streaming VECTOR-STORE UPKEEP — the missing half of the IVF ingest
+    * loop ([[simProbeStream]] probes the standing store; this GROWS it):
+    * each micro-batch of accepted vectors is assigned under the frozen
+    * trained quantizer (a per-row pure function — order- and
+    * partitioning-independent) and upserted into the delta posting
+    * store via [[graft.ops.ModelStore.upsertIvfPostings]], whose
+    * per-batch dynamic-partition overwrite makes the sink idempotent
+    * under retries (exactly-once end-to-end with the checkpointed
+    * source). Because assignment is pure, base ∪ delta is
+    * bit-identical to assigning the grown corpus from scratch — the
+    * `sim_ivf_stream_update` gate asserts that set equality AND
+    * identical serving output.
+    */
+  def ivfUpsertStream(
+      vecs: DataFrame,
+      centroids: Array[Array[Double]],
+      deltaPath: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    runIncremental(vecs, checkpoint) { (batch, batchId) =>
+      graft.ops.ModelStore.upsertIvfPostings(
+        graft.ops.Similarity.ivfAssign(batch, idCol, vecCol, centroids),
+        deltaPath, batchId)
+    }
+
   /** Open a streaming read of an events parquet path with the same
     * schema as the batch table. The testdata ships single-file parquet;
     * FileStreamSource needs `basePath` to be the enclosing directory in
     * that case (a real deployment points at a directory of files and
     * ingests new arrivals incrementally).
     */
-  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
+  def readStream(spark: SparkSession, sfDir: String): DataFrame =
+    readTableStream(spark, sfDir, "events")
+
+  /** [[readStream]] generalized to any testdata parquet table. */
+  def readTableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
     val schema = spark.read.parquet(path).schema
     // FileStreamSource force-sets basePath to the source path unless it
     // is a glob, and basePath must be a directory — glob-ify the first
     // char so single-FILE parquet (the testdata shape) streams too
     val streamPath =
-      if (new java.io.File(path).isFile) s"$sfDir/[e]vents.parquet" else path
+      if (new java.io.File(path).isFile)
+        s"$sfDir/[${table.head}]${table.tail}.parquet"
+      else path
     spark.readStream.schema(schema).parquet(streamPath)
   }
 }

@@ -91,4 +91,38 @@ class ModelStoreSpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().toSet
     assert(serve(loaded) === serve(assigned))
   }
+
+  test("delta upsert is idempotent per batch and base ∪ delta equals the rebuild") {
+    import graft.ops.Similarity
+    val (_, km) = Clustering.kmeans(vecs, "vec_id", "embedding", k = 4, maxIter = 3)
+    val isBatch = col("vec_id") % 5 === 0
+    val basePath = tmp("ivf-base"); val deltaPath = tmp("ivf-delta")
+    ModelStore.saveIvfPostings(
+      Similarity.ivfAssign(vecs.filter(!isBatch), "vec_id", "embedding",
+        km.centroids), basePath)
+    val batchAssign = Similarity.ivfAssign(
+      vecs.filter(isBatch), "vec_id", "embedding", km.centroids)
+    ModelStore.upsertIvfPostings(batchAssign, deltaPath, batchId = 0L)
+    // a RETRIED batch overwrites its own partition — no duplicates
+    ModelStore.upsertIvfPostings(batchAssign, deltaPath, batchId = 0L)
+    val store = ModelStore.loadIvfPostings(spark, basePath)
+      .union(ModelStore.loadIvfDelta(spark, deltaPath))
+    val rebuilt = Similarity.ivfAssign(vecs, "vec_id", "embedding", km.centroids)
+    assert(store.count() === rebuilt.count()) // idempotency: exact row count
+    assert(store.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(store).count() === 0)
+  }
+
+  test("rebuild policy: exact basis-point arithmetic at the thresholds") {
+    // tombstone threshold 500 bp: 499/10000 stays, 500/10000 fires
+    assert(!ModelStore.rebuildDue(10000L, 499L, 0L)._3)
+    assert(ModelStore.rebuildDue(10000L, 500L, 0L)._3)
+    // churn threshold 2000 bp: deletes+adds combine; integer floor div
+    assert(!ModelStore.rebuildDue(10000L, 100L, 1899L)._3) // 1999 bp
+    assert(ModelStore.rebuildDue(10000L, 100L, 1900L)._3)  // 2000 bp
+    val (delBp, churnBp, due) = ModelStore.rebuildDue(7L, 1L, 0L)
+    assert(delBp === 1428L && churnBp === 1428L && due) // floor(10000/7)
+    intercept[IllegalArgumentException](ModelStore.rebuildDue(0L, 0L, 0L))
+    intercept[IllegalArgumentException](ModelStore.rebuildDue(10L, 11L, 0L))
+  }
 }

@@ -53,4 +53,37 @@ class SamplingSpec extends SparkSpec {
     assert(half.filter(col("s") === "b").count() ===
       rows.filter(col("s") === "b").count())
   }
+
+  test("mixture resample: weights steer the per-domain budget; uniform = weights 1") {
+    val docs = (0L until 3000L)
+      .map(i => (i, Seq("web", "code", "papers")(((i % 10) min 2).toInt)))
+      .toDF("id", "dom")
+    // uniform: every domain gets budget/k docs targeted → rate ∝ 1/n_domain
+    val uni = Sampling.mixtureResample(docs, "id", "dom",
+        docs.select(col("dom")).distinct().withColumn("weight", lit(1L)))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val n = 3000L; val k = 3L
+    uni.foreach { case (_, (_, nd, w, rate, _)) =>
+      assert(w === 1L)
+      assert(rate === math.min(10000L, (n * 3 / 10 / k) * 10000L / nd))
+    }
+    // non-uniform: a domain with weight 3 gets 3x the weight-1 target
+    val wdf = docs.select(col("dom")).distinct()
+      .withColumn("weight", when(col("dom") === "web", 3L).otherwise(1L))
+    val wt = Sampling.mixtureResample(docs, "id", "dom", wdf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val wTotal = 5L
+    wt.foreach { case (_, (dom, nd, w, rate, smp)) =>
+      val expW = if (dom == "web") 3L else 1L
+      assert(w === expW)
+      assert(rate === math.min(10000L, (n * 3 / 10 * expW / wTotal) * 10000L / nd))
+      assert(smp >= 0L && smp <= nd)
+    }
+    // the accepted set is deterministic: same inputs, same counts
+    val again = Sampling.mixtureResample(docs, "id", "dom", wdf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(again === wt.values.toSet)
+  }
 }
