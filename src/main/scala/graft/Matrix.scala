@@ -128,8 +128,9 @@ object Matrix {
     // Unknown values fail fast: a typo would otherwise run the wrong
     // plan and write the typo into the CSV as if it were a real mode.
     val p2Plan = sys.env.getOrElse("SPARK_GRAFT_P2_PLAN", "auto")
-    require(Set("auto", "partial", "bypass", "packed", "bucketed", "joined_bucketed")(p2Plan),
-      s"SPARK_GRAFT_P2_PLAN must be auto|partial|bypass|packed|bucketed|joined_bucketed, got '$p2Plan'")
+    require(Set("auto", "partial", "bypass", "packed", "bucketed", "joined_bucketed",
+        "shared_dense")(p2Plan),
+      s"SPARK_GRAFT_P2_PLAN must be auto|partial|bypass|packed|bucketed|joined_bucketed|shared_dense, got '$p2Plan'")
     // part-1 join layout: auto (dense array probe / broadcast hash by
     // build size, as before) | bucketed (BOTH tables stored bucketed +
     // sorted on the join key — the sort-merge join then needs neither
@@ -489,6 +490,15 @@ object Matrix {
                   "id", "itemId", "price", "quantity", "storeId",
                   Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense,
                   checked = false)
+                // the reference's own t16 algorithm (shared sized CAS
+                // table, q4112.c:225-297) for differential A/B against
+                // the exchange-based forms on the singleton-group shapes
+                case "shared_dense" =>
+                  val Seq((mn, mx)) =
+                    Q4112.minMaxLongs(orders.toDF(), Seq("storeId"))
+                  Q4112.part2SharedDense(items.toDF(), orders.toDF(),
+                    "id", "itemId", "price", "quantity", "storeId",
+                    mn, mx - mn + 1L, dense)
                 case _ => // "partial": Catalyst's default partial/final split
                   if (dense) Q4112.part2Dense(items.toDF(), orders.toDF(),
                     "id", "itemId", "price", "quantity", "storeId")

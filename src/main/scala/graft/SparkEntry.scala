@@ -232,6 +232,27 @@ object SparkEntry {
         "p_partkey", "l_partkey", "price", "quantity", "l_suppkey",
         minGroup = mn, domain = (mx - mn + 1).toInt)
     }),
+    // the shared-CAS-table form (the reference's own t16 algorithm,
+    // q4112.c:225-297) through the correctness gate in its own right.
+    // Parquet schemas are nullable; the testdata carries no NULLs, so a
+    // coalesce-to-sentinel projection makes the inputs schema-
+    // non-nullable without changing any value — and the DuckDB oracle
+    // (which keeps NULL semantics) would break the hash if that ever
+    // stopped being vacuously true.
+    "q4112_part2_shared_dense" -> ((s, dir) => {
+      val it = partItems(s, dir).select(
+        coalesce(col("p_partkey"), lit(-1L)).as("p_partkey"),
+        coalesce(col("price"), lit(0L)).as("price"))
+      val lo = liOrders(s, dir).select(
+        coalesce(col("l_partkey"), lit(-1L)).as("l_partkey"),
+        coalesce(col("l_suppkey"), lit(0L)).as("l_suppkey"),
+        coalesce(col("quantity"), lit(0L)).as("quantity"))
+      val Seq(mn, mx) = lo.agg(min(col("l_suppkey")), max(col("l_suppkey")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      Q4112.part2SharedDense(it, lo,
+        "p_partkey", "l_partkey", "price", "quantity", "l_suppkey",
+        minGroup = mn, domain = mx - mn + 1L)
+    }),
     // the LAYOUT ROUTER through the correctness gate (round-8 verdict
     // item 1): the user queries the RAW relations; the planner must
     // discover a registered exchange-free layout by plan identity and
@@ -5846,6 +5867,9 @@ object SparkEntry {
         s"""WITH g AS ($groupedCte)
            |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
       "q4112_part2_dense_agg" ->
+        s"""WITH g AS ($groupedCte)
+           |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
+      "q4112_part2_shared_dense" ->
         s"""WITH g AS ($groupedCte)
            |SELECT cast(sum(avg_value) // count(*) as bigint) AS avg_avg_value FROM g""".stripMargin,
       "q4112_part2_packed" ->

@@ -68,6 +68,8 @@ object Q4112 {
       (LogicalPlan, Seq[String]), Option[Seq[(Long, Long)]]]
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]
+  private val nullCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, String), java.lang.Long]
 
   /** Drop every relation-keyed cache entry (and destroy the cached
     * broadcasts). Call when data changes under an unchanged plan —
@@ -79,6 +81,7 @@ object Q4112 {
     sampleCache.clear()
     minMaxCache.clear()
     rowCountCache.clear()
+    nullCountCache.clear()
     LayoutRegistry.clear() // routed layouts are relation-keyed too
   }
 
@@ -128,6 +131,26 @@ object Q4112 {
   def minMaxLongs(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] =
     minMaxLongsOpt(df, cols).getOrElse(throw new IllegalStateException(
       s"no min/max stats for ${cols.mkString(",")} (empty or all-NULL input)"))
+
+  /** NULL count for one column — catalog column stats when present
+    * (zero jobs), else one cached agg scan per (relation, column). The
+    * planner's bridge between schema nullability (which Catalyst sets
+    * pessimistically: any %-derived column is "nullable") and the
+    * DATA's actual nulls, which is what null-intolerant physical forms
+    * ([[sharedDenseGroupedAvg]]) care about.
+    */
+  def nullCountLong(df: DataFrame, c: String): Long = {
+    val plan = df.queryExecution.optimizedPlan
+    val fromStats = plan.output.find(_.name.equalsIgnoreCase(c)).flatMap { a =>
+      plan.stats.attributeStats.get(a).flatMap(_.nullCount.map(_.toLong))
+    }
+    fromStats.getOrElse {
+      nullCountCache.computeIfAbsent((plan.canonicalized, c), { _ =>
+        java.lang.Long.valueOf(
+          df.agg(count(when(col(c).isNull, 1)).as("n")).head().getLong(0))
+      }).longValue()
+    }
+  }
 
   /** Relation row count from plan/catalog statistics when present (zero
     * jobs — a cached relation knows its row count, an ANALYZEd table has
@@ -633,6 +656,180 @@ object Q4112 {
       .select(expr("ss div cc").as("avg_avg_value"))
   }
 
+  /** Domain bound for [[part2SharedDense]]: 2^27 slots = 2 GB of
+    * accumulator arrays shared by ALL tasks in the JVM — covers the
+    * reference's 1e8-singleton-group worst case (q4112.csv cfg4/11/18)
+    * where the per-task bound [[DenseAggMaxDomain]] cannot (32
+    * concurrent per-task copies would need 64 GB).
+    */
+  val SharedDenseMaxDomain: Long = 1L << 27
+
+  /** JVM-shared accumulation state for [[sharedDenseGroupedAvg]],
+    * keyed by (stageId, stageAttempt): every task of one execution
+    * shares one table; a re-execution of the same DataFrame runs as a
+    * new stage and gets a fresh one. Removed when the last task emits
+    * (or on task failure — local mode fails the whole job on first
+    * task failure, so a partial table is never read).
+    */
+  private object SharedDense {
+    final class State(dom: Int, nParts: Int) {
+      val sums = new java.util.concurrent.atomic.AtomicLongArray(dom)
+      val cnts = new java.util.concurrent.atomic.AtomicLongArray(dom)
+      val remaining = new java.util.concurrent.atomic.AtomicInteger(nParts)
+      @volatile var poisoned = false
+    }
+    val tables =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), State]
+  }
+
+  /** Part 2 as the reference's OWN t16 algorithm — one shared sized
+    * accumulation table, all threads CAS into it, one final scan
+    * (q4112.c:225-297 accumulates into a global array sized to the
+    * group domain; README-2.txt:32-43 on why that wins the singleton
+    * shapes). This is the plan the 1e8-singleton-group configs
+    * (q4112.csv cfg4/11/18) need and that no exchange-based plan can
+    * match WITHOUT a stored layout: partial aggregation collapses
+    * nothing when groups are ~singleton per task, so every
+    * shuffle-based form ships ~1e9 rows through local disk (measured
+    * 6.1× the C, 9.6 GB shuffle + 14 GB spill per rep), while the
+    * shared table collapses the global ~10 rows/group to one slot
+    * update each and ships NOTHING.
+    *
+    * SCOPE — single-JVM by design, like the reference it mirrors: the
+    * C's t16 number is a shared-memory single-node algorithm, and this
+    * operator is its Spark-local expression ([[SparkSession]] master
+    * local[*], asserted). On a multi-executor cluster the same shape
+    * needs either per-executor tables + a merge exchange (= Spark's own
+    * partial aggregate, which the singleton profile defeats) or the
+    * stored bucketed layout, which IS the shipped cluster answer
+    * (0.98× the C, registry-routed — SCALING.md round 9). The planner
+    * therefore only chooses this form when `sparkContext.isLocal`.
+    *
+    * SAFETY — a shared mutable table must not double-count: local mode
+    * fails the job on the FIRST task failure (maxFailures=1, no
+    * speculation), so no partial-accumulation retry can land; defense
+    * in depth, any task observing `attemptNumber > 0` poisons the
+    * state and throws, and a failure listener drops the table so a
+    * failed job never leaks the 2 GB arrays. Exactness: identical long
+    * wrap arithmetic and integer avg-of-avgs as [[part2]] (`s div c`
+    * per slot, `ss div cc` over slots), oracle-asserted per rep by the
+    * Matrix harness and by the `q4112_part2_shared_dense` gate.
+    */
+  def part2SharedDense(
+      items: DataFrame,
+      orders: DataFrame,
+      itemKey: String,
+      orderKey: String,
+      priceCol: String,
+      quantityCol: String,
+      groupCol: String,
+      minGroup: Long,
+      domain: Long,
+      dense: Boolean = false): DataFrame =
+    sharedDenseGroupedAvg(
+      groupedValues(items, orders, itemKey, orderKey, priceCol,
+        quantityCol, groupCol, dense)
+        .select(col(groupCol).cast("long"), col("v").cast("long")),
+      minGroup, domain)
+
+  /** The shared-table stage of [[part2SharedDense]] over a prepared
+    * (group, v) projection. Requires a non-nullable projection (the
+    * router checks; a NULL group has no slot) and local mode.
+    */
+  def sharedDenseGroupedAvg(gv: DataFrame, minGroup: Long, domain: Long): DataFrame = {
+    require(gv.sparkSession.sparkContext.isLocal,
+      "shared dense aggregation is the single-JVM (reference t16) form; " +
+        "on a cluster use the bucketed layout (Tables.writeBucketed)")
+    require(domain > 0 && domain <= SharedDenseMaxDomain,
+      s"shared dense domain out of range: $domain")
+    // Schema nullability is NOT trusted either way: Catalyst marks any
+    // %-derived column nullable (division-by-zero rule) even when no
+    // null can occur, and the dense-lookup join marks its price output
+    // nullable despite its isNotNull filter. When the schema admits
+    // nulls, the accumulation loop checks per row and refuses an ACTUAL
+    // null LOUDLY — a NULL group has no slot and a NULL v would need
+    // the hash plan's sum-skips-NULL semantics, so this form fails
+    // rather than miscounting (the adaptive router falls back to the
+    // hash family for relations that really carry nulls).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = gv.sparkSession
+    val mg = minGroup
+    val dom = domain.toInt
+    val nullGuard = gv.schema.fields.exists(_.nullable)
+    val rdd0 = gv.queryExecution.toRdd
+    val nParts = rdd0.getNumPartitions
+    val schema = StructType(Seq(
+      StructField("avg_avg_value", LongType, nullable = true)))
+    if (nParts == 0)
+      // a provably-empty relation plans zero partitions; the ungrouped
+      // aggregate still emits one NULL row
+      return org.apache.spark.sql.graft.bridge.internalDataFrame(spark,
+        spark.sparkContext.parallelize(
+          Seq[InternalRow](new GenericInternalRow(Array[Any](null))), 1),
+        schema)
+    val rdd = rdd0.mapPartitions { it =>
+      val ctx = org.apache.spark.TaskContext.get()
+      val key = (ctx.stageId(), ctx.stageAttemptNumber())
+      val st = SharedDense.tables.computeIfAbsent(key,
+        _ => new SharedDense.State(dom, nParts))
+      if (ctx.attemptNumber() > 0) {
+        st.poisoned = true
+        SharedDense.tables.remove(key)
+        throw new IllegalStateException(
+          "shared dense aggregate saw a task retry; rerun with a shuffle plan")
+      }
+      ctx.addTaskFailureListener { (_, _) =>
+        st.poisoned = true
+        SharedDense.tables.remove(key)
+        ()
+      }
+      val sums = st.sums
+      val cnts = st.cnts
+      if (nullGuard) {
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.isNullAt(0) || r.isNullAt(1))
+            throw new IllegalStateException(
+              "shared dense aggregate received a NULL group or v; use the hash plan")
+          val g = (r.getLong(0) - mg).toInt
+          sums.addAndGet(g, r.getLong(1))
+          cnts.incrementAndGet(g)
+        }
+      } else {
+        while (it.hasNext) {
+          val r = it.next()
+          val g = (r.getLong(0) - mg).toInt
+          sums.addAndGet(g, r.getLong(1))
+          cnts.incrementAndGet(g)
+        }
+      }
+      if (st.remaining.decrementAndGet() == 0) {
+        SharedDense.tables.remove(key)
+        if (st.poisoned)
+          throw new IllegalStateException("shared dense aggregate poisoned")
+        // the final scan, single-threaded in the last-finishing task:
+        // per-slot integer avg, then the integer avg of those — the
+        // same `s div c` / `ss div cc` truncation as the SQL plans
+        // (all-Java long division; non-negative by the packing bounds'
+        // contract, and exact for negatives too since Java and Spark's
+        // IntegralDivide both truncate toward zero)
+        var ss = 0L
+        var cc = 0L
+        var i = 0
+        while (i < dom) {
+          val c = cnts.get(i)
+          if (c != 0L) { ss += sums.get(i) / c; cc += 1L }
+          i += 1
+        }
+        Iterator.single[InternalRow](new GenericInternalRow(
+          Array[Any](if (cc == 0L) null else ss / cc)))
+      } else Iterator.empty
+    }
+    org.apache.spark.sql.graft.bridge.internalDataFrame(spark, rdd, schema)
+  }
+
   /** Pure bounds check for the packed exchange, fed with column min/max
     * statistics: true only when EVERY row they can describe packs into
     * group·2^34 + v without a field borrowing into the other's bits.
@@ -830,19 +1027,52 @@ object Q4112 {
         case _ => false
       }
     }
+    // LOW shared mass means no exchange-based plan can win: partial
+    // aggregation collapses ~nothing, so every shuffle form ships
+    // ~every row through local disk. In a single JVM the reference's
+    // own answer applies — ONE shared sized table all threads CAS
+    // into (q4112.c:225-297), zero exchange — whenever the group
+    // domain provably fits 2^27 slots and the projection is
+    // non-nullable (a NULL group has no slot). Cluster deployments
+    // route to the bucketed layout instead (part2SharedDense scaladoc).
+    // the GROUP must carry no ACTUAL nulls (a NULL group has no slot) —
+    // checked against the DATA (cached null count / catalog stats), not
+    // the schema flag, which Catalyst sets pessimistically for any
+    // %-derived column. A nullable-typed v is tolerated: the
+    // accumulation loop refuses an actual null loudly instead of
+    // miscounting.
+    val sharedDenseStats =
+      if (!bypass || !items.sparkSession.sparkContext.isLocal ||
+          (orders.schema(groupCol).nullable &&
+            nullCountLong(orders, groupCol) > 0L)) None
+      else minMaxLongsOpt(orders, Seq(groupCol)).collect {
+        case Seq((mn, mx)) if mx >= mn && {
+          val w = mx - mn; w >= 0L && w < SharedDenseMaxDomain
+        } => (mn, mx - mn + 1L)
+      }
     System.err.println(f"[part2-adaptive] rows=$rows sampled=$tot " +
       f"sampleNdv=$sampleNdv sharedMass=$sharedMass%.3f bypass=$bypass packable=$packable " +
+      f"sharedDense=${sharedDenseStats.isDefined} " +
       f"est=${(System.nanoTime() - t0) / 1e9}%.3f s")
-    // the missed-layout hint (round-4 verdict item 7): every plan below
-    // ships rows through an exchange that the bucketed layout would
-    // elide — say so AT PLAN TIME, strongest where the exchange is the
-    // scale-killer (low shared mass: partial agg collapses ~nothing)
-    advise(f"this aggregate takes a ${if (bypass) "raw-row" else "partial/final"} " +
+    // the missed-layout hint (round-4 verdict item 7): every exchange-
+    // based plan below ships rows through a shuffle that the bucketed
+    // layout would elide — say so AT PLAN TIME, strongest where the
+    // exchange is the scale-killer (low shared mass: partial agg
+    // collapses ~nothing). The shared-dense form is already
+    // exchange-free — no layout to recommend.
+    if (sharedDenseStats.isDefined) advise("")
+    else advise(f"this aggregate takes a ${if (bypass) "raw-row" else "partial/final"} " +
       f"exchange on '$groupCol' (sampled sharedMass=$sharedMass%.2f); storing the " +
       f"probe table bucketed on '$groupCol' (Tables.writeBucketed) would make it " +
       "exchange-free")
     if (bypass) {
       val shuffle = items.sparkSession.sessionState.conf.numShufflePartitions
+      if (sharedDenseStats.isDefined) {
+        val (minGroup, domain) = sharedDenseStats.get
+        lastChosenPlan = "shared_dense"
+        return part2SharedDense(items, orders, itemKey, orderKey, priceCol,
+          quantityCol, groupCol, minGroup, domain, useDense)
+      }
       // linear extrapolation DELIBERATELY overestimates ndv on
       // singleton-heavy samples (every sampled-once group scales by
       // rows/tot; a Chao1-style correction would estimate ~6× lower on

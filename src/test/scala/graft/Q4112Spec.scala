@@ -190,6 +190,31 @@ class Q4112Spec extends SparkSpec {
     assert(viaDense.getLong(0) === viaHash.getLong(0))
   }
 
+  test("shared-CAS-table aggregate equals the hash plan; the router picks it on singleton groups; re-execution is fresh") {
+    import org.apache.spark.sql.functions.col
+    val items = spark.range(1L, 501L)
+      .select(col("id"), (col("id") * 7L % 1000L).as("price"))
+    val orders = spark.range(0L, 200000L, 1L, 8)
+      .select((col("id") % 500L + 1L).as("itemId"),
+        (col("id") % 9L).as("quantity"),
+        col("id").as("storeId")) // every group a singleton
+    val viaHash = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    val direct = Q4112.part2SharedDense(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", minGroup = 0L, domain = 200000L)
+    assert(direct.collect()(0).getLong(0) === viaHash)
+    // a SECOND execution of the same DataFrame runs as a new stage and
+    // must get a fresh shared table, not the consumed one
+    assert(direct.collect()(0).getLong(0) === viaHash)
+    val adaptive = Q4112.part2Adaptive(items, orders, "id", "itemId", "price",
+      "quantity", "storeId")
+    assert(adaptive.collect()(0).getLong(0) === viaHash)
+    assert(Q4112.lastChosenPlan === "shared_dense", Q4112.lastChosenPlan)
+    // exchange-free: the executed plan has no hashpartitioning exchange
+    val plan = direct.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("adaptive part2 on an empty relation falls back instead of throwing") {
     val spark2 = spark
     import spark2.implicits._
