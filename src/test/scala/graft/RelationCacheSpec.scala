@@ -102,12 +102,24 @@ class RelationCacheSpec extends SparkSpec {
   test("adaptive planners surface the missed-layout hint at plan time") {
     Q4112.clearRelationCaches()
     val items = spark.range(0, 100).select(col("id"), (col("id") % 97 + 1).as("price"))
+    // singleton groups over a domain WIDER than the shared-dense cap
+    // (2^27): the single-JVM CAS table declines, so the chosen plan
+    // ships a raw-row exchange and the layout hint must fire
     val orders = spark.range(0, 5000).select(
-      (col("id") % 100).as("itemId"), col("id").as("storeId"), // singleton groups
+      (col("id") % 100).as("itemId"),
+      (col("id") * 1000000L).as("storeId"),
       (col("id") % 9 + 1).as("quantity"))
     Q4112.part2Adaptive(items, orders, "id", "itemId", "price", "quantity", "storeId")
     assert(Q4112.lastAdvice.contains("storeId"), s"got: ${Q4112.lastAdvice}")
     assert(Q4112.lastAdvice.contains("exchange-free"))
+    // same shape with a NARROW domain: the router takes the shared
+    // CAS table (already exchange-free) and must advise NOTHING
+    val narrow = spark.range(0, 5000).select(
+      (col("id") % 100).as("itemId"), col("id").as("storeId"),
+      (col("id") % 9 + 1).as("quantity"))
+    Q4112.part2Adaptive(items, narrow, "id", "itemId", "price", "quantity", "storeId")
+    assert(Q4112.lastChosenPlan === "shared_dense", Q4112.lastChosenPlan)
+    assert(Q4112.lastAdvice === "", s"got: ${Q4112.lastAdvice}")
     // part 1, dense path: advises the co-located layout for the join keys
     val bigItems = spark.range(0, 20000).select(col("id"), (col("id") % 97 + 1).as("price"))
     Q4112.part1Adaptive(bigItems, orders, "id", "itemId", "price", "quantity", dense = true)
