@@ -277,7 +277,21 @@ object Matrix {
           .find(_.startsWith("VmRSS:"))
           .map(_.split("\\s+")(1).toLong / 1e6).getOrElse(-1.0)
       } catch { case _: Throwable => -1.0 }
-      f"heap=${heapGb}%.1fg rss=${rssGb}%.1fg"
+      // per-pool breakdown (round-9 verdict item 9): the aggregate
+      // post-GC gauge drifts to ~77 GB in 1e9 sessions with no
+      // rep-time correlation; the pool split attributes it — G1 Old
+      // growth is retention, Eden/Survivor residue is just
+      // not-yet-collected allocation under the pre-touched heap, and
+      // humongous-dominated Old is the broadcast arrays
+      val pools = try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getType == java.lang.management.MemoryType.HEAP)
+          .map(p => f"${p.getName.replaceAll("G1 | Space", "")}=" +
+            f"${p.getUsage.getUsed / 1e9}%.1fg")
+          .mkString(" ")
+      } catch { case _: Throwable => "" }
+      f"heap=${heapGb}%.1fg rss=${rssGb}%.1fg $pools"
     }
 
     // autoflush: a multi-hour 1e9-scale session must not lose completed
