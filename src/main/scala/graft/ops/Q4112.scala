@@ -787,23 +787,53 @@ object Q4112 {
       }
       val sums = st.sums
       val cnts = st.cnts
+      // per-task combine cache in front of the shared table — the
+      // reference's own design (q4112.c:232-233, log_entries = 13, its
+      // measured-best size): heavy-hitter groups accumulate in a
+      // 8192-entry direct-mapped L2-resident cache instead of CASing
+      // the same shared cache line from every thread (hhp=1.0 shapes
+      // would otherwise serialize on ~100 hot slots), and cold keys
+      // evict-flush through. Singleton-flood shapes pay one
+      // L1-resident hash+branch per row over the bare CAS loop.
+      val cacheBits = 13
+      val cacheMask = (1 << cacheBits) - 1
+      val ck = new Array[Int](1 << cacheBits) // slot + 1; 0 = empty
+      val cs = new Array[Long](1 << cacheBits)
+      val cc = new Array[Long](1 << cacheBits)
+      def accumulate(g: Int, v: Long): Unit = {
+        val h = ((g * -1640531527) >>> (32 - cacheBits)) & cacheMask
+        if (ck(h) == g + 1) { cs(h) += v; cc(h) += 1L }
+        else {
+          val old = ck(h)
+          if (old != 0) {
+            sums.addAndGet(old - 1, cs(h))
+            cnts.addAndGet(old - 1, cc(h))
+          }
+          ck(h) = g + 1; cs(h) = v; cc(h) = 1L
+        }
+      }
       if (nullGuard) {
         while (it.hasNext) {
           val r = it.next()
           if (r.isNullAt(0) || r.isNullAt(1))
             throw new IllegalStateException(
               "shared dense aggregate received a NULL group or v; use the hash plan")
-          val g = (r.getLong(0) - mg).toInt
-          sums.addAndGet(g, r.getLong(1))
-          cnts.incrementAndGet(g)
+          accumulate((r.getLong(0) - mg).toInt, r.getLong(1))
         }
       } else {
         while (it.hasNext) {
           val r = it.next()
-          val g = (r.getLong(0) - mg).toInt
-          sums.addAndGet(g, r.getLong(1))
-          cnts.incrementAndGet(g)
+          accumulate((r.getLong(0) - mg).toInt, r.getLong(1))
         }
+      }
+      // flush the local cache before the countdown
+      var ci = 0
+      while (ci <= cacheMask) {
+        if (ck(ci) != 0) {
+          sums.addAndGet(ck(ci) - 1, cs(ci))
+          cnts.addAndGet(ck(ci) - 1, cc(ci))
+        }
+        ci += 1
       }
       if (st.remaining.decrementAndGet() == 0) {
         SharedDense.tables.remove(key)
@@ -1106,16 +1136,43 @@ object Q4112 {
       // domains wider than 2^63 the long subtraction wraps NEGATIVE and
       // would otherwise pass the `< DenseAggMaxDomain` bound with a
       // garbage array size (advice item 1).
-      val denseStats = minMaxLongsOpt(orders, Seq(groupCol)).collect {
+      // (mn, domain) with domain = width + 1; the w >= 0 guard rejects
+      // >2^63-wide wrapped domains and the w + 1 > 0 guard the
+      // width == Long.MaxValue overflow of the increment itself
+      val mm = minMaxLongsOpt(orders, Seq(groupCol)).collect {
         case Seq((mn, mx)) if mx >= mn && {
-          val w = mx - mn; w >= 0L && w < DenseAggMaxDomain
-        } => (mn, (mx - mn + 1L).toInt)
+          val w = mx - mn; w >= 0L && w + 1L > 0L
+        } => (mn, mx - mn + 1L)
       }
+      val denseStats = mm.collect {
+        case (mn, w) if w <= DenseAggMaxDomain => (mn, w.toInt)
+      }
+      // the band ABOVE the per-task cap but inside the shared cap: a
+      // 2^22..2^27 domain with HIGH shared mass still floods the
+      // partial hash maps with its singleton tail (cfg5-family at 1e9:
+      // 50 GB spill, ~10× the C) — in a single JVM the shared CAS
+      // table + the per-task combine cache (the C's exact design)
+      // handles head and tail both. Same null-freedom proof as the
+      // bypass-branch route.
+      val sharedStats =
+        if (denseStats.isDefined ||
+            !items.sparkSession.sparkContext.isLocal) None
+        else mm.collect {
+          case (mn, w) if w <= SharedDenseMaxDomain &&
+            !(orders.schema(groupCol).nullable &&
+              nullCountLong(orders, groupCol) > 0L) => (mn, w)
+        }
       if (denseStats.isDefined) {
         val (minGroup, domain) = denseStats.get
         lastChosenPlan = "partial_dense"
         part2DenseAgg(items, orders, itemKey, orderKey, priceCol, quantityCol,
           groupCol, minGroup, domain, useDense)
+      } else if (sharedStats.isDefined) {
+        val (minGroup, domain) = sharedStats.get
+        lastChosenPlan = "shared_dense"
+        advise("")
+        part2SharedDense(items, orders, itemKey, orderKey, priceCol,
+          quantityCol, groupCol, minGroup, domain, useDense)
       } else if (useDense) {
         lastChosenPlan = "partial"
         part2Dense(items, orders, itemKey, orderKey, priceCol, quantityCol, groupCol)

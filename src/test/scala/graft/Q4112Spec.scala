@@ -215,6 +215,26 @@ class Q4112Spec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("the 2^22..2^27 domain band with heavy hitters routes to the shared table") {
+    import org.apache.spark.sql.functions.{col, when}
+    val items = spark.range(1L, 101L)
+      .select(col("id"), (col("id") % 97L).as("price"))
+    // half the mass in 50 hot groups (high shared mass -> the partial
+    // family), the other half a singleton tail over a ~6e6-wide domain:
+    // too wide for the per-task dense arrays, inside the shared cap
+    val orders = spark.range(0L, 300000L, 1L, 8)
+      .select((col("id") % 100L + 1L).as("itemId"),
+        (col("id") % 7L).as("quantity"),
+        when(col("id") % 2L === 0L, col("id") % 50L)
+          .otherwise(col("id") * 20L % 8000000L).as("storeId"))
+    val viaHash = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    val adaptive = Q4112.part2Adaptive(items, orders, "id", "itemId", "price",
+      "quantity", "storeId").collect()(0).getLong(0)
+    assert(Q4112.lastChosenPlan === "shared_dense", Q4112.lastChosenPlan)
+    assert(adaptive === viaHash)
+  }
+
   test("adaptive part2 on an empty relation falls back instead of throwing") {
     val spark2 = spark
     import spark2.implicits._
