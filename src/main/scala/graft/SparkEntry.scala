@@ -2210,6 +2210,62 @@ object SparkEntry {
       Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
         .toDF("n_batch", "store_ok", "serve_ok")
     }),
+    // VECTOR-STORE COMPACTION — the maintenance step the rebuild
+    // policy's churn counter schedules: fold the accumulated per-batch
+    // delta partitions back into one compact base relation. Assignment
+    // purity makes it a pure rewrite; the gate proves (a) the compacted
+    // base set-equals the from-scratch assignment of the grown corpus,
+    // (b) serving from it is identical, and (c) the delta store is
+    // actually gone (a compaction that silently keeps feeding from the
+    // delta would pass (a)+(b) and lie about the maintenance).
+    "sim_ivf_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      val isBatch = col("vec_id") % 10 === 0
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-ivf-compact-$sid").getAbsolutePath
+      val row = try {
+        ModelStore.saveIvfPostings(
+          Similarity.ivfAssign(e.filter(!isBatch), "vec_id", "embedding",
+            km.centroids), s"$base/postings")
+        // two ingest batches land as two delta partitions, then compact
+        val batch = Similarity.ivfAssign(e.filter(isBatch), "vec_id",
+          "embedding", km.centroids)
+        ModelStore.upsertIvfPostings(batch.filter(col("corpus_id") % 20 === 0),
+          s"$base/delta", batchId = 0L)
+        ModelStore.upsertIvfPostings(batch.filter(col("corpus_id") % 20 =!= 0),
+          s"$base/delta", batchId = 1L)
+        ModelStore.compactIvfPostings(s, s"$base/postings", s"$base/delta")
+        val store = ModelStore.loadIvfPostings(s, s"$base/postings").cache()
+        val rebuilt = Similarity.ivfAssign(e, "vec_id", "embedding",
+          km.centroids).cache()
+        val probes = e.filter(col("vec_id") % 37 === 0)
+        def sel(a: DataFrame) = Similarity.ivfTopKServe(a, probes,
+            "vec_id", "embedding", km.centroids, k = 5, nProbe = 3)
+          .select(col("probe_id"), col("corpus_id"), col("rank"))
+        val deltaGone = !new org.apache.hadoop.fs.Path(s"$base/delta")
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(s"$base/delta"))
+        try e.filter(isBatch).agg(count(lit(1)).as("n_batch"))
+          .crossJoin(setEq(store.select(col("corpus_id"), col("bucket")),
+            rebuilt.select(col("corpus_id"), col("bucket")), "eq")
+            .crossJoin(setEq(sel(store), sel(rebuilt), "serve_eq"))
+            .select((col("eq") && col("serve_eq")).as("compact_ok")))
+          .withColumn("delta_gone", lit(deltaGone))
+          .select(col("n_batch"), col("compact_ok"), col("delta_gone"))
+          .collect()(0)
+        finally Seq(store, rebuilt).foreach(_.unpersist())
+      } finally {
+        try {
+          val hp = new org.apache.hadoop.fs.Path(base)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+      import s.implicits._
+      Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
+        .toDF("n_batch", "compact_ok", "delta_gone")
+    }),
     // AGGREGATE PUSHDOWN into the DSv2 source — COUNT/MIN/MAX/SUM over
     // the generated id range answered ANALYTICALLY by the source
     // (GenScanBuilder.pushAggregation, complete pushdown: Spark's
@@ -5680,6 +5736,12 @@ object SparkEntry {
       "sim_ivf_stream_update" ->
         """SELECT cast(count(*) as bigint) AS n_batch,
           |       true AS store_ok, true AS serve_ok
+          |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+      // compaction gate: same batch bucket; rebuild/serve equality and
+      // the delta-store removal are Spark-side proofs
+      "sim_ivf_compact" ->
+        """SELECT cast(count(*) as bigint) AS n_batch,
+          |       true AS compact_ok, true AS delta_gone
           |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
       // aggregate-pushdown gate: the oracle recomputes the pushed
       // SUM(id) as the arithmetic series over the filtered id range

@@ -173,6 +173,35 @@ object ModelStore {
   def loadIvfDelta(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("corpus_id"), col("cv"), col("bucket"))
 
+  /** Fold the streamed delta into the base posting store — the
+    * scheduled maintenance step [[rebuildDue]]'s churn counter
+    * schedules: serving reads go back to ONE compact relation instead
+    * of base ∪ a growing pile of per-batch partitions. Assignment
+    * purity makes compaction a pure rewrite (no re-assignment, no
+    * retraining): compact(base, delta) is row-identical to the union
+    * it replaces, which the `sim_ivf_compact` gate pins against the
+    * from-scratch rebuild. Stage-then-swap keeps the readable window
+    * small; a production deployment swaps a catalog pointer (or uses
+    * a table format with atomic commit) instead of a filesystem
+    * rename — documented bound, same class as ivfTopKServe's
+    * broadcast note.
+    */
+  def compactIvfPostings(spark: SparkSession, basePath: String, deltaPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(basePath + ".compacting")
+    fs.delete(staged, true)
+    loadIvfPostings(spark, basePath)
+      .union(loadIvfDelta(spark, deltaPath))
+      .select(col("corpus_id"), col("cv"), col("bucket"))
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.delete(base, true)
+    require(fs.rename(staged, base),
+      s"compaction swap failed: $staged -> $base")
+    fs.delete(new Path(deltaPath), true)
+  }
+
   // -------------------------------------------------------- rebuild policy
 
   /** WHEN to rebuild a maintained index — the policy predicate over the

@@ -684,4 +684,33 @@ class StreamingSpec extends SparkSpec {
       assert(n === batchN)
     } finally query.stop()
   }
+
+  test("streaming IVF upsert: incremental runs append exactly the delta across batches") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{ModelStore, Similarity}
+    val stream = MemoryStream[(Long, Array[Float])]
+    val vecs = stream.toDS()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val delta = s"$dir/delta"; val ckpt = s"$dir/ckpt"
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    // run 1 drains the first two vectors; run 2 (same checkpoint) must
+    // process ONLY the later arrival — the catch-up contract
+    stream.addData((1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)))
+    Events.ivfUpsertStream(vecs, centroids, delta, ckpt)
+    stream.addData((3L, v(0.9f, 0.1f, 0f, 0f)))
+    Events.ivfUpsertStream(vecs, centroids, delta, ckpt)
+    val all = Seq(
+      (1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)),
+      (3L, v(0.9f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val expect = Similarity.ivfAssign(all, "vec_id", "embedding", centroids)
+    val got = ModelStore.loadIvfDelta(spark, delta)
+    assert(got.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(got).count() === 0)
+    // each incremental run landed in its own idempotent batch partition
+    assert(spark.read.parquet(delta)
+      .select("ingest_batch").distinct().count() === 2)
+  }
 }
