@@ -364,6 +364,19 @@ object Matrix {
             writeBucketedTable(Q4112Gen.items(spark, cfg).toDF(), "items_bkt", "id")
             spark.table("items_bkt").as[graft.model.Item].cache()
           } else Q4112Gen.items(spark, cfg).cache()
+        // NARROW CACHE (round 10, SCALING §4): every generated orders
+        // value fits 32 bits (ids ≤ 1e8, quantities ≤ 99999), so the
+        // timed scan's columns cache as ints — halving the bytes the
+        // bandwidth-bound reps stream, exactly the C's 4-byte column
+        // layout (q4112.h). Aggregation stays 64-bit end-to-end: the
+        // operators widen before any multiply/shift (the P1 contract),
+        // and the oracle runs over the cast-back typed view of the SAME
+        // cache. Ints are an ingest-time LAYOUT choice (like bucketing),
+        // proven from the generator's value bounds; a stats-gated
+        // version of the same downcast applies to any real fact table.
+        val narrow = !sys.env.get("SPARK_GRAFT_NARROW").contains("0") &&
+          !p1Bucketed && !p2Bucketed &&
+          !(part == 2 && p2Plan == "joined_bucketed")
         val orders =
           if (p1Bucketed) {
             writeBucketedTable(Q4112Gen.orders(spark, cfg).toDF(), "orders_bkt", "itemId")
@@ -378,8 +391,31 @@ object Matrix {
             // takes the exchange-free path on its own.
             writeBucketedTable(Q4112Gen.orders(spark, cfg).toDF(), "orders_bkt", "storeId")
             spark.table("orders_bkt").as[graft.model.Order].cache()
-          } else Q4112Gen.orders(spark, cfg).cache()
-        items.count(); orders.count()
+          } else if (narrow) Q4112Gen.orders(spark, cfg) // the narrow DF below IS the cache
+          else Q4112Gen.orders(spark, cfg).cache()
+        // per-column bounds from the GENERATOR's contract: storeId ≤
+        // groups ≤ 1e8 and quantity ≤ outerValMax = 99999 always fit;
+        // itemId fits only at outer selectivity 1.0 — below it the
+        // generator draws MISS keys far outside the inner range
+        // (~1e12), so the join key stays long on those configs
+        val itemIdFits = cfg.outerSelectivity >= 1.0
+        def narrowCol(name: String, fits: Boolean) =
+          if (fits) col(name).cast("int").as(name) else col(name)
+        val ordersQ: org.apache.spark.sql.DataFrame =
+          if (narrow) orders.toDF().select(
+            narrowCol("itemId", itemIdFits),
+            narrowCol("storeId", fits = true),
+            narrowCol("quantity", fits = true)).cache()
+          else orders.toDF()
+        // the oracle's typed view: same cache, widened back to longs
+        val ordersOracle =
+          if (narrow) ordersQ.select(
+            col("itemId").cast("long").as("itemId"),
+            col("storeId").cast("long").as("storeId"),
+            col("quantity").cast("long").as("quantity"))
+            .as[graft.model.Order]
+          else orders
+        items.count(); ordersQ.count()
         // route, don't hand over: the bucketed layout is REGISTERED for
         // the raw relation, and the timed reps query the raw plan —
         // part2Adaptive discovers the layout itself (CSV plan column
@@ -406,14 +442,14 @@ object Matrix {
         // the Catalyst plan under test) once a collect would be abusive
         val oracle =
           if (cfg.outerTuples <= 5000000L) {
-            if (part == 1) Q4112Gen.oraclePart1(items.collect().toSeq, orders.collect().toSeq)
-            else Q4112Gen.oracleFull(items.collect().toSeq, orders.collect().toSeq)
+            if (part == 1) Q4112Gen.oraclePart1(items.collect().toSeq, ordersOracle.collect().toSeq)
+            else Q4112Gen.oracleFull(items.collect().toSeq, ordersOracle.collect().toSeq)
           } else {
-            if (part == 1) Q4112Gen.oraclePart1Rdd(orders, cfg)
+            if (part == 1) Q4112Gen.oraclePart1Rdd(ordersOracle, cfg)
             // shared-memory CAS table (the reference's own algorithm):
             // the reduceByKey oracle OOMs at 1e8 singleton groups for
             // the same reason any partial-agg plan does
-            else Q4112Gen.oracleFullCas(orders, cfg)
+            else Q4112Gen.oracleFullCas(ordersOracle, cfg)
           }
         // joined_bucketed reps read ONLY the materialized joined_bkt
         // table — the two generator caches (~26 GB at 1e9) and the dense
@@ -470,7 +506,7 @@ object Matrix {
               // per-bucket sort order, so SMJ re-sorts both sides.
               // Without the layout it keeps the measured default
               // (dense array probe / broadcast hash by build size).
-              val df = Q4112.part1Adaptive(items.toDF(), orders.toDF(),
+              val df = Q4112.part1Adaptive(items.toDF(), ordersQ,
                 "id", "itemId", "price", "quantity", dense)
               df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
             } else {
@@ -487,12 +523,12 @@ object Matrix {
                 // route to the registered layout itself — the CSV plan
                 // column records what it chose (bucketed_routed /
                 // joined_bucketed), proving the routing fired.
-                case "auto" => Q4112.part2Adaptive(items.toDF(), orders.toDF(),
+                case "auto" => Q4112.part2Adaptive(items.toDF(), ordersQ,
                   "id", "itemId", "price", "quantity", "storeId", dense)
                 case "bucketed" | "joined_bucketed" =>
                   Q4112.part2Adaptive(itemsRaw, ordersRaw,
                     "id", "itemId", "price", "quantity", "storeId", dense)
-                case "bypass" => Q4112.part2Bypass(items.toDF(), orders.toDF(),
+                case "bypass" => Q4112.part2Bypass(items.toDF(), ordersQ,
                   "id", "itemId", "price", "quantity", "storeId",
                   Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense)
                 // packed raw exchange (8 B/row): checked=false is sound
@@ -500,7 +536,7 @@ object Matrix {
                 // innerValMax/outerValMax ≤ 99999 (v < 2^34) and groups
                 // < 2^29 for every matrix shape — and the oracle assert
                 // below would catch any corruption
-                case "packed" => Q4112.part2BypassPacked(items.toDF(), orders.toDF(),
+                case "packed" => Q4112.part2BypassPacked(items.toDF(), ordersQ,
                   "id", "itemId", "price", "quantity", "storeId",
                   Q4112.bypassPartitions(cfg.groups, shufflePartitions.toInt), dense,
                   checked = false)
@@ -509,14 +545,14 @@ object Matrix {
                 // the exchange-based forms on the singleton-group shapes
                 case "shared_dense" =>
                   val Seq((mn, mx)) =
-                    Q4112.minMaxLongs(orders.toDF(), Seq("storeId"))
-                  Q4112.part2SharedDense(items.toDF(), orders.toDF(),
+                    Q4112.minMaxLongs(ordersQ, Seq("storeId"))
+                  Q4112.part2SharedDense(items.toDF(), ordersQ,
                     "id", "itemId", "price", "quantity", "storeId",
                     mn, mx - mn + 1L, dense)
                 case _ => // "partial": Catalyst's default partial/final split
-                  if (dense) Q4112.part2Dense(items.toDF(), orders.toDF(),
+                  if (dense) Q4112.part2Dense(items.toDF(), ordersQ,
                     "id", "itemId", "price", "quantity", "storeId")
-                  else Q4112.part2(items.toDF(), orders.toDF(),
+                  else Q4112.part2(items.toDF(), ordersQ,
                     "id", "itemId", "price", "quantity", "storeId", Q4112.BroadcastHash)
               }
               df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
@@ -572,6 +608,7 @@ object Matrix {
         // also lets ContextCleaner reap unreferenced broadcasts.
         items.unpersist(blocking = true)
         orders.unpersist(blocking = true)
+        if (narrow) ordersQ.unpersist(blocking = true)
         if (p1Bucketed || p2Bucketed) { // reclaim ~24 GB/config
           spark.sql("DROP TABLE IF EXISTS orders_bkt")
           spark.sql("DROP TABLE IF EXISTS items_bkt")

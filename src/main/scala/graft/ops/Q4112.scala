@@ -118,9 +118,10 @@ object Q4112 {
         val r = df.agg(aggs.head, aggs.tail: _*).head()
         // an empty relation (or an all-NULL column) yields NULL min/max —
         // report "no stats" so callers fall back to the plain plan
-        // instead of NPE-ing in the planner (round-9 advice item 3)
+        // instead of NPE-ing in the planner (round-9 advice item 3);
+        // toLong, not getLong: int-stored columns aggregate to Int
         if (cols.indices.exists(i => r.isNullAt(2 * i) || r.isNullAt(2 * i + 1))) None
-        else Some(cols.indices.map(i => (r.getLong(2 * i), r.getLong(2 * i + 1))))
+        else Some(cols.indices.map(i => (toLong(r.get(2 * i)), toLong(r.get(2 * i + 1)))))
       })
     }
   }
@@ -375,8 +376,11 @@ object Q4112 {
       priceCol: String,
       quantityCol: String): DataFrame = {
     val (bc, mn) = denseValuesArray(items, itemKey, priceCol)
+    // the cast widens 32-bit-stored keys (the narrow ingest layout,
+    // Matrix round 10) and is a no-op on long columns; the long×int
+    // product below promotes to long before any sum, per the P1 contract
     orders
-      .select(graft.functions.DenseLookup(bc, mn)(col(orderKey)).as("price"),
+      .select(graft.functions.DenseLookup(bc, mn)(col(orderKey).cast("long")).as("price"),
         col(quantityCol).as("q"))
       .where(col("price").isNotNull) // inner-join drop semantics
       .agg(sum(col("price") * col("q")).as("s"), count(lit(1)).as("c"))
@@ -396,7 +400,7 @@ object Q4112 {
       groupCol: String): DataFrame = {
     val (bc, mn) = denseValuesArray(items, itemKey, priceCol)
     orders
-      .select(graft.functions.DenseLookup(bc, mn)(col(orderKey)).as("price"),
+      .select(graft.functions.DenseLookup(bc, mn)(col(orderKey).cast("long")).as("price"),
         col(quantityCol).as("q"), col(groupCol))
       .where(col("price").isNotNull)
       .groupBy(col(groupCol))
@@ -422,7 +426,7 @@ object Q4112 {
     if (dense) {
       val (bc, mn) = denseValuesArray(items, itemKey, priceCol)
       orders
-        .select(graft.functions.DenseLookup(bc, mn)(col(orderKey)).as("price"),
+        .select(graft.functions.DenseLookup(bc, mn)(col(orderKey).cast("long")).as("price"),
           col(quantityCol).as("q"), col(groupCol))
         .where(col("price").isNotNull)
         .select(col(groupCol), (col("price") * col("q")).as("v"))
@@ -507,8 +511,12 @@ object Q4112 {
         .otherwise(raise_error(format_string(
           "part2BypassPacked: unpackable row: group=%d v=%d (need 0 <= group < 2^29, 0 <= v < 2^34)",
           col(groupCol), col("v"))))
+    // widen a 32-bit-stored group before shifting: shiftleft on an INT
+    // masks the shift amount to 5 bits (34 ≡ 2) and would silently
+    // corrupt the packing; the cast is a no-op on long columns
     val packed = groupedValues(items, orders, itemKey, orderKey, priceCol, quantityCol,
       groupCol, dense)
+      .select(col(groupCol).cast("long").as(groupCol), col("v"))
       .select(guarded.as("p"))
     val g = shiftright(col("p"), 34)
     packed
@@ -998,7 +1006,8 @@ object Q4112 {
     // (it was measured at 1-3 s INSIDE every timed query)
     val (tot, sampleNdv, sharedMass) = sampleCache.computeIfAbsent(
       (orders.queryExecution.optimizedPlan.canonicalized, groupCol), { _ =>
-        val slim = orders.select(col(groupCol)).rdd
+        // cast: int-stored group columns must still read as longs below
+        val slim = orders.select(col(groupCol).cast("long")).rdd
         // a provably-empty relation plans zero partitions — there is
         // nothing to sample and runJob on partition 0 would throw
         if (slim.getNumPartitions == 0) (0L, 0L, 1.0) else {
