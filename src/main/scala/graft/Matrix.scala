@@ -364,17 +364,22 @@ object Matrix {
             writeBucketedTable(Q4112Gen.items(spark, cfg).toDF(), "items_bkt", "id")
             spark.table("items_bkt").as[graft.model.Item].cache()
           } else Q4112Gen.items(spark, cfg).cache()
-        // NARROW CACHE (round 10, SCALING §4): every generated orders
+        // NARROW CACHE (round 10, SCALING §6): every generated orders
         // value fits 32 bits (ids ≤ 1e8, quantities ≤ 99999), so the
-        // timed scan's columns cache as ints — halving the bytes the
-        // bandwidth-bound reps stream, exactly the C's 4-byte column
-        // layout (q4112.h). Aggregation stays 64-bit end-to-end: the
-        // operators widen before any multiply/shift (the P1 contract),
-        // and the oracle runs over the cast-back typed view of the SAME
-        // cache. Ints are an ingest-time LAYOUT choice (like bucketing),
-        // proven from the generator's value bounds; a stats-gated
-        // version of the same downcast applies to any real fact table.
-        val narrow = !sys.env.get("SPARK_GRAFT_NARROW").contains("0") &&
+        // cached columns can store as ints — halving the bytes the
+        // timed reps stream, exactly the C's 4-byte column layout
+        // (q4112.h). Aggregation stays 64-bit end-to-end: the operators
+        // widen before any multiply/shift (the P1 contract), and the
+        // oracle runs over the cast-back typed view of the SAME cache.
+        // Ints are an ingest-time LAYOUT choice (like bucketing), and
+        // the measured rule is PER WORKLOAD: part-1's scan-bound probe
+        // gains up to 2.3× (median 1.52×→1.10× the C), while part-2's
+        // accumulate-bound plans LOSE — the per-row widening cast in
+        // the (group, v) hot path costs more than the bytes it saves
+        // (median 1.15×→1.28×, SCALING §6 has both tables). Default
+        // follows that rule; SPARK_GRAFT_NARROW=1/0 forces either way.
+        val narrow = sys.env.get("SPARK_GRAFT_NARROW")
+          .map(_ == "1").getOrElse(part == 1) &&
           !p1Bucketed && !p2Bucketed &&
           !(part == 2 && p2Plan == "joined_bucketed")
         val orders =

@@ -68,6 +68,8 @@ def emit(part, shapes, bars, files):
 if __name__ == "__main__":
     print("== part 2 ==")
     emit(2, SHAPES_P2, C_P2,
-         ["matrix_results_1e0_p2_r10auto.csv", "matrix_results_1e0_p2_r10auto2.csv"])
+         ["matrix_results_1e0_p2_r10auto.csv", "matrix_results_1e0_p2_r10auto2.csv",
+          "matrix_results_1e0_p2_r10narrow.csv"])
     print("== part 1 ==")
-    emit(1, SHAPES_P1, C_P1, ["matrix_results_1e0_p1_r10auto.csv"])
+    emit(1, SHAPES_P1, C_P1,
+         ["matrix_results_1e0_p1_r10auto.csv", "matrix_results_1e0_p1_r10narrow.csv"])
