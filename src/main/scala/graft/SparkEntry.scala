@@ -2266,6 +2266,61 @@ object SparkEntry {
       Seq((row.getLong(0), row.getBoolean(1), row.getBoolean(2)))
         .toDF("n_batch", "compact_ok", "delta_gone")
     }),
+    // THE MAINTENANCE LOOP CLOSED END-TO-END: the rebuild policy's
+    // ledger arithmetic DRIVES the compaction instead of just flagging
+    // it — policy fires ⇒ compactIvfPostings runs ⇒ the delta store is
+    // gone and serving reads one compact relation; policy doesn't fire
+    // ⇒ nothing moves and the delta stays. Two scenarios from
+    // deterministic id buckets make it falsifiable in both directions,
+    // and the oracle replays the trigger arithmetic itself (churn basis
+    // points over the ledger counts) — a mis-threshold breaks the hash,
+    // not just a flag. store_ok additionally requires the post-loop
+    // store (base ∪ surviving delta) to set-equal the from-scratch
+    // assignment AND the delta's existence to match the decision.
+    "index_maintenance_loop" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, km) = Clustering.kmeans(e, "vec_id", "embedding", k = 8, maxIter = 4)
+      val sid = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-ivf-maint-$sid").getAbsolutePath
+      def scenario(name: String, batchPred: Column)
+          : (String, Long, Long, Long, Boolean, Boolean) = {
+        val basePath = s"$root/$name/postings"
+        val deltaPath = s"$root/$name/delta"
+        val corpus0 = e.filter(!batchPred)
+        ModelStore.saveIvfPostings(Similarity.ivfAssign(corpus0, "vec_id",
+          "embedding", km.centroids), basePath)
+        ModelStore.upsertIvfPostings(Similarity.ivfAssign(e.filter(batchPred),
+          "vec_id", "embedding", km.centroids), deltaPath, batchId = 0L)
+        val n0 = corpus0.count()
+        val na = e.filter(batchPred).count()
+        val (_, churnBp, due) = ModelStore.rebuildDue(n0, 0L, na)
+        if (due) ModelStore.compactIvfPostings(s, basePath, deltaPath)
+        val dp = new org.apache.hadoop.fs.Path(deltaPath)
+        val deltaExists = dp.getFileSystem(
+          s.sparkContext.hadoopConfiguration).exists(dp)
+        val store = ModelStore.loadIvfPostings(s, basePath)
+          .union(if (deltaExists) ModelStore.loadIvfDelta(s, deltaPath)
+            else ModelStore.loadIvfPostings(s, basePath).limit(0))
+        val rebuilt = Similarity.ivfAssign(e, "vec_id", "embedding", km.centroids)
+        val eq = setEq(store.select(col("corpus_id"), col("bucket")),
+          rebuilt.select(col("corpus_id"), col("bucket")), "eq")
+          .collect()(0).getBoolean(0)
+        (name, n0, na, churnBp, due, eq && (deltaExists != due))
+      }
+      val rows = try Seq(
+        scenario("heavy_ingest", col("vec_id") % 4 === 0),  // ~33% churn: fires
+        scenario("light_ingest", col("vec_id") % 97 === 0)) // ~1%: must not
+      finally {
+        try {
+          val hp = new org.apache.hadoop.fs.Path(root)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+      import s.implicits._
+      rows.toDF("scenario", "n_at_build", "n_added", "churn_bp",
+        "maintained", "store_ok")
+    }),
     // AGGREGATE PUSHDOWN into the DSv2 source — COUNT/MIN/MAX/SUM over
     // the generated id range answered ANALYTICALLY by the source
     // (GenScanBuilder.pushAggregation, complete pushdown: Spark's
@@ -5743,6 +5798,29 @@ object SparkEntry {
         """SELECT cast(count(*) as bigint) AS n_batch,
           |       true AS compact_ok, true AS delta_gone
           |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+      // maintenance loop: the oracle replays the TRIGGER arithmetic
+      // (churn bp over the ledger counts, threshold 2000) per scenario;
+      // the store/delta consistency proof is Spark-side
+      "index_maintenance_loop" ->
+        """WITH h AS (SELECT count(*) FILTER (vec_id % 4 <> 0) AS n0,
+          |                  count(*) FILTER (vec_id % 4 = 0) AS na
+          |           FROM embeddings),
+          |l AS (SELECT count(*) FILTER (vec_id % 97 <> 0) AS n0,
+          |             count(*) FILTER (vec_id % 97 = 0) AS na
+          |      FROM embeddings)
+          |SELECT 'heavy_ingest' AS scenario,
+          |       cast(n0 as bigint) AS n_at_build,
+          |       cast(na as bigint) AS n_added,
+          |       cast(na * 10000 // n0 as bigint) AS churn_bp,
+          |       na * 10000 // n0 >= 2000 AS maintained,
+          |       true AS store_ok
+          |FROM h
+          |UNION ALL
+          |SELECT 'light_ingest',
+          |       cast(n0 as bigint), cast(na as bigint),
+          |       cast(na * 10000 // n0 as bigint),
+          |       na * 10000 // n0 >= 2000, true
+          |FROM l""".stripMargin,
       // aggregate-pushdown gate: the oracle recomputes the pushed
       // SUM(id) as the arithmetic series over the filtered id range
       // (id > 5000 of 1..20000); plan-shape and pushed-vs-raw equality
