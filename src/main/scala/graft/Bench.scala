@@ -76,12 +76,63 @@ object Bench {
     }
     calibrate(); calibrateShuffle() // warm both probes' codegen paths
 
-    // the idle shuffle band for THIS box, taken as the best of three
-    // warmed probes — the settle loop and the outlier re-run below are
-    // both defined relative to it (Matrix.scala:254 established the
-    // pattern; Bench lacked it and round 9 committed a payload with a
-    // 10.4× session-weather row that nothing caught)
-    val idleShuffle = Seq.fill(3)(calibrateShuffle()).min
+    // previous committed payload (read BEFORE this run overwrites it):
+    // prior per-query times feed the end-of-run outlier re-time pass,
+    // and the prior idle_shuffle band makes the settle loop ABSOLUTE
+    // across rounds instead of relative to this session's (possibly
+    // loaded) state. Parsed with a real JSON reader — the r10 regex
+    // parse would silently disable the outlier pass on any payload
+    // shape change, exactly the failure class it was added to catch
+    // (ADVICE r10 item 4); zero-parsed now warns loudly instead.
+    val (priorTimes, priorIdleShuffle): (Map[String, Double], Option[Double]) = {
+      val f = new java.io.File("BENCH_full_latest.json")
+      if (!f.isFile) (Map.empty, None)
+      else try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(f.toPath))
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d) => Some(d)
+          case JDecimal(d) => Some(d.toDouble)
+          case JInt(i) => Some(i.toDouble)
+          case JLong(l) => Some(l.toDouble)
+          case _ => None
+        }
+        val times = j \ "queries" match {
+          case JObject(fields) =>
+            fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        if (times.isEmpty)
+          System.err.println("[bench] WARNING: BENCH_full_latest.json exists " +
+            "but zero prior times parsed — the outlier re-run pass is disabled")
+        (times, num(j \ "idle_shuffle"))
+      } catch {
+        case e: Throwable =>
+          System.err.println("[bench] WARNING: failed to parse " +
+            s"BENCH_full_latest.json (${e.getMessage}) — outlier re-run disabled")
+          (Map.empty, None)
+      }
+    }
+
+    // the idle shuffle band: best of three warmed probes THIS session,
+    // ratcheted against the band the previous committed payload carried
+    // (round-10 verdict item 4) — a loaded session cannot inflate the
+    // band it settles against, because the prior round's idle value
+    // caps it; the bounded settle wait keeps a genuinely slower box
+    // from stalling the run. The settle loop and the outlier re-run
+    // are both defined relative to it (Matrix.scala:254 established
+    // the pattern; Bench lacked it and round 9 committed a payload
+    // with a 10.4× session-weather row that nothing caught)
+    val sessionIdleShuffle = Seq.fill(3)(calibrateShuffle()).min
+    val idleShuffle = priorIdleShuffle match {
+      case Some(p) if p > 0 => math.min(sessionIdleShuffle, p)
+      case _ => sessionIdleShuffle
+    }
+    if (priorIdleShuffle.exists(p => p > 0 && sessionIdleShuffle > 2.0 * p))
+      System.err.println(f"[bench] WARNING: session idle shuffle probe " +
+        f"$sessionIdleShuffle%.3f s is >2x the prior round's band " +
+        f"${priorIdleShuffle.get}%.3f s — this session is loaded")
 
     /** Drain external load / writeback until the shuffle probe returns
       * to its idle band (bounded wait). Measurement hygiene only: the
@@ -98,21 +149,6 @@ object Bench {
         p = calibrateShuffle()
       }
       System.err.println(f"[bench] settle: shuffle probe $p%.3f s (idle $idleShuffle%.3f s)")
-    }
-
-    // previous committed payload (read BEFORE this run overwrites it):
-    // the end-of-run outlier pass re-times any query that regressed >2×
-    // against it, separating session weather from real plan regressions
-    val priorTimes: Map[String, Double] = {
-      val f = new java.io.File("BENCH_full_latest.json")
-      if (!f.isFile) Map.empty
-      else try {
-        val txt = java.nio.file.Files.readString(f.toPath)
-        val qsec = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(qsec)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
     }
 
     settleUntilQuiet()

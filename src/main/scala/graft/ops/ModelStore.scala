@@ -191,15 +191,44 @@ object ModelStore {
     val base = new Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = new Path(basePath + ".compacting")
+    val old = new Path(basePath + ".old")
     fs.delete(staged, true)
+    fs.delete(old, true)
     loadIvfPostings(spark, basePath)
       .union(loadIvfDelta(spark, deltaPath))
       .select(col("corpus_id"), col("cv"), col("bucket"))
       .write.mode("overwrite").parquet(staged.toString)
-    fs.delete(base, true)
-    require(fs.rename(staged, base),
-      s"compaction swap failed: $staged -> $base")
+    // Crash ordering (ADVICE r10 item 3): with the staged base∪delta copy
+    // durable, (1) rename the old base ASIDE (never delete it first),
+    // (2) delete the delta BEFORE the compacted base is exposed — a
+    // reader inside this window fails LOUDLY on the missing base
+    // instead of silently double-counting delta rows against a
+    // compacted base, and every row stays recoverable from
+    // `<base>.compacting` + `<base>.old` — then (3) rename the staged
+    // store in and (4) drop the old base. No crash point can silently
+    // duplicate or silently lose rows under the base ∪ delta serving
+    // convention; [[recoverIvfCompaction]] replays an interrupted swap.
+    require(fs.rename(base, old), s"compaction swap failed: $base -> $old")
     fs.delete(new Path(deltaPath), true)
+    require(fs.rename(staged, base), s"compaction swap failed: $staged -> $base")
+    fs.delete(old, true)
+  }
+
+  /** Replay an interrupted [[compactIvfPostings]] swap: if the base is
+    * missing but the staged base∪delta copy exists (crash between the
+    * rename-aside and the rename-in), finish the swap; otherwise clean
+    * up any leftover staging artifacts. Safe to call unconditionally
+    * before serving.
+    */
+  def recoverIvfCompaction(spark: SparkSession, basePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(basePath + ".compacting")
+    val old = new Path(basePath + ".old")
+    if (!fs.exists(base) && fs.exists(staged))
+      require(fs.rename(staged, base), s"recovery swap failed: $staged -> $base")
+    if (fs.exists(base)) { fs.delete(staged, true); fs.delete(old, true) }
   }
 
   // -------------------------------------------------------- rebuild policy

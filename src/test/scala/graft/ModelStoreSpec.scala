@@ -113,6 +113,39 @@ class ModelStoreSpec extends SparkSpec {
     assert(rebuilt.exceptAll(store).count() === 0)
   }
 
+  test("compaction swap leaves no staging artifacts and an interrupted swap is recoverable") {
+    import graft.ops.Similarity
+    import org.apache.hadoop.fs.Path
+    val (_, km) = Clustering.kmeans(vecs, "vec_id", "embedding", k = 4, maxIter = 3)
+    val isBatch = col("vec_id") % 5 === 0
+    val basePath = tmp("ivf-cpt-base"); val deltaPath = tmp("ivf-cpt-delta")
+    ModelStore.saveIvfPostings(Similarity.ivfAssign(vecs.filter(!isBatch),
+      "vec_id", "embedding", km.centroids), basePath)
+    ModelStore.upsertIvfPostings(Similarity.ivfAssign(vecs.filter(isBatch),
+      "vec_id", "embedding", km.centroids), deltaPath, batchId = 0L)
+    ModelStore.compactIvfPostings(spark, basePath, deltaPath)
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // post-swap: only the compacted base remains — no .compacting, no
+    // .old, no delta (ADVICE r10 item 3: nothing a base ∪ delta reader
+    // could double-count)
+    assert(!fs.exists(new Path(basePath + ".compacting")))
+    assert(!fs.exists(new Path(basePath + ".old")))
+    assert(!fs.exists(new Path(deltaPath)))
+    val rebuilt = Similarity.ivfAssign(vecs, "vec_id", "embedding", km.centroids)
+    val store = ModelStore.loadIvfPostings(spark, basePath)
+    assert(store.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(store).count() === 0)
+    // simulate the one loud crash window (between rename-aside and
+    // rename-in): base missing, staged complete — recovery finishes it
+    assert(fs.rename(new Path(basePath), new Path(basePath + ".compacting")))
+    ModelStore.recoverIvfCompaction(spark, basePath)
+    assert(fs.exists(new Path(basePath)))
+    assert(!fs.exists(new Path(basePath + ".compacting")))
+    val recovered = ModelStore.loadIvfPostings(spark, basePath)
+    assert(recovered.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(recovered).count() === 0)
+  }
+
   test("rebuild policy: exact basis-point arithmetic at the thresholds") {
     // tombstone threshold 500 bp: 499/10000 stays, 500/10000 fires
     assert(!ModelStore.rebuildDue(10000L, 499L, 0L)._3)

@@ -235,6 +235,141 @@ class Q4112Spec extends SparkSpec {
     assert(adaptive === viaHash)
   }
 
+  test("shared-dense survives partial consumption (show/limit/take) and never leaks state") {
+    // ADVICE r10 item 1: the lazy r10 form silently returned ZERO rows
+    // under executeTake (show/limit scan partition subsets across
+    // several jobs, so the last-task-out countdown never fired) and
+    // leaked one 2 GB table per job. The eager form materializes the
+    // row at call time, so every consumption mode sees it.
+    import org.apache.spark.sql.functions.col
+    val items = spark.range(1L, 101L)
+      .select(col("id"), (col("id") * 3L % 100L).as("price"))
+    val orders = spark.range(0L, 50000L, 1L, 8)
+      .select((col("id") % 100L + 1L).as("itemId"),
+        (col("id") % 5L).as("quantity"),
+        col("id").as("storeId"))
+    val expected = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    val df = Q4112.part2SharedDense(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", minGroup = 0L, domain = 50000L)
+    assert(df.limit(1).collect()(0).getLong(0) === expected)
+    assert(df.take(1)(0).getLong(0) === expected)
+    df.show() // must not throw or return an empty frame
+    assert(df.head().getLong(0) === expected)
+    assert(Q4112.sharedDenseLiveTables === 0, "shared-dense state leaked")
+  }
+
+  test("shared-dense rejects a group outside the stats-proven domain with a diagnosis, and still cleans up") {
+    import org.apache.spark.sql.functions.col
+    val items = spark.range(1L, 11L)
+      .select(col("id"), (col("id") * 3L).as("price"))
+    val orders = spark.range(0L, 1000L, 1L, 4)
+      .select((col("id") % 10L + 1L).as("itemId"),
+        (col("id") % 5L).as("quantity"),
+        col("id").as("storeId")) // true domain [0, 1000)
+    val e = intercept[Exception] {
+      // lie to the operator: claim the domain is [0, 100)
+      Q4112.part2SharedDense(items, orders, "id", "itemId", "price",
+        "quantity", "storeId", minGroup = 0L, domain = 100L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("outside the stats-proven domain")),
+      messages(e).mkString(" | "))
+    assert(Q4112.sharedDenseLiveTables === 0, "shared-dense state leaked on failure")
+  }
+
+  test("router proves null-freedom of the VALUE inputs, not just the group (ADVICE r10 #2)") {
+    // a NULL quantity survives the join and makes v NULL — the hash
+    // plans' sum skips it; the shared loop cannot, so the router must
+    // fall back to a hash-family plan and still match the oracle
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = spark.range(0L, 20000L, 1L, 4)
+      .select((col("id") % 100L + 1L).as("itemId"),
+        (col("id") % 7L).as("quantity"), col("id").as("storeId"))
+    val nullRow = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, null, 19990L)).toDF("itemId", "quantity", "storeId")
+    val orders = base.unionByName(nullRow)
+    val items = spark.range(1L, 101L)
+      .select(col("id"), (col("id") % 97L).as("price"))
+    val viaHash = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    val adaptive = Q4112.part2Adaptive(items, orders, "id", "itemId", "price",
+      "quantity", "storeId").collect()(0).getLong(0)
+    assert(Q4112.lastChosenPlan !== "shared_dense",
+      s"router picked shared_dense over a NULL-carrying quantity column")
+    assert(adaptive === viaHash)
+    // same for a NULL price on the build side
+    val itemsN = items.unionByName(Seq[(java.lang.Long, java.lang.Long)](
+      (100L, null)).toDF("id", "price"))
+    val ordersClean = base
+    val viaHash2 = Q4112.part2(itemsN, ordersClean, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    val adaptive2 = Q4112.part2Adaptive(itemsN, ordersClean, "id", "itemId",
+      "price", "quantity", "storeId").collect()(0).getLong(0)
+    assert(Q4112.lastChosenPlan !== "shared_dense",
+      s"router picked shared_dense over a NULL-carrying price column")
+    assert(adaptive2 === viaHash2)
+  }
+
+  test("router falls back cleanly off-local: shared_dense is never chosen on a cluster") {
+    // round-10 verdict item 8: the require() inside part2SharedDense
+    // guarantees the OPERATOR refuses off-local; this asserts the
+    // ROUTER never routes there in the first place (simulated cluster)
+    import org.apache.spark.sql.functions.col
+    val items = spark.range(1L, 101L)
+      .select(col("id"), (col("id") * 7L % 1000L).as("price"))
+    val orders = spark.range(0L, 100000L, 1L, 8)
+      .select((col("id") % 100L + 1L).as("itemId"),
+        (col("id") % 9L).as("quantity"),
+        col("id").as("storeId")) // singleton groups: the shared-dense shape
+    val viaHash = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    Q4112.simulateClusterForTest = true
+    try {
+      val adaptive = Q4112.part2Adaptive(items, orders, "id", "itemId",
+        "price", "quantity", "storeId").collect()(0).getLong(0)
+      assert(Q4112.lastChosenPlan !== "shared_dense",
+        "router chose the single-JVM form on a (simulated) cluster")
+      assert(adaptive === viaHash)
+    } finally Q4112.simulateClusterForTest = false
+    // and back on local the same shape DOES take the shared table
+    val again = Q4112.part2Adaptive(items, orders, "id", "itemId",
+      "price", "quantity", "storeId").collect()(0).getLong(0)
+    assert(Q4112.lastChosenPlan === "shared_dense", Q4112.lastChosenPlan)
+    assert(again === viaHash)
+  }
+
+  test("shared-dense fires on raw nullable-schema parquet via stats-proven null-freedom") {
+    // round-10 verdict item 1: parquet schemas are always nullable; the
+    // router must prove null-freedom from DATA stats and route the
+    // un-coerced relations to shared_dense (no coalesce projection)
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("shared_dense_pq").toString
+    spark.range(1L, 101L)
+      .select(col("id"), (col("id") * 7L % 1000L).as("price"))
+      .write.mode("overwrite").parquet(s"$dir/items")
+    spark.range(0L, 100000L, 1L, 8)
+      .select((col("id") % 100L + 1L).as("itemId"),
+        (col("id") % 9L).as("quantity"),
+        col("id").as("storeId"))
+      .write.mode("overwrite").parquet(s"$dir/orders")
+    val items = spark.read.parquet(s"$dir/items")
+    val orders = spark.read.parquet(s"$dir/orders")
+    assert(items.schema.forall(_.nullable) && orders.schema.forall(_.nullable),
+      "test requires raw nullable parquet schemas")
+    val viaHash = Q4112.part2(items, orders, "id", "itemId", "price",
+      "quantity", "storeId", Q4112.BroadcastHash).collect()(0).getLong(0)
+    val adaptive = Q4112.part2Adaptive(items, orders, "id", "itemId",
+      "price", "quantity", "storeId").collect()(0).getLong(0)
+    assert(Q4112.lastChosenPlan === "shared_dense", Q4112.lastChosenPlan)
+    assert(adaptive === viaHash)
+    assert(Q4112.sharedDenseLiveTables === 0)
+  }
+
   test("adaptive part2 on an empty relation falls back instead of throwing") {
     val spark2 = spark
     import spark2.implicits._
