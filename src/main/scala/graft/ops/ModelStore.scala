@@ -233,6 +233,51 @@ object ModelStore {
 
   // -------------------------------------------------------- rebuild policy
 
+  /** WHEN to RETRAIN a maintained IVF index — the drift half of the
+    * lifecycle that [[rebuildDue]]'s volume counters cannot see
+    * (round-10 verdict item 2): a store can churn little yet drift
+    * hard (every new vector landing in one bucket), or churn a lot
+    * with no drift (new vectors distributed like the old). The
+    * statistic is the total-variation distance between the bucket
+    * distribution the quantizer produced AT BUILD and the
+    * distribution it produces NOW, in basis points — exact integer
+    * cross-multiplication (BigInt; never a float), so the trigger is
+    * reproducible in any engine:
+    *
+    *   tv_bp = 5000 · Σ_b |c_build(b)·n_now − c_now(b)·n_build|
+    *                 / (n_build · n_now)
+    *
+    * This is the same estimate-then-shape discipline the reference
+    * applies to its aggregation table (q4112.c:336-377) pointed at the
+    * vector store: a cheap statistic over what the index ALREADY
+    * materializes (posting counts per bucket — one tiny aggregate of
+    * the store, never a scan of the vectors) decides whether the
+    * expensive re-shape (k-means retrain + full reassign) pays.
+    * Default threshold: 10% mass displaced.
+    *
+    * Inputs are (bucket, n) relations of at most nCentroids rows —
+    * KB-sized at any corpus scale.
+    */
+  def retrainDue(
+      buildCounts: DataFrame,
+      currentCounts: DataFrame,
+      thresholdBp: Long = 1000L): (Long, Boolean) = {
+    def rows(df: DataFrame): Map[Long, Long] = df.collect().map { r =>
+      // bucket ids are int-typed in the posting store, long in tests
+      r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue()
+    }.toMap
+    val b = rows(buildCounts)
+    val c = rows(currentCounts)
+    val nb = b.values.sum
+    val nc = c.values.sum
+    require(nb > 0L && nc > 0L, "retrain policy needs non-empty bucket ledgers")
+    val num = (b.keySet ++ c.keySet).iterator.map { k =>
+      (BigInt(b.getOrElse(k, 0L)) * nc - BigInt(c.getOrElse(k, 0L)) * nb).abs
+    }.sum
+    val tvBp = (num * 5000 / (BigInt(nb) * BigInt(nc))).toLong
+    (tvBp, tvBp >= thresholdBp)
+  }
+
   /** WHEN to rebuild a maintained index — the policy predicate over the
     * store's own ledger that [[graft.ops.Dedup.updateStandingIndex]] /
     * [[graft.ops.Dedup.forgetFromStandingIndex]] /

@@ -146,6 +146,29 @@ class ModelStoreSpec extends SparkSpec {
     assert(rebuilt.exceptAll(recovered).count() === 0)
   }
 
+  test("retrain policy: exact total-variation basis points, both directions, missing buckets as zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    def bc(rows: (Long, Long)*) = rows.toDF("bucket", "n")
+    // identical distributions: zero drift
+    assert(ModelStore.retrainDue(bc(0L -> 50L, 1L -> 50L),
+      bc(0L -> 100L, 1L -> 100L)) === (0L, false))
+    // hand-computed: build (75, 25)/100, now (50, 50)/100 -> TV = 25% = 2500 bp
+    val (tv, due) = ModelStore.retrainDue(bc(0L -> 75L, 1L -> 25L),
+      bc(0L -> 50L, 1L -> 50L))
+    assert(tv === 2500L && due)
+    // a bucket present only on one side counts with zero mass on the other:
+    // build all in 0, now all in 1 -> TV = 100% = 10000 bp
+    assert(ModelStore.retrainDue(bc(0L -> 10L), bc(1L -> 10L)) === (10000L, true))
+    // boundary: exactly at the threshold fires (>= contract, like rebuildDue)
+    assert(ModelStore.retrainDue(bc(0L -> 90L, 1L -> 10L),
+      bc(0L -> 80L, 1L -> 20L), thresholdBp = 1000L) === (1000L, true))
+    // just below does not
+    assert(!ModelStore.retrainDue(bc(0L -> 90L, 1L -> 10L),
+      bc(0L -> 80L, 1L -> 20L), thresholdBp = 1001L)._2)
+    intercept[IllegalArgumentException](ModelStore.retrainDue(bc(), bc(0L -> 1L)))
+  }
+
   test("rebuild policy: exact basis-point arithmetic at the thresholds") {
     // tombstone threshold 500 bp: 499/10000 stays, 500/10000 fires
     assert(!ModelStore.rebuildDue(10000L, 499L, 0L)._3)
