@@ -135,9 +135,17 @@ object Matrix {
     // build size, as before) | bucketed (BOTH tables stored bucketed +
     // sorted on the join key — the sort-merge join then needs neither
     // exchange nor sort nor driver-side broadcast build)
+    // scan_floor is a DIAGNOSTIC, not a join plan: it times
+    // `sum(quantity) div count(1)` over the same cached orders relation
+    // — the engine's pure columnar-scan + ungrouped-agg floor with no
+    // join, no lookup, no driver-side build job — so a part-1 cell's
+    // ratio can be decomposed into (engine scan floor) + (probe cost)
+    // + (dense-build job). Round-10 verdict item 7: cfg2 (the C's
+    // 0.49 s best case) is dispatch/iterator-bound, and this mode
+    // measures that floor instead of asserting it.
     val p1Plan = sys.env.getOrElse("SPARK_GRAFT_P1_PLAN", "auto")
-    require(Set("auto", "bucketed")(p1Plan),
-      s"SPARK_GRAFT_P1_PLAN must be auto|bucketed, got '$p1Plan'")
+    require(Set("auto", "bucketed", "scan_floor")(p1Plan),
+      s"SPARK_GRAFT_P1_PLAN must be auto|bucketed|scan_floor, got '$p1Plan'")
     val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "256").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -446,7 +454,17 @@ object Matrix {
         // the driver at small scale, the RDD path (still independent of
         // the Catalyst plan under test) once a collect would be abusive
         val oracle =
-          if (cfg.outerTuples <= 5000000L) {
+          if (part == 1 && p1Plan == "scan_floor") {
+            // avg(quantity) over ALL orders rows — the diagnostic's own
+            // oracle, via the plan-independent RDD path like every 1e9
+            // oracle below
+            val (s, c) = ordersOracle.rdd.mapPartitions { it =>
+              var s = 0L; var c = 0L
+              while (it.hasNext) { s += it.next().quantity; c += 1L }
+              Iterator.single((s, c))
+            }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+            if (c == 0L) None else Some(s / c)
+          } else if (cfg.outerTuples <= 5000000L) {
             if (part == 1) Q4112Gen.oraclePart1(items.collect().toSeq, ordersOracle.collect().toSeq)
             else Q4112Gen.oracleFull(items.collect().toSeq, ordersOracle.collect().toSeq)
           } else {
@@ -499,7 +517,16 @@ object Matrix {
           repMetrics.reset()
           val t0 = System.nanoTime()
           val result =
-            if (part == 1) {
+            if (part == 1 && p1Plan == "scan_floor") {
+              // pure scan+agg floor: one job, no join, no build —
+              // whatever this costs is engine overhead every part-1
+              // plan pays before any join work starts
+              import org.apache.spark.sql.functions.{count, expr, lit, sum}
+              val df = ordersQ
+                .agg(sum(col("quantity")).as("s"), count(lit(1)).as("c"))
+                .select(expr("s div c").as("avg_q"))
+              df.collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+            } else if (part == 1) {
               // layout-aware planner: when the bucketed layout exists
               // (p1Bucketed wrote both tables bucketed on the join key),
               // part1Adaptive DETECTS the co-partitioned scans and runs
@@ -576,7 +603,8 @@ object Matrix {
           // wins to a physical plan instead of the literal "auto"
           val planLabel =
             if (part == 1) {
-              s"$p1Plan:${Q4112.lastChosenPlan}"
+              if (p1Plan == "scan_floor") "scan_floor:scan"
+              else s"$p1Plan:${Q4112.lastChosenPlan}"
             } else p2Plan match {
               case "auto" | "bucketed" | "joined_bucketed" =>
                 s"$p2Plan:${Q4112.lastChosenPlan}"
