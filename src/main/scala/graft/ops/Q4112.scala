@@ -812,9 +812,13 @@ object Q4112 {
     * error instead of corrupting memory.
     *
     * Combine-cache size: the per-task direct-mapped cache defaults to
-    * the reference's own measured-best 2^13 entries (q4112.c:232-233,
-    * README-2.txt:10-12 measured 2^10/2^13/2^15);
-    * `SPARK_GRAFT_CACHE_BITS` overrides it for A/B ablation.
+    * 2^13 entries — the reference's measured best (q4112.c:232-233,
+    * README-2.txt:10-12 measured 2^10/2^13/2^15) AND ours: the
+    * round-11 replay of that ablation at 1e9 on the three pole shapes
+    * (SCALING.md round 11) reproduces the C's curve — 2^10 thrashes
+    * the 1e4-hot-group shape (5.20 s vs 2.83 s), 2^15 pays its flush
+    * scan everywhere, 2^13 wins the sum. `SPARK_GRAFT_CACHE_BITS`
+    * overrides it for A/B ablation.
     */
   def sharedDenseGroupedAvg(gv: DataFrame, minGroup: Long, domain: Long): DataFrame = {
     require(gv.sparkSession.sparkContext.isLocal,
