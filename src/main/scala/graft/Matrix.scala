@@ -412,21 +412,18 @@ object Matrix {
         // generator draws MISS keys far outside the inner range
         // (~1e12), so the join key stays long on those configs
         val itemIdFits = cfg.outerSelectivity >= 1.0
-        def narrowCol(name: String, fits: Boolean) =
-          if (fits) col(name).cast("int").as(name) else col(name)
+        val narrowCols =
+          (if (itemIdFits) Seq("itemId") else Nil) ++ Seq("storeId", "quantity")
         val ordersQ: org.apache.spark.sql.DataFrame =
-          if (narrow) orders.toDF().select(
-            narrowCol("itemId", itemIdFits),
-            narrowCol("storeId", fits = true),
-            narrowCol("quantity", fits = true)).cache()
+          if (narrow) graft.sources.Tables.narrowStored(
+            orders.toDF().select(col("itemId"), col("storeId"), col("quantity")),
+            narrowCols).cache()
           else orders.toDF()
-        // the oracle's typed view: same cache, widened back to longs
+        // the oracle's typed view: same cache, widened back to longs —
+        // per the relation's OWN width metadata (Tables.StoredWidthKey),
+        // not a re-derivation of which columns the ingest narrowed
         val ordersOracle =
-          if (narrow) ordersQ.select(
-            col("itemId").cast("long").as("itemId"),
-            col("storeId").cast("long").as("storeId"),
-            col("quantity").cast("long").as("quantity"))
-            .as[graft.model.Order]
+          if (narrow) graft.sources.Tables.widened(ordersQ).as[graft.model.Order]
           else orders
         items.count(); ordersQ.count()
         // route, don't hand over: the bucketed layout is REGISTERED for

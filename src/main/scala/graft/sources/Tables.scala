@@ -31,6 +31,56 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Column-metadata key recording a measured narrow-storage choice:
+    * a column stored int32 whose LOGICAL type is int64. The width rule
+    * is a per-workload measurement (SCALING.md round 10 §6: narrow wins
+    * scan-bound part-1 shapes, wide wins accumulate-bound part-2), and
+    * carrying it as schema metadata means downstream readers inherit
+    * the choice from the table itself instead of re-deriving it from
+    * part numbers and env vars — the same move as recording bucketing
+    * in the catalog rather than in the job that happened to write it.
+    */
+  val StoredWidthKey = "graft.storedWidth"
+  private val LogicalTypeKey = "graft.logicalType"
+
+  /** Store `cols` as int32 with metadata recording the int64 logical
+    * type. The caller must have PROVEN the values fit (generator
+    * contracts or column min/max stats) — the cast here would wrap
+    * silently, so a stats check belongs at every call site.
+    */
+  def narrowStored(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    val narrow = cols.toSet
+    df.select(df.columns.toSeq.map { c =>
+      if (narrow(c)) {
+        val md = new MetadataBuilder()
+          .putString(StoredWidthKey, "int32")
+          .putString(LogicalTypeKey, "int64")
+          .build()
+        col(c).cast("int").as(c, md)
+      } else col(c)
+    }: _*)
+  }
+
+  /** Restore every metadata-marked narrow column to its logical int64
+    * type — the reader-side inverse of [[narrowStored]]. A reader that
+    * does 64-bit arithmetic (the P1 widening contract) calls this and
+    * never needs to know which columns the ingest measured as narrow.
+    * Columns without the marker pass through untouched, so the call is
+    * safe on any relation.
+    */
+  def widened(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.schema.fields.toSeq.map { f =>
+      if (f.metadata.contains(StoredWidthKey) &&
+          f.metadata.contains(LogicalTypeKey) &&
+          f.metadata.getString(LogicalTypeKey) == "int64")
+        col(f.name).cast("long").as(f.name)
+      else col(f.name)
+    }: _*)
+  }
+
   /** Append one CSV line per row — the reference's benchmark sink
     * (q4112_main.c:111-132 semantics).
     */

@@ -90,4 +90,37 @@ class TablesSpec extends SparkSpec {
     val jsonBack = Tables.readJsonLines(spark, jsonDir, schema)
     assert(jsonBack.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
   }
+
+  test("narrow width rule travels as table metadata and widens losslessly") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import spark.implicits._
+    val df = Seq((1L, 10L, 99999L), (2L, 20L, 5L))
+      .toDF("itemId", "storeId", "quantity")
+    val narrow = Tables.narrowStored(df, Seq("storeId", "quantity"))
+    // stored types follow the rule; untouched columns carry no marker
+    assert(narrow.schema("storeId").dataType === IntegerType)
+    assert(narrow.schema("quantity").dataType === IntegerType)
+    assert(narrow.schema("itemId").dataType === LongType)
+    assert(narrow.schema("storeId").metadata.getString(Tables.StoredWidthKey) === "int32")
+    assert(!narrow.schema("itemId").metadata.contains(Tables.StoredWidthKey))
+    // the reader-side inverse needs NO knowledge of which columns were
+    // narrowed — it reads the rule off the schema
+    val wide = Tables.widened(narrow)
+    assert(wide.schema.fields.forall(_.dataType === LongType))
+    assert(wide.as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 10L, 99999L), (2L, 20L, 5L)))
+    // widened is a safe no-op on an unmarked relation
+    assert(Tables.widened(df).schema === df.schema)
+    // and the rule is a property of the TABLE: it survives a parquet
+    // round-trip (Spark keeps column metadata in the file footer), so a
+    // reader in another job inherits the measured choice
+    val dir = java.nio.file.Files.createTempDirectory("graft_width").toString + "/t"
+    narrow.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("quantity").metadata.getString(Tables.StoredWidthKey) === "int32")
+    val wideBack = Tables.widened(back)
+    assert(wideBack.schema("quantity").dataType === LongType)
+    assert(wideBack.select("itemId", "storeId", "quantity").as[(Long, Long, Long)]
+      .collect().toSet === Set((1L, 10L, 99999L), (2L, 20L, 5L)))
+  }
 }
