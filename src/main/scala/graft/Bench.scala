@@ -242,7 +242,13 @@ object Bench {
     val calibArr = calibPoints.map(c => f"$c%.3f").mkString("[", ",", "]")
     val calib = f""""calib_pre":${calibPoints.head}%.3f,"calib_post":${calibPoints.last}%.3f,"calib":$calibArr,"calib_shuffle_pre":$calibShufflePre%.3f,"calib_shuffle_post":$calibShufflePost%.3f"""
     val errNames = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val hygiene = f""""idle_shuffle":$idleShuffle%.3f,"retimed":$retimedJson,"inflated_vs_prior":$inflatedJson"""
+    // persist the SESSION's own measured band, not the ratcheted min:
+    // the ratchet is an in-run comparison tool only. Writing the min
+    // would make the committed band monotonically non-increasing across
+    // rounds — one payload from an unusually fast box would permanently
+    // poison settleUntilQuiet (full 120 s stall every call) and the
+    // loaded-session warning on every normal box thereafter.
+    val hygiene = f""""idle_shuffle":$sessionIdleShuffle%.3f,"retimed":$retimedJson,"inflated_vs_prior":$inflatedJson"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"failed":$errNames,"n_failed":${errors.size},"inflated_vs_prior":$inflatedJson,"sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,$hygiene,"queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
     // the stdout line is tail-captured with finite length (round 6 lost

@@ -2371,47 +2371,60 @@ object SparkEntry {
       val isBatch = col("vec_id") % 4 === 0
       val corpus0 = e.filter(!isBatch)
       val (_, km0) = Clustering.kmeans(corpus0, "vec_id", "embedding", k = 8, maxIter = 4)
+      // scenario-invariant state, computed once: the store at build time
+      val basePostings = Similarity.ivfAssign(corpus0, "vec_id",
+        "embedding", km0.centroids).select(col("corpus_id"), col("cv"), col("bucket"))
+        .cache()
+      val buildCounts = basePostings.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n")).select(col("bucket"), col("n"))
+      val nAtBuild = corpus0.count()
       def scenario(name: String, batch: DataFrame)
           : (String, Long, Long, Boolean, Boolean) = {
-        val basePostings = Similarity.ivfAssign(corpus0, "vec_id",
-          "embedding", km0.centroids).select(col("corpus_id"), col("cv"), col("bucket"))
-          .cache()
         val deltaPostings = Similarity.ivfAssign(batch, "vec_id",
           "embedding", km0.centroids).select(col("corpus_id"), col("cv"), col("bucket"))
           .cache()
         try {
-          val buildCounts = basePostings.groupBy(col("bucket"))
-            .agg(count(lit(1)).as("n")).select(col("bucket"), col("n"))
           val currentCounts = basePostings.unionByName(deltaPostings)
             .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
             .select(col("bucket"), col("n"))
           val (_, due) = ModelStore.retrainDue(buildCounts, currentCounts)
           val corpus = corpus0.unionByName(batch)
           // fires ⇒ retrain (new centroids over the grown corpus) + full
-          // reassign; quiet ⇒ the old store keeps serving
+          // reassign; quiet ⇒ the old store keeps serving. Either way the
+          // served store is constructed INCREMENTALLY — per-part
+          // assignment unioned, the way maintenance actually touches a
+          // store — never as the same one-shot expression the verifier
+          // below recomputes, so the set-equality is falsifiable: a
+          // maintenance bug that leaves any part under the old quantizer
+          // (e.g. a retrain that reassigns only the batch) breaks it.
           val served =
             if (due) {
               val (_, km1) = Clustering.kmeans(corpus, "vec_id", "embedding",
                 k = 8, maxIter = 4)
-              (Similarity.ivfAssign(corpus, "vec_id", "embedding", km1.centroids),
+              (Similarity.ivfAssign(corpus0, "vec_id", "embedding", km1.centroids)
+                .unionByName(
+                  Similarity.ivfAssign(batch, "vec_id", "embedding", km1.centroids)),
                 km1.centroids)
             } else (basePostings.unionByName(deltaPostings), km0.centroids)
-          // independent recomputation: the served store must set-equal a
-          // from-scratch assignment of the grown corpus under the
-          // centroids the policy chose
+          // independent recomputation: the incrementally-maintained store
+          // must set-equal a from-scratch assignment of the grown corpus
+          // under the centroids the policy chose (assignment purity makes
+          // whole-vs-parts the invariant, as in sim_ivf_stream_update)
           val expected = Similarity.ivfAssign(corpus, "vec_id", "embedding",
             served._2)
           val eq = setEq(served._1.select(col("corpus_id"), col("bucket")),
             expected.select(col("corpus_id"), col("bucket")), "eq")
             .collect()(0).getBoolean(0)
-          (name, corpus0.count(), batch.count(), due, eq)
-        } finally { basePostings.unpersist(); deltaPostings.unpersist(); () }
+          (name, nAtBuild, batch.count(), due, eq)
+        } finally { deltaPostings.unpersist(); () }
       }
       val shifted = e.filter(isBatch).withColumn("embedding",
         transform(col("embedding"), x => x + lit(3.0f)))
-      val rows = Seq(
-        scenario("shifted_drift", shifted),
-        scenario("stable_ingest", e.filter(isBatch)))
+      val rows =
+        try Seq(
+          scenario("shifted_drift", shifted),
+          scenario("stable_ingest", e.filter(isBatch)))
+        finally { basePostings.unpersist(); () }
       import s.implicits._
       rows.toDF("scenario", "n_at_build", "n_added", "retrained", "store_ok")
     }),
@@ -2926,9 +2939,19 @@ object SparkEntry {
           ((col("c_test") + 1L).cast("double")
             / (col("n_test") + col("n_buckets")).cast("double")).as("q"),
           col("n_train"), col("n_test"))
+        // floor each bucket's term to micro-units BEFORE summing: the
+        // per-term doubles are identical rationals in both engines, but
+        // a double SUM is order-dependent (partial aggregation vs the
+        // oracle's order) — summing already-floored integers makes the
+        // pinned value order-free and exactly replayable. PSI terms are
+        // non-negative ((p−q) and ln(p/q) share sign), so each floor
+        // drops < 1 micro-unit.
+        .select(
+          floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e6)
+            .cast("long").as("term_micro"),
+          col("n_train"), col("n_test"))
         .agg(
-          floor(sum((col("p") - col("q")) * log(col("p") / col("q"))) * 1e6)
-            .cast("long").as("psi_micro"),
+          sum(col("term_micro")).as("psi_micro"),
           max(col("n_train")).as("n_train"), max(col("n_test")).as("n_test"))
     }),
     // referential-integrity audit: fact rows whose FK has no dim match,
@@ -8019,10 +8042,13 @@ object SparkEntry {
           |pq AS (SELECT (c_train + 1)::DOUBLE / (n_train + n_buckets) AS p,
           |              (c_test + 1)::DOUBLE / (n_test + n_buckets) AS q,
           |              n_train, n_test
-          |       FROM c, t)
-          |SELECT cast(floor(sum((p - q) * ln(p / q)) * 1e6) as bigint) AS psi_micro,
+          |       FROM c, t),
+          |tm AS (SELECT cast(floor((p - q) * ln(p / q) * 1e6) as bigint) AS term_micro,
+          |              n_train, n_test
+          |       FROM pq)
+          |SELECT cast(sum(term_micro) as bigint) AS psi_micro,
           |       max(n_train) AS n_train, max(n_test) AS n_test
-          |FROM pq""".stripMargin,
+          |FROM tm""".stripMargin,
       "dq_orphans" ->
         """SELECT
           |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN

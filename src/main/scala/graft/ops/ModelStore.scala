@@ -192,6 +192,20 @@ object ModelStore {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = new Path(basePath + ".compacting")
     val old = new Path(basePath + ".old")
+    // a missing base means a PRIOR compaction crashed mid-swap and the
+    // only copies of the data are the staging artifacts this function
+    // is about to delete — replay the interrupted swap FIRST (deleting
+    // staged/old before checking would destroy both recovery copies,
+    // the exact data loss the crash ordering below exists to prevent)
+    if (!fs.exists(base)) {
+      recoverIvfCompaction(spark, basePath, Some(deltaPath))
+      require(fs.exists(base),
+        s"compaction found no base at $basePath and no recoverable swap artifacts")
+      // staged-promotion recovery consumed the delta (staged ⊇ delta):
+      // the recovered base IS the compacted store. Old-restore recovery
+      // leaves the delta in place — fall through and compact normally.
+      if (!fs.exists(new Path(deltaPath))) return
+    }
     fs.delete(staged, true)
     fs.delete(old, true)
     loadIvfPostings(spark, basePath)
@@ -214,20 +228,41 @@ object ModelStore {
     fs.delete(old, true)
   }
 
-  /** Replay an interrupted [[compactIvfPostings]] swap: if the base is
-    * missing but the staged base∪delta copy exists (crash between the
-    * rename-aside and the rename-in), finish the swap; otherwise clean
-    * up any leftover staging artifacts. Safe to call unconditionally
-    * before serving.
+  /** Replay an interrupted [[compactIvfPostings]] swap. MUST run before
+    * serving (and before any new [[upsertIvfPostings]] batch) after an
+    * unclean shutdown. Cases, by what the crash left behind:
+    *
+    *  - base missing, staged present (crash between rename-aside and
+    *    rename-in): promote staged and — because staged was built as
+    *    base ∪ delta — DELETE the delta when `deltaPath` is given.
+    *    Leaving it would make the base ∪ delta serving convention
+    *    silently double-count every delta row, which is exactly the
+    *    hazard the crash ordering exists to preclude. (Hence the
+    *    run-recovery-before-new-upserts contract: a delta written
+    *    AFTER the crash would not be inside staged and must not be
+    *    deleted — recovery first makes that state unreachable.)
+    *  - base missing, staged missing, old present (should be
+    *    unreachable under the write ordering; handled defensively):
+    *    restore the pre-compaction base and KEEP the delta — that
+    *    pair is the consistent pre-swap state.
+    *  - base present: the swap completed (or never started); clean up
+    *    leftover staging artifacts.
     */
-  def recoverIvfCompaction(spark: SparkSession, basePath: String): Unit = {
+  def recoverIvfCompaction(
+      spark: SparkSession,
+      basePath: String,
+      deltaPath: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = new Path(basePath + ".compacting")
     val old = new Path(basePath + ".old")
-    if (!fs.exists(base) && fs.exists(staged))
+    if (!fs.exists(base) && fs.exists(staged)) {
       require(fs.rename(staged, base), s"recovery swap failed: $staged -> $base")
+      deltaPath.foreach(d => fs.delete(new Path(d), true))
+    } else if (!fs.exists(base) && fs.exists(old)) {
+      require(fs.rename(old, base), s"recovery restore failed: $old -> $base")
+    }
     if (fs.exists(base)) { fs.delete(staged, true); fs.delete(old, true) }
   }
 

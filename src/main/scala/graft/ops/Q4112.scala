@@ -161,6 +161,40 @@ object Q4112 {
   private[graft] def colCarriesNulls(df: DataFrame, c: String): Boolean =
     df.schema(c).nullable && nullCountLong(df, c) > 0L
 
+  /** [[colCarriesNulls]] over several columns of ONE relation, with at
+    * most ONE data scan total: schema non-nullability and catalog/cached
+    * stats resolve columns job-free, and every column still unresolved
+    * is answered by a single multi-count aggregate (the fact table is
+    * 1e9 rows on the raw-parquet route — one pass, not one per column).
+    */
+  private[graft] def colsCarryNulls(df: DataFrame, cols: Seq[String]): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    var carries = false
+    val unresolved = scala.collection.mutable.ArrayBuffer[String]()
+    cols.foreach { c =>
+      if (df.schema(c).nullable) {
+        val fromStats = plan.output.find(_.name.equalsIgnoreCase(c)).flatMap { a =>
+          plan.stats.attributeStats.get(a).flatMap(_.nullCount.map(_.toLong))
+        }
+        val cached = Option(nullCountCache.get((plan.canonicalized, c))).map(_.longValue())
+        fromStats.orElse(cached) match {
+          case Some(n) => if (n > 0L) carries = true
+          case None => unresolved += c
+        }
+      }
+    }
+    if (!carries && unresolved.nonEmpty) {
+      val aggs = unresolved.toSeq.map(c => count(when(col(c).isNull, 1)).as(s"n_$c"))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      unresolved.zipWithIndex.foreach { case (c, i) =>
+        val n = row.getLong(i)
+        nullCountCache.put((plan.canonicalized, c), java.lang.Long.valueOf(n))
+        if (n > 0L) carries = true
+      }
+    }
+    carries
+  }
+
   /** Test hook: makes the router behave as if on a cluster so the
     * shared-dense fallback path is assertable without spinning up a
     * multi-JVM master (round-10 verdict item 8). Production value is
@@ -1171,8 +1205,7 @@ object Q4112 {
     // part2SharedDense pins the projection non-nullable.
     val sharedDenseStats =
       if (!bypass || !sharedDenseLocalOk(items) ||
-          colCarriesNulls(orders, groupCol) ||
-          colCarriesNulls(orders, quantityCol) ||
+          colsCarryNulls(orders, Seq(groupCol, quantityCol)) ||
           colCarriesNulls(items, priceCol)) None
       else minMaxLongsOpt(orders, Seq(groupCol)).collect {
         case Seq((mn, mx)) if mx >= mn && {
@@ -1258,8 +1291,7 @@ object Q4112 {
         if (denseStats.isDefined || !sharedDenseLocalOk(items)) None
         else mm.collect {
           case (mn, w) if w <= SharedDenseMaxDomain &&
-            !colCarriesNulls(orders, groupCol) &&
-            !colCarriesNulls(orders, quantityCol) &&
+            !colsCarryNulls(orders, Seq(groupCol, quantityCol)) &&
             !colCarriesNulls(items, priceCol) => (mn, w)
         }
       if (denseStats.isDefined) {

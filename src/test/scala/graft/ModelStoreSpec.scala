@@ -146,6 +146,72 @@ class ModelStoreSpec extends SparkSpec {
     assert(rebuilt.exceptAll(recovered).count() === 0)
   }
 
+  test("crash windows with the delta still present: recovery consumes it; a re-run compaction never destroys data") {
+    import graft.ops.Similarity
+    import org.apache.hadoop.fs.Path
+    val (_, km) = Clustering.kmeans(vecs, "vec_id", "embedding", k = 4, maxIter = 3)
+    val isBatch = col("vec_id") % 5 === 0
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    def setup(tag: String): (String, String, org.apache.hadoop.fs.FileSystem) = {
+      val basePath = tmp(s"ivf-cw-base-$tag"); val deltaPath = tmp(s"ivf-cw-delta-$tag")
+      ModelStore.saveIvfPostings(Similarity.ivfAssign(vecs.filter(!isBatch),
+        "vec_id", "embedding", km.centroids), basePath)
+      ModelStore.upsertIvfPostings(Similarity.ivfAssign(vecs.filter(isBatch),
+        "vec_id", "embedding", km.centroids), deltaPath, batchId = 0L)
+      (basePath, deltaPath, new Path(basePath).getFileSystem(fsConf))
+    }
+    val rebuilt = Similarity.ivfAssign(vecs, "vec_id", "embedding", km.centroids)
+    def assertStoreIsCompacted(basePath: String, deltaPath: String,
+        fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      // the delta MUST be gone: staged ⊇ delta, so a surviving delta
+      // would make base ∪ delta readers double-count every delta row
+      assert(!fs.exists(new Path(deltaPath)), "delta survived — double-count hazard")
+      assert(!fs.exists(new Path(basePath + ".compacting")))
+      assert(!fs.exists(new Path(basePath + ".old")))
+      val store = ModelStore.loadIvfPostings(spark, basePath)
+      assert(store.exceptAll(rebuilt).count() === 0)
+      assert(rebuilt.exceptAll(store).count() === 0)
+    }
+    // window A: crash BETWEEN rename-aside and delta-delete — base
+    // missing, old = original base, staged = base∪delta, delta PRESENT.
+    // Recovery must promote staged AND consume the delta.
+    locally {
+      val (basePath, deltaPath, fs) = setup("a")
+      ModelStore.loadIvfPostings(spark, basePath)
+        .union(ModelStore.loadIvfDelta(spark, deltaPath))
+        .write.parquet(basePath + ".compacting")
+      assert(fs.rename(new Path(basePath), new Path(basePath + ".old")))
+      ModelStore.recoverIvfCompaction(spark, basePath, Some(deltaPath))
+      assertStoreIsCompacted(basePath, deltaPath, fs)
+    }
+    // window B: same crash state, but the operator RE-RUNS the
+    // compaction instead of calling recovery — it must replay the swap,
+    // not delete the only remaining copies (the data-loss path the
+    // base-missing guard closes)
+    locally {
+      val (basePath, deltaPath, fs) = setup("b")
+      ModelStore.loadIvfPostings(spark, basePath)
+        .union(ModelStore.loadIvfDelta(spark, deltaPath))
+        .write.parquet(basePath + ".compacting")
+      assert(fs.rename(new Path(basePath), new Path(basePath + ".old")))
+      ModelStore.compactIvfPostings(spark, basePath, deltaPath)
+      assertStoreIsCompacted(basePath, deltaPath, fs)
+    }
+    // window C (defensive, unreachable under the write ordering): base
+    // and staged both missing, old present, delta present — recovery
+    // restores the PRE-compaction pair and keeps the delta, and a
+    // subsequent compaction completes normally
+    locally {
+      val (basePath, deltaPath, fs) = setup("c")
+      assert(fs.rename(new Path(basePath), new Path(basePath + ".old")))
+      ModelStore.recoverIvfCompaction(spark, basePath, Some(deltaPath))
+      assert(fs.exists(new Path(basePath)))
+      assert(fs.exists(new Path(deltaPath)), "old-restore must KEEP the delta")
+      ModelStore.compactIvfPostings(spark, basePath, deltaPath)
+      assertStoreIsCompacted(basePath, deltaPath, fs)
+    }
+  }
+
   test("retrain policy: exact total-variation basis points, both directions, missing buckets as zero") {
     val spark2 = spark
     import spark2.implicits._
