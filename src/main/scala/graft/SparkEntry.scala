@@ -2943,7 +2943,14 @@ object SparkEntry {
         // per-term doubles are identical rationals in both engines, but
         // a double SUM is order-dependent (partial aggregation vs the
         // oracle's order) — summing already-floored integers makes the
-        // pinned value order-free and exactly replayable. PSI terms are
+        // pinned value order-free. Residual cross-engine risk is the
+        // ln libm ulp (Math.log vs DuckDB's log are each ≤1 ulp off
+        // correctly-rounded, so a term within ~1e-10 micro-units of a
+        // floor boundary could flip); MEASURED margin on this data:
+        // the nearest term-to-boundary distance across sf0.001/0.01/
+        // 0.1 is 0.036 micro-units — 8 orders of magnitude above the
+        // noise, same margin class as the cosine-threshold pair gates
+        // (dedup_embedding_exact's 8e-6 vs 1e-7 note). PSI terms are
         // non-negative ((p−q) and ln(p/q) share sign), so each floor
         // drops < 1 micro-unit.
         .select(

@@ -201,52 +201,118 @@ object ModelStore {
       recoverIvfCompaction(spark, basePath, Some(deltaPath))
       require(fs.exists(base),
         s"compaction found no base at $basePath and no recoverable swap artifacts")
-      // staged-promotion recovery consumed the delta (staged ⊇ delta):
-      // the recovered base IS the compacted store. Old-restore recovery
-      // leaves the delta in place — fall through and compact normally.
+      // staged-promotion recovery consumed the manifest's batches: the
+      // recovered base IS that compaction. Any batches ingested after
+      // the crash (or an old-restore recovery's whole delta) remain in
+      // the delta — fall through and compact them normally.
       if (!fs.exists(new Path(deltaPath))) return
     }
     fs.delete(staged, true)
     fs.delete(old, true)
+    fs.delete(manifestPath(basePath), false)
+    // snapshot WHICH delta batches this compaction folds, and persist
+    // the list as a manifest BEFORE any destructive step: deletes below
+    // (and in crash recovery) are bounded to exactly these partitions,
+    // so a batch upserted concurrently or after a crash can never be
+    // deleted by a compaction that did not fold it.
+    val batches = listDeltaBatches(fs, deltaPath)
+    if (batches.isEmpty) return
     loadIvfPostings(spark, basePath)
-      .union(loadIvfDelta(spark, deltaPath))
-      .select(col("corpus_id"), col("cv"), col("bucket"))
+      .union(spark.read.parquet(deltaPath)
+        .where(col("ingest_batch").isin(batches.map(Long.box): _*))
+        .select(col("corpus_id"), col("cv"), col("bucket")))
       .write.mode("overwrite").parquet(staged.toString)
-    // Crash ordering (ADVICE r10 item 3): with the staged base∪delta copy
-    // durable, (1) rename the old base ASIDE (never delete it first),
-    // (2) delete the delta BEFORE the compacted base is exposed — a
-    // reader inside this window fails LOUDLY on the missing base
-    // instead of silently double-counting delta rows against a
-    // compacted base, and every row stays recoverable from
-    // `<base>.compacting` + `<base>.old` — then (3) rename the staged
-    // store in and (4) drop the old base. No crash point can silently
-    // duplicate or silently lose rows under the base ∪ delta serving
-    // convention; [[recoverIvfCompaction]] replays an interrupted swap.
+    writeManifest(fs, basePath, batches)
+    // Crash ordering (ADVICE r10 item 3): with the staged base∪batches
+    // copy and its manifest durable, (1) rename the old base ASIDE
+    // (never delete it first), (2) delete the FOLDED batch partitions
+    // BEFORE the compacted base is exposed — a reader inside this
+    // window fails LOUDLY on the missing base instead of silently
+    // double-counting folded rows against a compacted base, and every
+    // row stays recoverable from `<base>.compacting` + `<base>.old` —
+    // then (3) rename the staged store in and (4) drop the old base
+    // and the manifest. No crash point can silently duplicate or
+    // silently lose rows under the base ∪ delta serving convention;
+    // [[recoverIvfCompaction]] replays an interrupted swap from the
+    // same manifest.
     require(fs.rename(base, old), s"compaction swap failed: $base -> $old")
-    fs.delete(new Path(deltaPath), true)
+    deleteDeltaBatches(fs, deltaPath, batches)
     require(fs.rename(staged, base), s"compaction swap failed: $staged -> $base")
     fs.delete(old, true)
+    fs.delete(manifestPath(basePath), false)
   }
 
-  /** Replay an interrupted [[compactIvfPostings]] swap. MUST run before
-    * serving (and before any new [[upsertIvfPostings]] batch) after an
-    * unclean shutdown. Cases, by what the crash left behind:
+  private def manifestPath(basePath: String) =
+    new org.apache.hadoop.fs.Path(basePath + ".compacting.manifest")
+
+  /** The delta's ingest_batch partition ids, from the directory names. */
+  private def listDeltaBatches(
+      fs: org.apache.hadoop.fs.FileSystem, deltaPath: String): Seq[Long] = {
+    val d = new org.apache.hadoop.fs.Path(deltaPath)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
+      .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong)
+      .sorted
+  }
+
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem, basePath: String, batches: Seq[Long]): Unit = {
+    val out = fs.create(manifestPath(basePath), true)
+    try out.write(batches.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem, basePath: String): Option[Seq[Long]] = {
+    val p = manifestPath(basePath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0L, buf)
+        val txt = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        Some(txt.linesIterator.filter(_.nonEmpty).map(_.toLong).toSeq)
+      } finally in.close()
+    }
+  }
+
+  /** Delete exactly the listed batch partitions; drop the delta dir
+    * itself only when nothing (no other batch) remains in it.
+    */
+  private def deleteDeltaBatches(
+      fs: org.apache.hadoop.fs.FileSystem, deltaPath: String, batches: Seq[Long]): Unit = {
+    val d = new org.apache.hadoop.fs.Path(deltaPath)
+    if (!fs.exists(d)) return
+    batches.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(d, s"ingest_batch=$b"), true)
+    }
+    if (listDeltaBatches(fs, deltaPath).isEmpty) fs.delete(d, true)
+  }
+
+  /** Replay an interrupted [[compactIvfPostings]] swap. Safe to call
+    * unconditionally before serving. Cases, by what the crash left:
     *
     *  - base missing, staged present (crash between rename-aside and
-    *    rename-in): promote staged and — because staged was built as
-    *    base ∪ delta — DELETE the delta when `deltaPath` is given.
-    *    Leaving it would make the base ∪ delta serving convention
-    *    silently double-count every delta row, which is exactly the
-    *    hazard the crash ordering exists to preclude. (Hence the
-    *    run-recovery-before-new-upserts contract: a delta written
-    *    AFTER the crash would not be inside staged and must not be
-    *    deleted — recovery first makes that state unreachable.)
-    *  - base missing, staged missing, old present (should be
-    *    unreachable under the write ordering; handled defensively):
-    *    restore the pre-compaction base and KEEP the delta — that
-    *    pair is the consistent pre-swap state.
-    *  - base present: the swap completed (or never started); clean up
-    *    leftover staging artifacts.
+    *    rename-in): the staged copy holds base ∪ the MANIFESTed delta
+    *    batches, so first delete exactly those partitions (leaving any
+    *    batch ingested after the crash intact), THEN promote staged.
+    *    The delete-before-promote order matters: a crash between the
+    *    two steps leaves base missing again (loud, replayable), where
+    *    the reverse order would leave a promoted base beside a folded
+    *    delta — the silent double-count this function exists to
+    *    preclude. A missing manifest (legacy staged copy) falls back
+    *    to deleting the whole delta, matching how such a copy was
+    *    built.
+    *  - base missing, staged missing, old present (unreachable under
+    *    the write ordering; defensive): restore the pre-compaction
+    *    base and KEEP the delta — that pair is the consistent
+    *    pre-swap state.
+    *  - base present: the swap completed (or never started — in the
+    *    crash-before-rename-aside state the manifest still names
+    *    batches that are NOT in the served base); clean up staging
+    *    artifacts only, never the delta.
     */
   def recoverIvfCompaction(
       spark: SparkSession,
@@ -258,12 +324,20 @@ object ModelStore {
     val staged = new Path(basePath + ".compacting")
     val old = new Path(basePath + ".old")
     if (!fs.exists(base) && fs.exists(staged)) {
+      deltaPath.foreach { d =>
+        readManifest(fs, basePath) match {
+          case Some(batches) => deleteDeltaBatches(fs, d, batches)
+          case None => fs.delete(new Path(d), true)
+        }
+      }
       require(fs.rename(staged, base), s"recovery swap failed: $staged -> $base")
-      deltaPath.foreach(d => fs.delete(new Path(d), true))
     } else if (!fs.exists(base) && fs.exists(old)) {
       require(fs.rename(old, base), s"recovery restore failed: $old -> $base")
     }
-    if (fs.exists(base)) { fs.delete(staged, true); fs.delete(old, true) }
+    if (fs.exists(base)) {
+      fs.delete(staged, true); fs.delete(old, true)
+      fs.delete(manifestPath(basePath), false)
+    }
   }
 
   // -------------------------------------------------------- rebuild policy

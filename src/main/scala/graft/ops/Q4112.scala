@@ -142,10 +142,7 @@ object Q4112 {
     */
   def nullCountLong(df: DataFrame, c: String): Long = {
     val plan = df.queryExecution.optimizedPlan
-    val fromStats = plan.output.find(_.name.equalsIgnoreCase(c)).flatMap { a =>
-      plan.stats.attributeStats.get(a).flatMap(_.nullCount.map(_.toLong))
-    }
-    fromStats.getOrElse {
+    statsNullCount(plan, c).getOrElse {
       nullCountCache.computeIfAbsent((plan.canonicalized, c), { _ =>
         java.lang.Long.valueOf(
           df.agg(count(when(col(c).isNull, 1)).as("n")).head().getLong(0))
@@ -153,13 +150,25 @@ object Q4112 {
     }
   }
 
+  /** Catalog/plan-statistics null count for one column, zero jobs. The
+    * single resolution path [[nullCountLong]] and [[colsCarryNulls]]
+    * both go through, so they can never disagree on the same
+    * (relation, column).
+    */
+  private def statsNullCount(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      c: String): Option[Long] =
+    plan.output.find(_.name.equalsIgnoreCase(c)).flatMap { a =>
+      plan.stats.attributeStats.get(a).flatMap(_.nullCount.map(_.toLong))
+    }
+
   /** Does the column carry ACTUAL nulls? Schema-first short-circuit (a
     * non-nullable column provably cannot), then the data's null count
     * from [[nullCountLong]] — the router's null-freedom proof for the
     * null-intolerant physical forms.
     */
   private[graft] def colCarriesNulls(df: DataFrame, c: String): Boolean =
-    df.schema(c).nullable && nullCountLong(df, c) > 0L
+    colsCarryNulls(df, Seq(c))
 
   /** [[colCarriesNulls]] over several columns of ONE relation, with at
     * most ONE data scan total: schema non-nullability and catalog/cached
@@ -173,11 +182,8 @@ object Q4112 {
     val unresolved = scala.collection.mutable.ArrayBuffer[String]()
     cols.foreach { c =>
       if (df.schema(c).nullable) {
-        val fromStats = plan.output.find(_.name.equalsIgnoreCase(c)).flatMap { a =>
-          plan.stats.attributeStats.get(a).flatMap(_.nullCount.map(_.toLong))
-        }
         val cached = Option(nullCountCache.get((plan.canonicalized, c))).map(_.longValue())
-        fromStats.orElse(cached) match {
+        statsNullCount(plan, c).orElse(cached) match {
           case Some(n) => if (n > 0L) carries = true
           case None => unresolved += c
         }

@@ -210,6 +210,43 @@ class ModelStoreSpec extends SparkSpec {
       ModelStore.compactIvfPostings(spark, basePath, deltaPath)
       assertStoreIsCompacted(basePath, deltaPath, fs)
     }
+    // window D: a batch ingested AFTER the crash (so not in the staged
+    // copy) must SURVIVE the replay — the manifest bounds the delete to
+    // exactly the folded batches; the survivor then compacts normally
+    locally {
+      val (basePath, deltaPath, fs) = setup("d")
+      // run a real compaction to produce a manifest-backed staged copy,
+      // then rewind the swap to the crash window (base aside, staged
+      // back) WITHOUT touching the manifest the compaction wrote
+      val preStore = ModelStore.loadIvfPostings(spark, basePath)
+        .union(ModelStore.loadIvfDelta(spark, deltaPath))
+      preStore.write.parquet(basePath + ".compacting")
+      ModelStore.saveIvfPostings(preStore, basePath + ".predelta") // keep a copy for asserts
+      // simulate: compaction wrote staged + manifest (batch 0), renamed
+      // base aside, then crashed before deleting the delta partitions
+      val manifest = new Path(basePath + ".compacting.manifest")
+      val out = fs.create(manifest, true)
+      out.write("0".getBytes("UTF-8")); out.close()
+      assert(fs.rename(new Path(basePath), new Path(basePath + ".old")))
+      // a post-crash upsert lands batch 1 into the SAME delta dir
+      ModelStore.upsertIvfPostings(Similarity.ivfAssign(vecs.filter(isBatch),
+        "vec_id", "embedding", km.centroids).withColumn("corpus_id",
+        col("corpus_id") + lit(1000000L)), deltaPath, batchId = 1L)
+      ModelStore.recoverIvfCompaction(spark, basePath, Some(deltaPath))
+      // batch 0 consumed, batch 1 alive, base == staged content
+      assert(fs.exists(new Path(basePath)))
+      assert(!fs.exists(new Path(deltaPath + "/ingest_batch=0")),
+        "folded batch must be consumed")
+      assert(fs.exists(new Path(deltaPath + "/ingest_batch=1")),
+        "post-crash batch must survive recovery")
+      assert(!fs.exists(manifest))
+      val served = ModelStore.loadIvfPostings(spark, basePath)
+        .union(ModelStore.loadIvfDelta(spark, deltaPath))
+      val want = ModelStore.loadIvfPostings(spark, basePath + ".predelta")
+        .union(ModelStore.loadIvfDelta(spark, deltaPath))
+      assert(served.exceptAll(want).count() === 0)
+      assert(want.exceptAll(served).count() === 0)
+    }
   }
 
   test("retrain policy: exact total-variation basis points, both directions, missing buckets as zero") {
