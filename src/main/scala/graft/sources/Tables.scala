@@ -17,19 +17,37 @@ object Tables {
     * partition keyed by `keys`, each bucket sorted — a sort-merge join
     * between two tables bucketed the same way needs neither exchange nor
     * sort.
+    *
+    * `narrowCols` applies the measured width rule ([[narrowStored]]) at
+    * write time, so the bucketed layout records its storage width in the
+    * table schema the same way it records its bucketing in the catalog.
+    * Bucket keys are excluded by contract: Spark's bucket hash is
+    * type-sensitive (Murmur3 over 4 bytes for int32, 8 for int64), so a
+    * key narrowed on one side and wide on the other would co-locate
+    * against the WRONG buckets — a silent wrong-partitioning hazard, not
+    * a perf choice — and a key widened at read time loses its bucketed
+    * partitioning to the cast anyway.
     */
   def writeBucketed(
       df: DataFrame,
       table: String,
       buckets: Int,
       keys: Seq[String],
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write
+      mode: SaveMode = SaveMode.Overwrite,
+      narrowCols: Seq[String] = Nil): Unit = {
+    val narrowedKeys = narrowCols.toSet.intersect(keys.toSet)
+    require(narrowedKeys.isEmpty,
+      s"bucket keys ${narrowedKeys.mkString(", ")} must keep their logical width: " +
+        "int32 and int64 bucket-hash differently, so a narrowed key co-locates " +
+        "against the wrong buckets; narrow value columns only")
+    val stored = if (narrowCols.isEmpty) df else narrowStored(df, narrowCols)
+    stored.write
       .mode(mode)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Column-metadata key recording a measured narrow-storage choice:
     * a column stored int32 whose LOGICAL type is int64. The width rule
@@ -89,6 +107,16 @@ object Tables {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Read a table with every metadata-marked narrow column restored to
+    * its logical width — the reader-side entry point for layouts written
+    * with `writeBucketed(..., narrowCols)`. NOTE: widening is a cast
+    * projection, so it discards the scan's bucketed output partitioning;
+    * join on the (never-narrowed) bucket keys via [[readTable]] first and
+    * widen AFTER the join when the exchange-free property matters.
+    */
+  def readTableWidened(spark: SparkSession, table: String): DataFrame =
+    widened(spark.table(table))
 
   /** CSV source with an EXPLICIT schema — at corpus scale schema
     * inference is a full extra pass over the data, so it is opt-in only
