@@ -34,11 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * bigram, no shuffle, no join. The explode+join+groupBy plan survives
   * only as the DuckDB oracle.
   */
-case class BigramScoreSum(child: Expression, model: Array[Long])
+case class BigramScoreSum(child: Expression, model: Seq[Long])
   extends UnaryExpression {
 
   require(model.length == 28 * 28,
     s"bigram model must have 784 entries, got ${model.length}")
+
+  // Seq field for STRUCTURAL case-class equality (the BpeTokens
+  // rationale, BpeKernels.scala: an Array field compares by reference,
+  // so two expressions built from equal re-loaded models would never
+  // semanticEquals, defeating subexpression elimination); the runtime
+  // kernel's Array is materialized once per expression instance
+  @transient private lazy val modelArr: Array[Long] = model.toArray
 
   override def dataType: DataType = LongType
 
@@ -51,10 +58,10 @@ case class BigramScoreSum(child: Expression, model: Array[Long])
     }
 
   override def nullSafeEval(input: Any): Any =
-    BigramLm.compute(input.asInstanceOf[UTF8String], model)
+    BigramLm.compute(input.asInstanceOf[UTF8String], modelArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("bigramModel", model, "long[]")
+    val m = ctx.addReferenceObj("bigramModel", modelArr, "long[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.BigramLm.compute($c, $m)")
   }
 
@@ -173,7 +180,7 @@ object BigramLm {
 
   /** Column wrapper: `scoreSum(model)(normalizedText)`. */
   def scoreSum(model: Array[Long])(normalizedText: Column): Column =
-    bridge.toColumn(BigramScoreSum(bridge.toExpression(normalizedText), model))
+    bridge.toColumn(BigramScoreSum(bridge.toExpression(normalizedText), model.toSeq))
 
   /** Column wrapper: corpus-wide bigram histogram (one array<long>[784]). */
   def bigramCounts(normalizedText: Column): Column =

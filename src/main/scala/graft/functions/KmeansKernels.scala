@@ -313,6 +313,17 @@ case class VectorSumAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // getFloat on a non-float array would silently misread the buffer, so
+  // reject the wrong element width at analysis time, not execution time
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
 
   override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {

@@ -90,10 +90,15 @@ object PqEncode {
   def compute(v: ArrayData, cb: Array[Array[Array[Double]]],
       m: Int, subDim: Int): Array[Byte] = {
     val out = new Array[Byte](m)
+    val n = v.numElements()
     var j = 0
     while (j < m) {
       val book = cb(j)
       val off = j * subDim
+      // clamp to the vector's actual length: a truncated/corrupt row
+      // must not read past the array (AIOOBE on GenericArrayData,
+      // silent garbage bytes on UnsafeArrayData)
+      val lim = math.min(subDim, n - off)
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
@@ -101,7 +106,7 @@ object PqEncode {
         val cen = book(c)
         var d = 0.0
         var i = 0
-        while (i < subDim) {
+        while (i < lim) {
           val diff = v.getFloat(off + i).toDouble - cen(i)
           d += diff * diff
           i += 1

@@ -118,14 +118,21 @@ object MinHashSignature {
   }
 
   def compute(arr: ArrayData, numHashes: Int): Array[Long] = {
-    val hashes = new Array[Long](arr.numElements())
+    // skip null shingles (SimHash64.compute does the same): mapping them
+    // to a constant hash would inject IDENTICAL signature components
+    // into unrelated documents — a systematic false-candidate source
+    val n0 = arr.numElements()
+    val hashes = new Array[Long](n0)
+    var m = 0
     var i = 0
-    while (i < hashes.length) {
-      hashes(i) =
-        if (arr.isNullAt(i)) 0L else TextHash.shingleHash(arr.getUTF8String(i), 42L)
+    while (i < n0) {
+      if (!arr.isNullAt(i)) {
+        hashes(m) = TextHash.shingleHash(arr.getUTF8String(i), 42L)
+        m += 1
+      }
       i += 1
     }
-    computeFromHashes(hashes(_), hashes.length, numHashes)
+    computeFromHashes(hashes(_), m, numHashes)
   }
 
   /** Shared min-tracking fold over any indexed hash source. */

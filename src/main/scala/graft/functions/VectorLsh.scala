@@ -67,11 +67,17 @@ object VectorLsh {
     val used = new Array[Boolean](nCentroids)
     var r = 0
     while (r < kk) {
+      // best falls back to the first unused index when every remaining
+      // score is NaN (a corrupt vector makes every dot NaN, and NaN
+      // fails all > comparisons) — degrade-don't-throw, the same
+      // contract as TopTrainedCentroids in KmeansKernels
       var best = -1
       var bestScore = Double.NegativeInfinity
       var i = 0
       while (i < nCentroids) {
-        if (!used(i) && (scores(i) > bestScore)) { best = i; bestScore = scores(i) }
+        if (!used(i) && (best < 0 || scores(i) > bestScore)) {
+          best = i; bestScore = scores(i)
+        }
         i += 1
       }
       used(best) = true

@@ -275,22 +275,6 @@ object Graph {
       .join(oriented.as("e2"), col("e1.w") === col("e2.u"))
       .select(col("e1.u").as("a"), col("e1.w").as("b"), col("e2.w").as("c"))
 
-  /** Exact triangle count over an undirected simple graph given as a
-    * (src, dst) edge list (self-loops and duplicate/reversed edges are
-    * normalized away). The classic distributed edge-ordering
-    * enumeration: orient every edge by (degree, id) rank
-    * ([[orientByDegree]]), join wedges (a→b, b→c) on the middle node,
-    * then close each wedge with a semi-join against the oriented edge
-    * set — each triangle is counted exactly once because the rank order
-    * is total.
-    *
-    * 100 TB shape: one degree aggregation plus three equi-join shuffles
-    * over slim (long, long) rows; the degree orientation bounds total
-    * wedge fan-out at O(m^1.5) even on skewed graphs (co-occurrence
-    * graphs at scale ARE skewed — a raw id orientation leaves ~deg²/4
-    * wedges at any hub whose id sits mid-range, see [[orientByDegree]]).
-    * Output: 1 row (n_nodes, n_edges, n_triangles).
-    */
   /** k-core of an undirected simple graph: the (unique) maximal subgraph
     * in which every node has degree ≥ k, by iterative peeling — drop
     * all nodes of degree < k, recompute degrees, repeat to fixpoint.
@@ -366,9 +350,16 @@ object Graph {
     val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val cn = dirE.as("x").join(dirE.as("y"),
         col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-      .groupBy(col("x.u").as("src"), col("y.u").as("dst"))
+      .groupBy(col("x.u").as("ca"), col("y.u").as("cb"))
       .agg(count(lit(1)).as("c"))
-    mutual.join(cn, Seq("src", "dst"), "left")
+    // the wedge keys are canonically ordered (x.u < y.u), so probe them
+    // with least/greatest of the input edge — an edge stored (5, 3)
+    // must find the same wedge count as (3, 5); the output keeps the
+    // caller's orientation
+    mutual
+      .withColumn("ca", least(col("src"), col("dst")))
+      .withColumn("cb", greatest(col("src"), col("dst")))
+      .join(cn, Seq("ca", "cb"), "left")
       .join(deg.select(col("u").as("src"), col("deg").as("da")), Seq("src"))
       .join(deg.select(col("u").as("dst"), col("deg").as("db")), Seq("dst"))
       .select(col("src"), col("dst"),
@@ -432,6 +423,22 @@ object Graph {
     }
   }
 
+  /** Exact triangle count over an undirected simple graph given as a
+    * (src, dst) edge list (self-loops and duplicate/reversed edges are
+    * normalized away). The classic distributed edge-ordering
+    * enumeration: orient every edge by (degree, id) rank
+    * ([[orientByDegree]]), join wedges (a→b, b→c) on the middle node,
+    * then close each wedge with a semi-join against the oriented edge
+    * set — each triangle is counted exactly once because the rank order
+    * is total.
+    *
+    * 100 TB shape: one degree aggregation plus three equi-join shuffles
+    * over slim (long, long) rows; the degree orientation bounds total
+    * wedge fan-out at O(m^1.5) even on skewed graphs (co-occurrence
+    * graphs at scale ARE skewed — a raw id orientation leaves ~deg²/4
+    * wedges at any hub whose id sits mid-range, see [[orientByDegree]]).
+    * Output: 1 row (n_nodes, n_edges, n_triangles).
+    */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val normalized = normalizeEdges(edges, srcCol, dstCol)
     val oriented = orientByDegree(normalized)

@@ -345,14 +345,29 @@ class GenReaderFactory(fields: Array[String], seed: Long, valMax: Long)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[GenRange]
+    // resolve the projection ONCE per reader: the per-row path must not
+    // allocate a Seq or string-match field names (this loop runs 1e9
+    // times per scan at matrix scale). The reused SpecificInternalRow
+    // holds primitive longs — Spark's row-reader contract allows the
+    // same row object per get(), downstream copies into UnsafeRow
+    val isId: Array[Boolean] = fields.map {
+      case "id" => true
+      case "price" => false
+      case other => throw new IllegalArgumentException(s"unknown gen column: $other")
+    }
     new PartitionReader[InternalRow] {
       private var id = r.start - 1L
+      private val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+        fields.map(_ => LongType: org.apache.spark.sql.types.DataType).toSeq)
       override def next(): Boolean = { id += 1L; id < r.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(fields.toSeq.map {
-          case "id" => id
-          case "price" => GenSource.priceOf(seed, id, valMax)
-        })
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < isId.length) {
+          row.setLong(i, if (isId(i)) id else GenSource.priceOf(seed, id, valMax))
+          i += 1
+        }
+        row
+      }
       override def close(): Unit = ()
     }
   }

@@ -82,7 +82,13 @@ object Events {
                 case s if t - s.last > gapMs =>
                   closed ::= UserSession(userId, s.start, s.last, s.n)
                   st = SessionState(t, t, 1)
-                case s => st = SessionState(s.start, t, s.n + 1)
+                case s =>
+                  // min/max, not overwrite: a LATE event (delivered in a
+                  // later micro-batch but inside the watermark) must not
+                  // regress `last` — that would shrink session_end below
+                  // a counted member event and re-arm the gap timeout
+                  // too early — nor move `start` forward
+                  st = SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1)
               }
             }
             if (st != null) {

@@ -122,4 +122,15 @@ class ClusteringSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(sample.orderBy("id").collect().toSeq === s2)
   }
+
+  test("vectorSum rejects non-float arrays at analysis time") {
+    // getFloat on an array<double> buffer would silently misread bytes;
+    // the aggregate must fail analysis, not produce garbage centroids
+    val dd = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      dd.agg(KmeansKernels.vectorSum(col("v"), 2)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<float>"),
+      s"unexpected analysis error: ${e.getMessage}")
+  }
 }

@@ -310,6 +310,23 @@ class DedupSpec extends SparkSpec {
     assert(df0.exceptAll(graft.ops.ModelStore.winnowDfCounts(standing)).count() === 0)
   }
 
+  test("minhash signature skips null shingles instead of hashing them to a constant") {
+    import graft.functions.TextHashFunctions
+    // a null element must contribute NOTHING: mapping it to a constant
+    // hash would plant an identical component into the signatures of
+    // unrelated documents (a systematic false-candidate source), and
+    // SimHash64 already skips nulls — the two kernels must agree
+    val df = Seq(Tuple1(Seq[String]("ab", "bc", "cd")))
+      .toDF("sh")
+      .withColumn("withNull",
+        concat(col("sh"), array(lit(null).cast("string"))))
+      .select(
+        TextHashFunctions.minhashSignature(col("sh"), 16).as("clean"),
+        TextHashFunctions.minhashSignature(col("withNull"), 16).as("dirty"))
+    val row = df.head()
+    assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+  }
+
   test("containmentPairs maxDocFreq valve only drops pairs, never invents") {
     val d = (1L to 30L).map { i =>
       (i, if (i <= 10) "boilerplate header everyone shares " + s"unique $i"

@@ -181,4 +181,15 @@ class GraphSpec extends SparkSpec {
     assert(got === Set(
       (1L, 2L, 1L, 2L), (1L, 3L, 1L, 2L), (2L, 3L, 1L, 1L), (1L, 4L, 0L, 2L)))
   }
+
+  test("neighbor Jaccard is orientation-independent (edges stored src > dst)") {
+    // same hand graph, every edge flipped: counts must be identical,
+    // keyed by the caller's orientation — the wedge keys are canonical
+    // (least, greatest), not the storage order
+    val flipped = Seq((2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.neighborJaccard(flipped)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (2L, 1L, 1L, 2L), (3L, 1L, 1L, 2L), (3L, 2L, 1L, 1L), (4L, 1L, 0L, 2L)))
+  }
 }

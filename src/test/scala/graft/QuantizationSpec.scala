@@ -121,4 +121,14 @@ class QuantizationSpec extends SparkSpec {
     // shortlist cap rides ahead of the ranking exchange
     assert(plan.contains("WindowGroupLimit"), s"no partial top-k:\n$plan")
   }
+
+  test("pqEncode clamps truncated vectors instead of reading out of bounds") {
+    // codebooks are trained for m*subDim dims; a shorter (corrupt/
+    // truncated) row must encode from the dims it has — AIOOBE on
+    // GenericArrayData, silent garbage on UnsafeArrayData otherwise
+    val short = Seq((1L, Array.fill(5)(0.5f))).toDF("id", "v")
+    val codes = short.select(PqKernels.pqEncode(col("v"), model.codebooks).as("c"))
+      .head().getAs[Array[Byte]](0)
+    assert(codes.length === 16)
+  }
 }

@@ -244,4 +244,18 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfForget(all, corpus.filter(col("id") < 0).select(col("id")))
       .exceptAll(all).count() === 0)
   }
+
+  test("topCentroids degrades instead of crashing on a NaN component") {
+    // a corrupt vector makes every centroid dot NaN; the kernel must
+    // route the row to SOME buckets (degrade-don't-throw, the
+    // TopTrainedCentroids contract), never AIOOBE the whole stage
+    val bad = Seq((1L, Array.tabulate(dim)(d => if (d == 0) Float.NaN else d.toFloat)))
+      .toDF("id", "v")
+    val picked = bad
+      .select(graft.functions.VectorLshFunctions.topCentroids(col("v"), 8, 3).as("c"))
+      .head().getSeq[Long](0)
+    assert(picked.length === 3)
+    assert(picked.distinct.length === 3)
+    assert(picked.forall(c => c >= 0 && c < 8))
+  }
 }

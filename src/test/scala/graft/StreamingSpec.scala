@@ -42,6 +42,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a late but in-watermark event cannot regress the open session's end") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    // default 10-minute watermark delay: a row a few seconds behind the
+    // max event time is LATE but still accepted by the stateful operator
+    val query = Events.sessionize(stream.toDS(), gapMs = Gap)
+      .writeStream.format("memory").queryName("late_sessions_out")
+      .outputMode("append").start()
+    val B = 86400000L
+    try {
+      stream.addData(
+        SessionEvent(1L, ts(B), "click"),
+        SessionEvent(1L, ts(B + 10000L), "click"))
+      query.processAllAvailable()
+      // late arrival delivered by a LATER micro-batch: must join the
+      // session without moving `last` backwards (session_end below a
+      // counted member event, gap timeout re-armed too early)
+      stream.addData(SessionEvent(1L, ts(B + 5000L), "click"))
+      query.processAllAvailable()
+      // close it: gap measured from the TRUE last activity (B+10s)
+      stream.addData(SessionEvent(1L, ts(B + 10000L + Gap + 1L), "click"))
+      query.processAllAvailable()
+      val closed = spark.table("late_sessions_out").as[UserSession].collect().toSet
+      assert(closed === Set(UserSession(1L, B, B + 10000L, 3L)))
+    } finally query.stop()
+  }
+
   test("sessionize emits final sessions via event-time timeout and evicts state") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[SessionEvent]
