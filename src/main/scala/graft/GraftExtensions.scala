@@ -14,8 +14,15 @@ import graft.functions._
   *  - `GraftExtensions.register(spark)` — imperative registration into a
   *    live session (tests, notebooks).
   *
-  * After either, all kernels are callable from SQL:
-  * `SELECT jaccard_sorted(shingle_hashes(a.text, 5), shingle_hashes(b.text, 5))`.
+  * After either, every kernel whose arguments are expressible as SQL
+  * literals is callable from SQL:
+  * `SELECT jaccard_sorted(shingle_hashes(a.text, 5), shingle_hashes(b.text, 5))`,
+  * including the BPE pair (`bpe_tokens`/`bpe_token_count`, merge table as
+  * an array literal). Model-BOUND kernels (PQ codebooks, trained
+  * centroids, dense lookup tables, bigram LM weights) take driver-side
+  * model artifacts as constructor arguments and are Scala-API only —
+  * a KB-to-MB nested-array literal inside SQL text is not a usable
+  * surface for them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -85,7 +92,37 @@ object GraftExtensions {
       (es: Seq[Expression]) => TopCentroids(es.head, intArg(es(1), "n"), intArg(es(2), "k"))),
     ("fm_count_distinct",
       info("fm_count_distinct", "fm_count_distinct(v) - Flajolet-Martin/PCSA distinct estimate"),
-      (es: Seq[Expression]) => FlajoletMartin(es.head).toAggregateExpression()))
+      (es: Seq[Expression]) => FlajoletMartin(es.head).toAggregateExpression()),
+    ("bpe_tokens",
+      info("bpe_tokens",
+        "bpe_tokens(word, merges) - BPE token array; merges is a flat array<string> pair list"),
+      (es: Seq[Expression]) => BpeTokens(es.head, strArrayArg(es(1), "merges"))),
+    ("bpe_token_count",
+      info("bpe_token_count",
+        "bpe_token_count(text, merges) - BPE token count of normalized text"),
+      (es: Seq[Expression]) => BpeTokenCount(es.head, strArrayArg(es(1), "merges"))))
+
+  /** A string-array literal argument: `array('a','b',…)` arrives as
+    * CreateArray of literals at function-resolution time (before constant
+    * folding) or as a folded Literal when the builder re-runs later.
+    */
+  private def strArrayArg(e: Expression, what: String): Seq[String] = e match {
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      ca.children.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other =>
+          throw new IllegalArgumentException(s"$what must be string literals, got $other")
+      }
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      v.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be an array literal of strings, got $other")
+  }
 
   /** Imperative registration into a live session: functions into the
     * registry, the optimizer rule via `experimental.extraOptimizations`

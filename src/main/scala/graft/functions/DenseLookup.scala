@@ -58,12 +58,16 @@ case class DenseArrayLookup(
       classOf[Broadcast[Array[Long]]].getName)
     val arr = ctx.addMutableState("long[]", "denseArr",
       v => s"$v = (long[]) $bcRef.value();")
+    // freshName, not a fixed local: with a non-nullable key nullSafeExec
+    // inlines this block WITHOUT braces, so two lookups in one projection
+    // would redeclare the variable and fail Janino compilation
+    val idx = ctx.freshName("denseIdx")
     nullSafeCodeGen(ctx, ev, c => s"""
-      long graftIdx = $c - ${minKey}L;
-      if (graftIdx < 0 || graftIdx >= $arr.length) {
+      long $idx = $c - ${minKey}L;
+      if ($idx < 0 || $idx >= $arr.length) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = $arr[(int) graftIdx];
+        ${ev.value} = $arr[(int) $idx];
       }
     """)
   }

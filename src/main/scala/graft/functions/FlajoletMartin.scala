@@ -68,6 +68,11 @@ case class FlajoletMartin(
     case i: Int => XXH64.hashLong(i.toLong, 42L)
     case s: org.apache.spark.unsafe.types.UTF8String =>
       XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+    case b: Array[Byte] =>
+      // content hash: Array[Byte].hashCode() is identity-based, so the
+      // fallback below would count every ROW as distinct for BinaryType
+      XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L)
     case other => XXH64.hashLong(other.hashCode().toLong, 42L)
   }
 

@@ -31,12 +31,19 @@ object KmeansKernels {
     * `zip_with`/`aggregate` recomputation the oracle gate uses.
     */
   def nearestIndex(v: Column, centroids: Array[Array[Double]]): Column =
-    bridge.toColumn(NearestCentroidIndex(bridge.toExpression(v), centroids))
+    bridge.toColumn(NearestCentroidIndex(bridge.toExpression(v), nested(centroids)))
 
   /** Squared L2 distance from `v` to `centroids(idx)`. */
   def sqDistAt(v: Column, idx: Column, centroids: Array[Array[Double]]): Column =
     bridge.toColumn(SquaredDistanceAt(
-      bridge.toExpression(v), bridge.toExpression(idx), centroids))
+      bridge.toExpression(v), bridge.toExpression(idx), nested(centroids)))
+
+  // Seq fields for structural case-class equality (the BpeTokens
+  // rationale — an Array field compares by reference and silently
+  // defeats semanticEquals/subexpression elimination); the kernels
+  // re-materialize their Arrays once per expression instance
+  private def nested(c: Array[Array[Double]]): Seq[Seq[Double]] =
+    c.map(_.toSeq).toSeq
 
   /** Element-wise sum of `array<float>` vectors as `array<double>` —
     * the partial/merge/final centroid accumulator.
@@ -50,11 +57,14 @@ object KmeansKernels {
     * `topIndices(v, c, 1)(0)` ≡ [[nearestIndex]].
     */
   def topIndices(v: Column, centroids: Array[Array[Double]], n: Int): Column =
-    bridge.toColumn(TopTrainedCentroids(bridge.toExpression(v), centroids, n))
+    bridge.toColumn(TopTrainedCentroids(bridge.toExpression(v), nested(centroids), n))
 }
 
-case class NearestCentroidIndex(child: Expression, centroids: Array[Array[Double]])
+case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Double]])
   extends UnaryExpression {
+
+  @transient private lazy val cenArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -68,11 +78,12 @@ case class NearestCentroidIndex(child: Expression, centroids: Array[Array[Double
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val cents = cenArr
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
-    while (c < centroids.length) {
-      val cen = centroids(c)
+    while (c < cents.length) {
+      val cen = cents(c)
       val n = math.min(v.numElements(), cen.length)
       var d = 0.0
       var i = 0
@@ -88,7 +99,7 @@ case class NearestCentroidIndex(child: Expression, centroids: Array[Array[Double
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val cRef = ctx.addReferenceObj("centroids", cenArr, "double[][]")
     nullSafeCodeGen(ctx, ev, a => {
       val c = ctx.freshName("c"); val i = ctx.freshName("i")
       val n = ctx.freshName("n"); val d = ctx.freshName("d")
@@ -123,8 +134,11 @@ case class NearestCentroidIndex(child: Expression, centroids: Array[Array[Double
   * whole-stage codegen with a single fixed-size output allocation.
   */
 case class TopTrainedCentroids(
-    child: Expression, centroids: Array[Array[Double]], n: Int)
+    child: Expression, centroids: Seq[Seq[Double]], n: Int)
   extends UnaryExpression {
+
+  @transient private lazy val cenArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
 
   require(n > 0 && n <= centroids.length,
     s"topIndices: n=$n out of range for ${centroids.length} centroids")
@@ -141,11 +155,12 @@ case class TopTrainedCentroids(
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val k = centroids.length
+    val cents = cenArr
+    val k = cents.length
     val dist = new Array[Double](k)
     var c = 0
     while (c < k) {
-      val cen = centroids(c)
+      val cen = cents(c)
       val m = math.min(v.numElements(), cen.length)
       var d = 0.0
       var i = 0
@@ -184,7 +199,7 @@ case class TopTrainedCentroids(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val cRef = ctx.addReferenceObj("centroids", cenArr, "double[][]")
     val gad = classOf[GenericArrayData].getName
     nullSafeCodeGen(ctx, ev, a => {
       val dist = ctx.freshName("dist"); val taken = ctx.freshName("taken")
@@ -235,8 +250,11 @@ case class TopTrainedCentroids(
   * evaluates to 0.0 rather than throwing.
   */
 case class SquaredDistanceAt(
-    left: Expression, right: Expression, centroids: Array[Array[Double]])
+    left: Expression, right: Expression, centroids: Seq[Seq[Double]])
   extends BinaryExpression {
+
+  @transient private lazy val cenArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -251,9 +269,9 @@ case class SquaredDistanceAt(
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val idx = b.asInstanceOf[Int]
-    if (idx < 0 || idx >= centroids.length) 0.0
+    if (idx < 0 || idx >= cenArr.length) 0.0
     else {
-      val cen = centroids(idx)
+      val cen = cenArr(idx)
       val n = math.min(v.numElements(), cen.length)
       var d = 0.0
       var i = 0
@@ -267,7 +285,7 @@ case class SquaredDistanceAt(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val cRef = ctx.addReferenceObj("centroids", cenArr, "double[][]")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val d = ctx.freshName("d"); val diff = ctx.freshName("diff")

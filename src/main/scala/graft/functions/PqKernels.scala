@@ -27,9 +27,17 @@ import org.apache.spark.sql.types._
   */
 object PqKernels {
 
+  // case-class fields hold Seq (STRUCTURAL equality — the BpeTokens
+  // rationale in BpeKernels: an Array field compares by reference, so
+  // two expressions built from equal re-loaded models would never
+  // semanticEquals); the runtime kernels re-materialize Arrays once per
+  // expression instance via a lazy val
+  private def nested(cb: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
+    cb.map(_.map(_.toSeq).toSeq).toSeq
+
   /** Encode a vector to its `m`-byte PQ code. */
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    bridge.toColumn(PqEncode(bridge.toExpression(v), codebooks))
+    bridge.toColumn(PqEncode(bridge.toExpression(v), nested(codebooks)))
 
   /** ADC approximate squared-L2 distance of a code against a probe's
     * flattened m×k LUT.
@@ -41,13 +49,13 @@ object PqKernels {
   def nearestSubCentroid(sub: Column, sv: Column,
       codebooks: Array[Array[Array[Double]]]): Column =
     bridge.toColumn(NearestSubCentroid(
-      bridge.toExpression(sub), bridge.toExpression(sv), codebooks))
+      bridge.toExpression(sub), bridge.toExpression(sv), nested(codebooks)))
 
   /** Training-path min squared-L2 within one subspace (the inertia term). */
   def nearestSubDist(sub: Column, sv: Column,
       codebooks: Array[Array[Array[Double]]]): Column =
     bridge.toColumn(NearestSubDist(
-      bridge.toExpression(sub), bridge.toExpression(sv), codebooks))
+      bridge.toExpression(sub), bridge.toExpression(sv), nested(codebooks)))
 }
 
 /** `array<float>` → BinaryType PQ code: byte j = argmin over codebook j
@@ -55,9 +63,11 @@ object PqKernels {
   * tie-break as [[NearestCentroidIndex]], so encode and the training
   * assignment agree exactly).
   */
-case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   extends UnaryExpression {
 
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
   private val m = codebooks.length
   private val subDim = codebooks.head.head.length
   require(codebooks.forall(_.forall(_.length == subDim)))
@@ -74,10 +84,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     }
 
   override def nullSafeEval(input: Any): Any =
-    PqEncode.compute(input.asInstanceOf[ArrayData], codebooks, m, subDim)
+    PqEncode.compute(input.asInstanceOf[ArrayData], cbArr, m, subDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    val cbRef = ctx.addReferenceObj("pqCodebooks", cbArr, "double[][][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.PqEncode.compute($a, $cbRef, $m, $subDim);")
   }
@@ -173,7 +183,10 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
   * agree bit-for-bit.
   */
 case class NearestSubCentroid(left: Expression, right: Expression,
-    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+    codebooks: Seq[Seq[Seq[Double]]]) extends BinaryExpression {
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -187,11 +200,11 @@ case class NearestSubCentroid(left: Expression, right: Expression,
 
   override def nullSafeEval(sub: Any, sv: Any): Any =
     NearestSubCentroid.compute(
-      sub.asInstanceOf[Int], sv.asInstanceOf[ArrayData], codebooks, dist = false)
+      sub.asInstanceOf[Int], sv.asInstanceOf[ArrayData], cbArr, dist = false)
       .asInstanceOf[Int]
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    val cbRef = ctx.addReferenceObj("pqCodebooks", cbArr, "double[][][]")
     nullSafeCodeGen(ctx, ev, (sub, sv) =>
       s"${ev.value} = ((java.lang.Integer) graft.functions.NearestSubCentroid.compute(" +
         s"$sub, $sv, $cbRef, false)).intValue();")
@@ -234,7 +247,10 @@ object NearestSubCentroid {
   * the per-row quantization-error (inertia) term during training.
   */
 case class NearestSubDist(left: Expression, right: Expression,
-    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+    codebooks: Seq[Seq[Seq[Double]]]) extends BinaryExpression {
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -248,11 +264,11 @@ case class NearestSubDist(left: Expression, right: Expression,
 
   override def nullSafeEval(sub: Any, sv: Any): Any =
     NearestSubCentroid.compute(
-      sub.asInstanceOf[Int], sv.asInstanceOf[ArrayData], codebooks, dist = true)
+      sub.asInstanceOf[Int], sv.asInstanceOf[ArrayData], cbArr, dist = true)
       .asInstanceOf[Double]
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    val cbRef = ctx.addReferenceObj("pqCodebooks", cbArr, "double[][][]")
     nullSafeCodeGen(ctx, ev, (sub, sv) =>
       s"${ev.value} = ((java.lang.Double) graft.functions.NearestSubCentroid.compute(" +
         s"$sub, $sv, $cbRef, true)).doubleValue();")

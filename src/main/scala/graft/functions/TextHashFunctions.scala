@@ -351,6 +351,14 @@ object WinnowFingerprint {
       bytes(b * 2 + 1) = ((c >> 8) & 0xFF).toByte
       b += 1
     }
+    // empty normalized text carries NO similarity evidence: a non-empty
+    // sketch here would give every empty doc the same fingerprint and
+    // pair them all quadratically at jaccard 1.0 downstream
+    // (winnowSketches filters size(fp) > 0 on exactly this contract);
+    // short-but-nonempty text degrades to a whole-text hash — exact-
+    // content evidence, the same contract as ShingleSet's short-text
+    // whole-string shingle
+    if (len == 0) return new GenericArrayData(Array.empty[Long])
     if (len < k)
       return new GenericArrayData(
         Array(XXH64.hashUnsafeBytes(bytes, off, len * 2, 42L)))

@@ -70,8 +70,23 @@ object Clustering {
   private def train(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int): KmeansModel = {
+    // corrupt (NaN-bearing) vectors are excluded from TRAINING: one NaN
+    // row would otherwise poison its cluster's mean through the sum
+    // aggregate (NaN propagates) and, unguarded, the farthest-point
+    // seeding. Such rows still get an assignment at inference
+    // (nearestIndex defaults to 0 when every distance is NaN).
     val proj = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(!exists(col("vec"), x => isnan(x)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // unpersist on EVERY exit: a mid-training task failure or require
+    // throw must not leak the persisted projection for the session
+    // lifetime (the Bpe.trainMergesUncached pattern)
+    try trainOnProj(proj, k, maxIter)
+    finally proj.unpersist(blocking = false)
+  }
+
+  private def trainOnProj(
+      proj: DataFrame, k: Int, maxIter: Int): KmeansModel = {
 
     // Deterministic farthest-point (k-center greedy) init: seed 1 is the
     // row with the smallest xxhash64(id); each further seed is the row
@@ -93,6 +108,9 @@ object Clustering {
       val nearest = KmeansKernels.nearestIndex(col("vec"), centroids)
       val far = proj
         .withColumn("d", KmeansKernels.sqDistAt(col("vec"), nearest, centroids))
+        // NaN ranks LARGEST under struct ordering, so one corrupt vector
+        // would become every remaining seed; rank it last instead
+        .withColumn("d", when(isnan(col("d")), lit(-1.0)).otherwise(col("d")))
         .select(max(struct(col("d"), col("id"), col("vec"))).as("m"))
         .select(col("m.vec"))
         .collect()
@@ -112,7 +130,11 @@ object Clustering {
         sum(KmeansKernels.sqDistAt(col("vec"), col("cluster"), centroids))
           .as("inertia"))
         .collect()
-      trace += stats.map(_.getAs[Double]("inertia")).sum
+      // sort before summing: collect() order is shuffle-fetch order, and
+      // double addition is not associative — the trace must be a pure
+      // function of the data, not of fetch races
+      trace += stats.sortBy(_.getAs[Int]("cluster"))
+        .map(_.getAs[Double]("inertia")).sum
       val next = centroids.map(_.clone())
       stats.foreach { r =>
         val c = r.getAs[Int]("cluster")
@@ -125,7 +147,6 @@ object Clustering {
       it += 1
     }
 
-    proj.unpersist(blocking = false)
     KmeansModel(centroids, trace.result())
   }
 

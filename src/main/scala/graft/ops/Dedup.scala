@@ -34,6 +34,20 @@ object Dedup {
   private def parallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
+  /** Posting-frequency skew valve shared by the winnow and containment
+    * screens: drop postings whose key occurs more than `maxDocFreq`
+    * times (boilerplate fingerprints that would otherwise fan out
+    * quadratically in the candidate self-join). One window count over
+    * the key; a no-op pass-through at the default cap.
+    */
+  private def docFreqValve(posting: DataFrame, keyCol: String,
+      maxDocFreq: Int): DataFrame =
+    if (maxDocFreq == Int.MaxValue) posting
+    else posting
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      .filter(col("df") <= maxDocFreq).drop("df")
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on normalized content: groups by MD5(normalized text),
@@ -138,6 +152,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      // dedup BEFORE the hamming filter — measured, not assumed: the
+      // filter-first order reads 1.3-1.6 s vs 0.97-1.18 s warm on the
+      // sf0.1 corpus (3-rep A/B, spark-shell). dropDuplicates collapses
+      // duplicate pairs MAP-SIDE via partial aggregation, so the
+      // exchange carries ~unique pairs in either order and filtering
+      // first only adds a pass over the join output
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
@@ -226,12 +246,7 @@ object Dedup {
     require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
     val prep = winnowSketches(docs, idCol, textCol, k, w)
     val posting = prep.select(col("id"), explode(col("fp")).as("f"))
-    val screened =
-      if (maxDocFreq == Int.MaxValue) posting
-      else posting
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
-        .filter(col("df") <= maxDocFreq).drop("df")
+    val screened = docFreqValve(posting, "f", maxDocFreq)
     val candidates = screened.as("a")
       .join(screened.as("b"), Seq("f"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -317,18 +332,11 @@ object Dedup {
         // exist, so every batch-relevant posting row survives, keeping
         // the window-recount df EXACT for every fingerprint the batch
         // touches (fingerprints the bloom drops generate no pairs).
-        // Same runtime-filter pattern as Joins.bloomPrefilteredJoin.
-        import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        import org.apache.spark.sql.graft.bridge
-        val bloomAgg = bridge.toColumn(
-          new BloomFilterAggregate(bridge.toExpression(xxhash64(col("f"))))
-            .toAggregateExpression())
-        val bloomBytes = newPostRaw.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
-        if (bloomBytes == null) raw.limit(0) // empty batch probes nothing
-        else raw.filter(bridge.toColumn(BloomFilterMightContain(
-          bridge.toExpression(lit(bloomBytes)),
-          bridge.toExpression(xxhash64(col("f"))))))
+        // Same runtime-filter primitives as Joins.bloomPrefilteredJoin.
+        Joins.keyBloom(newPostRaw, col("f")) match {
+          case None => raw.limit(0) // empty batch probes nothing
+          case Some(bf) => raw.filter(Joins.bloomMightContain(bf, col("f")))
+        }
       }
     }
     // the valve's df is a COMBINED-corpus property. Preferred input: the
@@ -353,10 +361,7 @@ object Dedup {
         case None =>
           val posting = oldPostRaw.withColumn("is_new", lit(false))
             .union(newPostRaw.withColumn("is_new", lit(true)))
-          val screened = posting
-            .withColumn("df", count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
-            .filter(col("df") <= maxDocFreq).drop("df")
+          val screened = docFreqValve(posting, "f", maxDocFreq)
           (screened.filter(col("is_new")).select(col("id"), col("f")),
             screened.filter(!col("is_new")).select(col("id"), col("f")))
       }
@@ -483,12 +488,7 @@ object Dedup {
         shingleHashes(col(textCol), n).as("sh"))
       .repartition(parallelism(docs), col("id"))
     val posting = prep.select(col("id"), explode(col("sh")).as("h"))
-    val screened =
-      if (maxDocFreq == Int.MaxValue) posting
-      else posting
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-        .filter(col("df") <= maxDocFreq).drop("df")
+    val screened = docFreqValve(posting, "h", maxDocFreq)
     val candidates = screened.as("a")
       .join(screened.as("b"), Seq("h"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -41,13 +41,16 @@ object Joins {
 
   /** EXISTS — rows of `left` with at least one match; no right columns
     * materialized, so the probe side streams (no output amplification).
+    * Strategy is left to Catalyst: a small right side broadcasts under
+    * the threshold, a large one gets a shuffled semi join — forcing
+    * `broadcast(right)` here would OOM on a large right side.
     */
   def semi(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
-    left.join(broadcast(right), cond, "left_semi")
+    left.join(right, cond, "left_semi")
 
-  /** NOT EXISTS. */
+  /** NOT EXISTS. Same strategy note as [[semi]]. */
   def anti(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
-    left.join(broadcast(right), cond, "left_anti")
+    left.join(right, cond, "left_anti")
 
   /** Non-equi join (theta); `small` is broadcast, giving
     * BroadcastNestedLoopJoin — the J1/J2 nested-loop engines of the
@@ -162,17 +165,46 @@ object Joins {
       factKey: Column, dimKey: Column,
       expectedDimRows: Long,
       joinType: String = "inner"): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    // the prefilter drops fact rows that cannot match, so it is only
+    // sound for join types whose output drops unmatched fact rows
+    // anyway; a left_outer/left_anti/full join must KEEP those rows
+    // and would silently lose them here
+    require(Set("inner", "leftsemi", "rightouter", "cross")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"bloom prefilter is unsound for join type '$joinType': it drops " +
+        "unmatched fact rows before the join; use the plain join for " +
+        "left_outer/left_anti/full semantics")
+    val prefiltered = keyBloom(dim, dimKey, Some(expectedDimRows)) match {
+      case Some(bf) => fact.filter(bloomMightContain(bf, factKey))
+      case None => fact.limit(0) // empty dim: no fact row can match
+    }
+    prefiltered.join(dim, factKey === dimKey, joinType)
+  }
+
+  /** Bloom filter over `xxhash64(key)` of `df` — the build side of the
+    * runtime-filter pattern, shared with Dedup's standing-index probe.
+    * None when `df` is empty (the aggregate returns NULL), which callers
+    * must treat as "nothing can match", not "everything might".
+    */
+  private[graft] def keyBloom(df: DataFrame, key: Column,
+      expectedRows: Option[Long] = None): Option[Array[Byte]] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.bridge
-    val bloomAgg = bridge.toColumn(
-      new BloomFilterAggregate(bridge.toExpression(xxhash64(dimKey)), expectedDimRows)
-        .toAggregateExpression())
-    val bloomBytes = dim.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
-    val mightContain = bridge.toColumn(BloomFilterMightContain(
-      bridge.toExpression(lit(bloomBytes)),
-      bridge.toExpression(xxhash64(factKey))))
-    fact.filter(mightContain).join(dim, factKey === dimKey, joinType)
+    val child = bridge.toExpression(xxhash64(key))
+    val agg = expectedRows match {
+      case Some(n) => new BloomFilterAggregate(child, n)
+      case None => new BloomFilterAggregate(child)
+    }
+    Option(df.agg(bridge.toColumn(agg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0))
+  }
+
+  /** Probe-side predicate for a [[keyBloom]] filter. */
+  private[graft] def bloomMightContain(bloom: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graft.bridge
+    bridge.toColumn(BloomFilterMightContain(
+      bridge.toExpression(lit(bloom)), bridge.toExpression(xxhash64(key))))
   }
 
   /** Band (bucketized) range join for two LARGE sides: both sides emit

@@ -65,18 +65,25 @@ object Layout {
     val r = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or an all-NULL key): no stats to z-order by —
+      // write what there is instead of NPEing on the null aggregate
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val (minA, maxA, minB, maxB) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val hi = (1L << bits) - 1
-    // divide BEFORE scaling: (c-lo)*hi overflows Long once the domain
-    // width exceeds Long.MaxValue/hi (~9e15 at bits=10 — nanosecond
-    // timestamp spans get there), silently wrecking the layout. The
-    // double fraction is exact enough for rank bucketing (hi ≤ 2^21 ≪
+    // the WHOLE normalization runs in double space: both `up - lo` and
+    // `c - lo` wrap in Long arithmetic once the domain spans more than
+    // Long.MaxValue (mixed-sign keys, e.g. signed-hash ids), silently
+    // wrecking the layout. Double subtraction cannot overflow, and the
+    // lost low bits are irrelevant for rank bucketing (hi ≤ 2^21 ≪
     // 2^53); clamp guards the up==c edge rounding to hi+1
     def norm(c: Column, lo: Long, up: Long): Column =
       if (up == lo) lit(0L)
       else least(lit(hi), greatest(lit(0L),
-        ((c.cast("long") - lit(lo)).cast("double") / lit((up - lo).toDouble)
+        ((c.cast("double") - lit(lo.toDouble)) / lit(up.toDouble - lo.toDouble)
           * lit(hi.toDouble)).cast("long")))
     df.withColumn("__z", mortonInterleave(
         norm(col(colA), minA, maxA).cast("long"),

@@ -46,9 +46,14 @@ object Multimodal {
       id.as("media_id"),
       lit(modality).as("modality"),
       col(payloadCol).cast("binary").as("payload"),
-      ((id * 48271L + 11L) % 1920L + 1L).cast("int").as("width"),
-      ((id * 69621L + 7L) % 1080L + 1L).cast("int").as("height"),
-      ((id * 16807L + 3L) % 600000L).as("duration_ms"))
+      // pmod, not %: a negative id (or a multiply that wraps Long on a
+      // huge id) would give a non-positive width/height and a negative
+      // duration, poisoning resizePlan/sampleFrames downstream; pmod
+      // equals % on the non-negative testdata ids, so the DuckDB oracle
+      // arithmetic is unchanged where it is exercised
+      (pmod(id * 48271L + 11L, lit(1920L)) + 1L).cast("int").as("width"),
+      (pmod(id * 69621L + 7L, lit(1080L)) + 1L).cast("int").as("height"),
+      pmod(id * 16807L + 3L, lit(600000L)).as("duration_ms"))
   }
 
   /** STUB decode kernel — deterministic fake feature vector derived from

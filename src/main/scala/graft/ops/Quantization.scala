@@ -63,8 +63,20 @@ object Quantization {
 
   private def trainPqUncached(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, maxIter: Int): PqModel = {
+    // NaN-bearing vectors are excluded from TRAINING (they would poison
+    // codebook means through the sum aggregate); they still encode at
+    // inference (argmin over NaN distances degrades to code 0)
     val proj = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(!exists(col("vec"), x => isnan(x)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // unpersist on EVERY exit (require throws, task failures): a failed
+    // training must not leak the persisted projection
+    try trainPqOnProj(proj, m, k, maxIter)
+    finally proj.unpersist(blocking = false)
+  }
+
+  private def trainPqOnProj(proj: DataFrame,
+      m: Int, k: Int, maxIter: Int): PqModel = {
     val seeds = proj.orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select(col("vec")).collect()
     require(seeds.length == k, s"trainPq needs >= $k rows, got ${seeds.length}")
@@ -101,7 +113,10 @@ object Quantization {
         count(lit(1)).as("n"),
         sum(col("d")).as("err"))
         .collect()
-      trace += stats.map(_.getAs[Double]("err")).sum
+      // fixed accumulation order: collect() returns shuffle-fetch order
+      // and double addition is order-sensitive in the last ulps
+      trace += stats.sortBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")))
+        .map(_.getAs[Double]("err")).sum
       val next = codebooks.map(_.map(_.clone()))
       stats.foreach { r =>
         val j = r.getAs[Int]("sub"); val c = r.getAs[Int]("code")
@@ -113,7 +128,6 @@ object Quantization {
       codebooks = next
       it += 1
     }
-    proj.unpersist(blocking = false)
     PqModel(m, subDim, k, codebooks, trace.result())
   }
 

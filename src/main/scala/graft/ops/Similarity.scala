@@ -269,7 +269,22 @@ object Similarity {
     * (src, dst) with src < dst, each mutual pair once.
     */
   def mutualEdges(knn: DataFrame): DataFrame = {
-    val k = knn.select(col("probe_id"), col("corpus_id")).localCheckpoint(true)
+    val slim = knn.select(col("probe_id"), col("corpus_id"))
+    // only checkpoint when re-scanning the input is actually expensive
+    // (joins/aggregates/windows in its plan — the IVF route / window
+    // rank / all-pairs generators). An already-materialized input (the
+    // mutualKnnEdges path feeds the CACHED checkpointed kNN relation)
+    // must not be checkpointed AGAIN: that second pinned RDD is
+    // invisible to the cache's unpersist hook, which walks only the
+    // outer plan, so it would leak BlockManager memory on every
+    // cache eviction.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => WindowNode}
+    val expensiveRescan = slim.queryExecution.optimizedPlan.collectFirst {
+      case j: Join => j
+      case a: Aggregate => a
+      case w: WindowNode => w
+    }.nonEmpty
+    val k = if (expensiveRescan) slim.localCheckpoint(true) else slim
     k.as("a").join(k.as("b"),
         col("a.probe_id") === col("b.corpus_id") &&
           col("a.corpus_id") === col("b.probe_id"))

@@ -358,7 +358,13 @@ object TextAnalysis {
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("t"))
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), length(col("t")), lit(stride))).as("start"))
+        // empty text yields ZERO chunks: sequence(1, 0, +stride) throws
+        // 'Illegal sequence boundaries' at runtime (the hazard
+        // wordSegments guards the same way); explode of the empty
+        // array drops the row, and null text already explodes to nothing
+        explode(when(length(col("t")) > 0,
+            sequence(lit(1), length(col("t")), lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("start"))
       .select(col("doc_id"), col("start").cast("long").as("start"),
         length(substring_index_safe(col("t"), col("start"), size)).cast("long").as("chunk_len"),
         md5(substring_index_safe(col("t"), col("start"), size)).as("chunk_hash"))
@@ -393,7 +399,13 @@ object TextAnalysis {
       val g = explode(array_distinct(
         graft.functions.TextHashFunctions.wordGrams(col(textCol), n))).as("g")
       val key = if (hashGrams) xxhash64(col("g")) else col("g")
-      df.select(cols :+ g: _*).select(cols :+ key.as("gram"): _*)
+      // resolve caller columns ONCE: re-applying `cols` in a second
+      // select would re-resolve e.g. col(idCol) against a frame where
+      // that column was already renamed (AnalysisException for any
+      // idCol != "doc_id")
+      val exploded = df.select(cols :+ g: _*)
+      exploded.select(
+        exploded.columns.filter(_ != "g").map(col).toSeq :+ key.as("gram"): _*)
     }
     val benchGrams = grams(bench).distinct()
     grams(train, col(idCol).as("doc_id"))

@@ -58,6 +58,19 @@ class AggregatesSpec extends SparkSpec {
     assert(est >= exact / 4 && est <= exact.toLong * 8, s"estimate $est vs exact $exact")
   }
 
+  test("FM hashes binary values by CONTENT, not array identity") {
+    // distinct-count sketches are multiplicity-insensitive: repeating
+    // the same 64 binary values 1000x must not move the estimate. With
+    // the identity-based Array[Byte].hashCode fallback every ROW hashes
+    // differently and the repeated frame estimates ~row count instead
+    val once = (1 to 64).map(i => Tuple1(s"key$i".getBytes)).toDF("b")
+    val repeated = (1 to 64000).map(i => Tuple1(s"key${i % 64 + 1}".getBytes)).toDF("b")
+    val estOnce = Aggregates.distinctFm(once, $"b").collect().head.getLong(0)
+    val estRep = Aggregates.distinctFm(repeated, $"b").collect().head.getLong(0)
+    assert(estRep === estOnce,
+      s"multiplicity moved the binary estimate: $estOnce vs $estRep")
+  }
+
   test("FM estimate rounds up: estimate >= distinct for small cardinalities") {
     // the reference rounds UP to a power of two to size its hash table
     // (q4112.c:356-371) — for tiny inputs the estimate must not undershoot

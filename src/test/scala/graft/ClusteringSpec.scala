@@ -123,6 +123,21 @@ class ClusteringSpec extends SparkSpec {
     assert(sample.orderBy("id").collect().toSeq === s2)
   }
 
+  test("a NaN-bearing vector cannot poison training") {
+    // without the guards a corrupt row becomes EVERY farthest-point
+    // seed (NaN ranks largest under struct ordering) and its NaN
+    // propagates into a cluster mean through the sum aggregate
+    Clustering.clearModelCache()
+    val bad = Seq((9999L, 0, Array(Float.NaN, 1f, 1f, 1f))).toDF("id", "truth", "v")
+    val (_, model) = Clustering.kmeans(blobs.union(bad), "id", "v", k = 3, maxIter = 4)
+    assert(model.centroids.forall(_.forall(d => !d.isNaN)),
+      s"NaN leaked into centroids: ${model.centroids.map(_.toSeq).toSeq}")
+    // all three blob centers recovered (≈ 0, 100, 200 in coordinate 0)
+    val c0 = model.centroids.map(_.head).sorted
+    assert(math.abs(c0(0) - 0.0) < 20 && math.abs(c0(1) - 100.0) < 20 &&
+      math.abs(c0(2) - 200.0) < 20, s"blob centers not recovered: ${c0.toSeq}")
+  }
+
   test("vectorSum rejects non-float arrays at analysis time") {
     // getFloat on an array<double> buffer would silently misread bytes;
     // the aggregate must fail analysis, not produce garbage centroids

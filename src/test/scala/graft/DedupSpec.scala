@@ -90,21 +90,25 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 0L)
   }
 
-  test("winnowPairs excludes empty-fingerprint (too-short) docs") {
-    // docs shorter than w+k-1 = 8 normalized chars have EMPTY winnow
-    // sketches: they carry no similarity evidence and must participate
-    // in no pairs (a naive all-pairs jaccard(empty, empty) = 1.0 would
-    // mark every pair of short docs duplicates)
+  test("winnowPairs excludes empty-fingerprint (empty-normalized) docs") {
+    // EMPTY-normalized docs have EMPTY winnow sketches: no content, no
+    // similarity evidence, no pairs — otherwise every empty doc shares
+    // hash("") and all of them pair quadratically at jaccard 1.0.
+    // Short-but-nonempty docs degrade to a whole-text hash (exact-
+    // content evidence): distinct short docs pair with nothing,
+    // identical ones still find each other
     val mixed = Seq(
-      (1L, "ab"), (2L, "cd"), // empty sketches
+      (1L, "ab"), (2L, "cd"), // distinct whole-text sketches: no pair
       (3L, "the quick brown fox jumps over the lazy dog"),
-      (4L, "the quick brown fox jumps over the lazy dog again"))
+      (4L, "the quick brown fox jumps over the lazy dog again"),
+      (5L, ""), (6L, ""),  // EMPTY: would pair at jaccard 1.0 without the guard
+      (7L, "!!"))          // short non-ws text: whole-text hash, distinct
       .toDF("doc_id", "text")
     val pairs = Dedup.winnowPairs(mixed, "doc_id", "text",
       k = 5, w = 4, threshold = 0.3)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
-    assert(!pairs.exists { case (a, b) => a <= 2L || b <= 2L },
-      s"short docs must pair with nothing: $pairs")
+    assert(!pairs.exists { case (a, b) => a <= 2L || b <= 2L || a >= 5L || b >= 5L },
+      s"short/empty docs must pair with nothing: $pairs")
     assert(pairs === Set((3L, 4L)), s"the real near-dup pair survives: $pairs")
   }
 

@@ -89,4 +89,17 @@ class GraftExtensionsSpec extends SparkSpec {
     val nGuards = "size\\(".r.findAllIn(optimized).size
     assert(nGuards === 4, s"expected 4 size() refs, got $nGuards in:\n$optimized")
   }
+
+  test("BPE kernels in SQL with an array-literal merge table") {
+    // merges = one ('l','l') rule: hello -> h,e,ll,o (4 tokens);
+    // bpe_token_count sums per-word counts over the normalized text:
+    // hello(4) + world(5, no ll) = 9
+    val row = sql(
+      """SELECT
+        |  size(bpe_tokens('hello', array('l', 'l'))) AS n_tok,
+        |  bpe_token_count('Hello  World', array('l', 'l')) AS n_all
+        |""".stripMargin).collect().head
+    assert(row.getAs[Int]("n_tok") === 4)
+    assert(row.getAs[Long]("n_all") === 9L)
+  }
 }

@@ -23,6 +23,30 @@ class JoinsSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 4L))
   }
 
+  test("semi/anti leave the strategy to Catalyst (no forced broadcast)") {
+    // a forced broadcast(right) OOMs when the right side is large; with
+    // the broadcast threshold off, the planner must be free to pick a
+    // shuffled strategy
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Joins.semi(left, right, left("lk") === right("rk"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"forced broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bloom prefilter refuses join types that must keep unmatched fact rows") {
+    val e = intercept[IllegalArgumentException] {
+      Joins.bloomPrefilteredJoin(left, right, col("lk"), col("rk"), 10L, "left_outer")
+    }
+    assert(e.getMessage.contains("unsound"))
+    // empty dim: sound types degrade to the plain-join answer, not a crash
+    val emptyDim = right.filter(lit(false))
+    assert(Joins.bloomPrefilteredJoin(left, emptyDim,
+      col("lk"), col("rk"), 10L, "inner").count() === 0L)
+  }
+
   test("non-equi join matches the naive predicate evaluation") {
     val got = Joins.nonEqui(left, right, left("lk") < right("rk"))
       .select("lk", "rk").as[(Long, Long)].collect().sorted

@@ -22,6 +22,14 @@ class KmvSpec extends SparkSpec {
     }
   }
 
+  test("sketch ignores NULL keys (distinct-count semantics) instead of crashing") {
+    // priority(NULL) is NULL and the Long encoder rejects it at runtime
+    // without the filter; count(distinct) ignores NULLs, so must we
+    val df = Seq(Some(1L), Some(2L), None, Some(2L), None).toDF("k")
+    val sk = Kmv.sketch(df, col("k"), 8)
+    assert(sk.count() === 2L)
+  }
+
   test("ndv estimate is exact below k and within 4 sigma above it") {
     val small = (1 to 40).toDF("id")
     val estSmall = Kmv.ndvEstimate(Kmv.sketch(small, col("id"), 256), 256)

@@ -70,4 +70,30 @@ class LayoutSpec extends SparkSpec {
     assert(zAvg <= files * 0.5, s"z-order pruned too little: $zAvg of $files")
     assert(zAvg < linAvg / 2.0, s"z-order ($zAvg) not clearly better ($linAvg)")
   }
+
+  test("z-order survives mixed-sign key domains wider than Long.MaxValue") {
+    import spark.implicits._
+    // signed-hash-like keys: domain width maxA - minA wraps Long; the
+    // old Long-space normalization collapsed every row to one z bucket
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (Long.MinValue / 2 + i.toLong * (Long.MaxValue / (n / 2)), i.toLong % 64)
+    }.toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwide").toString + "/t"
+    graft.ops.Layout.writeZOrdered(df, dir, "a", "b", files = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === n.toLong)
+    // the layout actually spread: more than one non-empty output file
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length() > 0)
+    assert(nFiles >= 2, s"z layout collapsed to $nFiles file(s)")
+  }
+
+  test("z-order write of an empty input produces an empty dataset, not an NPE") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b").filter(col("a") < 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zempty").toString + "/t"
+    graft.ops.Layout.writeZOrdered(df, dir, "a", "b", files = 4)
+    assert(spark.read.parquet(dir).count() === 0L)
+  }
 }

@@ -245,6 +245,20 @@ class SimilaritySpec extends SparkSpec {
       .exceptAll(all).count() === 0)
   }
 
+  test("mutualEdges does not re-checkpoint a cheap-to-rescan input") {
+    // the mutualKnnEdges path feeds an ALREADY-materialized kNN
+    // relation; a second localCheckpoint there would pin RDD blocks the
+    // cache's unpersist hook never sees (it walks only the outer plan)
+    val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("probe_id", "corpus_id")
+    val edges = Similarity.mutualEdges(knn)
+    val hasRddLeaf = edges.queryExecution.optimizedPlan.collectLeaves().exists {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    assert(!hasRddLeaf, "cheap input was checkpointed")
+    assert(edges.as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+  }
+
   test("topCentroids degrades instead of crashing on a NaN component") {
     // a corrupt vector makes every centroid dot NaN; the kernel must
     // route the row to SOME buckets (degrade-don't-throw, the

@@ -106,6 +106,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L).map(r => r._2 + r._3 - 1).max === 1000L)
   }
 
+  test("chunking yields zero chunks for empty text instead of crashing") {
+    import spark.implicits._
+    // sequence(1, 0, +stride) throws 'Illegal sequence boundaries' at
+    // runtime without the guard — one empty doc would fail the job
+    val docs = Seq((1L, ""), (2L, "y" * 50), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", size = 400, overlap = 100)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(2L))
+  }
+
   test("repeated n-grams surface cross-document boilerplate only") {
     import spark.implicits._
     val boiler = "please subscribe to our newsletter for weekly updates"  // 8 words
@@ -183,6 +194,13 @@ class TextAnalysisSpec extends SparkSpec {
     val hashed = TextAnalysis.decontaminate(train, bench, "doc_id", "text",
       n = 8, hashGrams = true).as[(Long, Long)].collect().sorted.toSeq
     assert(hashed === got)
+    // the id column name is an API parameter, not a convention: a
+    // renamed input must resolve (the old double-select re-resolved
+    // idCol after renaming it and threw for any idCol != "doc_id")
+    val renamed = TextAnalysis.decontaminate(
+      train.withColumnRenamed("doc_id", "id"), bench, "id", "text", n = 8)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(renamed === got)
   }
 
   test("decontaminate corpus side joins broadcast with no pre-join exchange") {
