@@ -710,13 +710,19 @@ object SparkEntry {
         (vk + lit(7L)), lit("}], \"b\": "),
         to_json(struct(col("event_type").as("s")),
           Map("ignoreNullFields" -> "false")), lit("}"))
+      // build the variant in its OWN projection (optimization round 11):
+      // inlined into the consuming select, the concat + to_json +
+      // parse_json subtree is copied into all four variant_get columns —
+      // CollapseProject keeps a multiply-referenced non-cheap alias in
+      // its own Project, so this materializes the variant once per row
       val v = parse_json(j)
       Engine.eventsTable(s, dir)
+        .select(col("event_type"), v.as("v"))
         .select(col("event_type"),
-          variant_get(v, "$.a[0]", "long").as("a0"),
-          variant_get(v, "$.a[2].d", "long").as("d"),
-          variant_get(v, "$.b.s", "string").as("sv"),
-          try_variant_get(v, "$.a[1]", "long").as("wrong"))
+          variant_get(col("v"), "$.a[0]", "long").as("a0"),
+          variant_get(col("v"), "$.a[2].d", "long").as("d"),
+          variant_get(col("v"), "$.b.s", "string").as("sv"),
+          try_variant_get(col("v"), "$.a[1]", "long").as("wrong"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("a0")).as("sum_a0"),
@@ -2514,16 +2520,26 @@ object SparkEntry {
     // aggregate through one Expand (row × #distinct-aggs), still a
     // single pass over the table — at 100 TB the exact ndv swaps for
     // the HLL sketch family (distinct_hll) with the same shape.
+    // one single-distinct aggregate PER COLUMN, crossJoined into the
+    // same 1-row relation (optimization round 11, guide §2.3): the old
+    // single aggregate with FOUR countDistinct columns rewrites through
+    // Expand — every input row multiplied ×5 (one projection per
+    // distinct column + one for the plain aggregates) at the table's
+    // full width before the shuffle, the documented 100 TB hazard that
+    // dq_profile_approx exists to avoid. Per-column aggregates plan as
+    // plain two-phase distinct aggregates (partial on the value — no
+    // Expand anywhere), each scanning ONE parquet column, and the
+    // subtrees execute as independent stages of one job. Same 16
+    // values, same stack(), bit-identical output.
     "dq_profile" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-      def prof(c: String) = Seq(
+      def prof(c: String) = o.agg(
         count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
         countDistinct(col(c)).as(s"${c}_nd"),
         min(col(c)).cast("string").as(s"${c}_min"),
         max(col(c)).cast("string").as(s"${c}_max"))
-      val exprs = cols.flatMap(prof)
-      val one = o.agg(exprs.head, exprs.tail: _*)
+      val one = cols.map(prof).reduce(_.crossJoin(_))
       one.select(expr("stack(" + cols.length + ", " +
         cols.map(c => s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
           .mkString(", ") +

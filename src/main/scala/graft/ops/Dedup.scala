@@ -37,16 +37,31 @@ object Dedup {
   /** Posting-frequency skew valve shared by the winnow and containment
     * screens: drop postings whose key occurs more than `maxDocFreq`
     * times (boilerplate fingerprints that would otherwise fan out
-    * quadratically in the candidate self-join). One window count over
-    * the key; a no-op pass-through at the default cap.
+    * quadratically in the candidate self-join). A no-op pass-through at
+    * the default cap.
+    *
+    * Shape (optimization round 11, guide §2.3/§2.5): the hot-key set is
+    * computed by a PARTIAL-AGGREGABLE groupBy count (the map side ships
+    * one row per distinct key per partition, not every posting) and
+    * removed with an anti-join. The previous window-count form shuffled
+    * the ENTIRE posting list by key and sorted it — and the hot keys the
+    * valve exists to drop are exactly the keys that skew that shuffle.
+    * The hot set is provably small: Σ df = |postings|, so at most
+    * |postings| / maxDocFreq keys can exceed the cap — with the
+    * production fraction-of-corpus caps that is ≤ 100 × the mean sketch
+    * width, far under any broadcast threshold, and AQE turns the
+    * anti-join into a broadcast join at runtime. Keys are hash values
+    * (never NULL), so anti-join and window-filter semantics agree.
     */
   private def docFreqValve(posting: DataFrame, keyCol: String,
       maxDocFreq: Int): DataFrame =
     if (maxDocFreq == Int.MaxValue) posting
-    else posting
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
-      .filter(col("df") <= maxDocFreq).drop("df")
+    else {
+      val hot = posting.groupBy(col(keyCol)).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .select(col(keyCol))
+      posting.join(hot, Seq(keyCol), "left_anti")
+    }
 
   // ---------------------------------------------------------------- exact
 
@@ -245,19 +260,62 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
     val prep = winnowSketches(docs, idCol, textCol, k, w)
-    val posting = prep.select(col("id"), explode(col("fp")).as("f"))
-    val screened = docFreqValve(posting, "f", maxDocFreq)
-    val candidates = screened.as("a")
-      .join(screened.as("b"), Seq("f"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    candidates
-      .join(prep.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-      .join(prep.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    if (maxDocFreq == Int.MaxValue) {
+      // PREFIX-FILTERED screen (optimization round 11, guide §2.3/§2.5 —
+      // the AllPairs/PPJoin principle, Bayardo et al. WWW'07): under any
+      // global token order, a pair with J ≥ t must share a token within
+      // the first |S| − ⌈t·|S|⌉ + 1 tokens of BOTH sets (if every shared
+      // token sat outside one of the prefixes, the order-consistency of
+      // the shared tokens would force |A∩B| < ⌈t·|S|⌉ on one side,
+      // contradicting J ≥ t ⇒ min-side overlap ≥ ⌈t·|S|⌉). The sketch is
+      // already a SORTED distinct hash array, so the prefix is a slice —
+      // the posting index shrinks to ~(1−t) of the full screen and the
+      // candidate self-join fan-out (Σ df², the dominant cost of this
+      // operator — hot boilerplate fingerprints square) by ~(1−t)². The
+      // ε in the ceil guards float rounding toward the SAFE side (a
+      // too-long prefix only adds candidates, never loses one); the
+      // size filter (J ≥ t ⇒ min ≥ t·max, 1.0 slack for the same
+      // reason) prunes candidates before the verify re-attach. The
+      // screen stays lossless, so the verified output is unchanged.
+      val pfxLen = greatest(col("sz") -
+        ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + lit(1), lit(1))
+      val posting = prep.select(col("id"), size(col("fp")).as("sz"), col("fp"))
+        .select(col("id"), col("sz"),
+          explode(slice(col("fp"), lit(1), pfxLen)).as("f"))
+      val a = posting.select(col("f"), col("id").as("id_a"), col("sz").as("sz_a"))
+      val b = posting.select(col("f"), col("id").as("id_b"), col("sz").as("sz_b"))
+      val candidates = a.join(b, Seq("f"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1.0))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      candidates
+        .join(prep.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(prep.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // capped path: the valve drops hot fingerprints from the SCREEN
+      // only — verification must still compute Jaccard over the full
+      // sketches (dropped fingerprints count toward |A∩B|), so the
+      // count-based shortcut above does not apply and candidates
+      // re-attach the arrays.
+      val posting = prep.select(col("id"), explode(col("fp")).as("f"))
+      val screened = docFreqValve(posting, "f", maxDocFreq)
+      val candidates = screened.as("a")
+        .join(screened.as("b"), Seq("f"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .distinct()
+      candidates
+        .join(prep.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(prep.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** The persisted winnow sketch store: (id, fp) with empty sketches
@@ -317,8 +375,19 @@ object Dedup {
       standingDf: Option[DataFrame] = None,
       bloomProbe: Boolean = false): DataFrame = {
     require(threshold > 0.0, "the shared-fingerprint screen needs threshold > 0")
+    // materialize the BATCH sketches once (optimization round 11): the
+    // batch relation is consumed by several independent eager steps (the
+    // bloom build is an action, the df valve's driver-held dropped set
+    // is another) plus 3-4 subtrees of the main plan, and each was
+    // re-running the winnow kernel over the batch. The batch is
+    // O(shard), not corpus-sized — exactly the delta a real ingest
+    // pipeline materializes anyway before probing the standing index.
     val batchPrep = winnowSketches(batch, idCol, textCol, k, w)
+      .localCheckpoint(true)
     val standing = standingSketches.select(col("id"), col("fp"))
+    if (maxDocFreq == Int.MaxValue)
+      return incrementalWinnowPairsCounted(standing, batchPrep, threshold,
+        bloomProbe)
     val newPostRaw = batchPrep.select(col("id"), explode(col("fp")).as("f"))
     val oldPostRaw = {
       val raw = standing.select(col("id"), explode(col("fp")).as("f"))
@@ -347,17 +416,45 @@ object Dedup {
     // over the full posting union (gate-exact, but a per-shard recount
     // of a corpus property — the form the stored counts exist to avoid).
     val (newPost, oldPost) =
-      if (maxDocFreq == Int.MaxValue) (newPostRaw, oldPostRaw)
-      else standingDf match {
+      standingDf match {
         case Some(sdf) =>
+          // valve as a DRIVER-HELD dropped set (optimization round 11,
+          // guide §2.3): only fingerprints that occur in the BATCH can
+          // produce pairs (cross pairs need a shared f with the batch;
+          // within pairs are batch-only), so the valve only has to
+          // decide batch-occurring fingerprints. The standing df counts
+          // for those come from one broadcast semi-join of the stored
+          // counts against the batch's O(|batch|) distinct-fingerprint
+          // set (the big sdf relation streams, nothing shuffles), and
+          // the hot set (combined df > cap) is provably ≤ Σdf/cap keys
+          // — with the production fraction-of-corpus caps that is a
+          // KB-sized artifact like the bloom filter below it, so it is
+          // collected once and applied as a pure scan-side filter.
+          // The old form full_outer-joined sdf against the batch counts
+          // (a shuffle of EVERY stored fingerprint count per shard
+          // probe) and re-joined both posting relations against the
+          // corpus-sized keep set — and that subtree was replicated
+          // into each of the plan's four posting consumers.
+          // Standing-only fingerprints the old keep-join also screened
+          // are pair-irrelevant either way: they never meet a batch
+          // posting in the candidate join.
           val batchDf = newPostRaw.groupBy(col("f")).agg(count(lit(1)).as("bdf"))
-          val keep = sdf.select(col("f"), col("df"))
-            .join(batchDf, Seq("f"), "full_outer")
-            .select(col("f"),
-              (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("cdf"))
-            .filter(col("cdf") <= maxDocFreq)
+          val sdfRelevant = sdf.select(col("f"), col("df"))
+            .join(batchDf.select(col("f")), Seq("f"), "left_semi")
+          val droppedRel = batchDf.join(sdfRelevant, Seq("f"), "left_outer")
+            .filter(coalesce(col("df"), lit(0L)) + col("bdf") > maxDocFreq.toLong)
             .select(col("f"))
-          (newPostRaw.join(keep, Seq("f")), oldPostRaw.join(keep, Seq("f")))
+          // a degenerate cap (far below the fraction-of-corpus
+          // convention) could make the hot set large; cap the driver
+          // artifact and fall back to the distributed anti-join there
+          val dropped = droppedRel.limit(10001).collect().map(_.getLong(0)).toSeq
+          if (dropped.isEmpty) (newPostRaw, oldPostRaw)
+          else if (dropped.size <= 10000)
+            (newPostRaw.filter(!col("f").isInCollection(dropped)),
+              oldPostRaw.filter(!col("f").isInCollection(dropped)))
+          else
+            (newPostRaw.join(droppedRel, Seq("f"), "left_anti"),
+              oldPostRaw.join(droppedRel, Seq("f"), "left_anti"))
         case None =>
           val posting = oldPostRaw.withColumn("is_new", lit(false))
             .union(newPostRaw.withColumn("is_new", lit(true)))
@@ -380,6 +477,60 @@ object Dedup {
       .join(sketches.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TextHashFunctions.jaccardSorted(col("fp_a"), col("fp_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Uncapped [[incrementalWinnowPairs]] via the count-based exact
+    * Jaccard (optimization round 11 — same algebra as the uncapped
+    * [[winnowPairs]] path): sketches are sorted DISTINCT hash arrays, so
+    * the batch-vs-standing and batch-vs-batch posting joins emit exactly
+    * one row per shared fingerprint per pair, groupBy(pair).count() is
+    * |A∩B|, and J = c / (|A| + |B| − c) with both sizes carried as
+    * 4-byte payload on the posting rows — no array re-attach joins, no
+    * candidates.distinct(). Bloom screening of the standing posting scan
+    * is count-exact: a fingerprint shared by a batch doc and a standing
+    * doc is in the batch's filter by construction (no false negatives),
+    * and false positives have no batch-side row to join.
+    */
+  private def incrementalWinnowPairsCounted(
+      standing: DataFrame,
+      batchPrep: DataFrame,
+      threshold: Double,
+      bloomProbe: Boolean): DataFrame = {
+    // sz below the explode on both sides — see the winnowPairs note (a
+    // fused projection makes Generate carry the array per exploded row)
+    val newPost = batchPrep.select(col("id"), size(col("fp")).as("sz"), col("fp"))
+      .select(col("id"), col("sz"), explode(col("fp")).as("f"))
+    val oldPost = {
+      val raw = standing.select(col("id"), size(col("fp")).as("sz"), col("fp"))
+        .select(col("id"), col("sz"), explode(col("fp")).as("f"))
+      if (!bloomProbe) raw
+      else Joins.keyBloom(newPost, col("f")) match {
+        case None => raw.limit(0) // empty batch probes nothing
+        case Some(bf) => raw.filter(Joins.bloomMightContain(bf, col("f")))
+      }
+    }
+    // batch probes the standing postings (both orders collapse to
+    // id_a < id_b — ids are disjoint by contract, sizes follow their
+    // ids) + within-batch pairs
+    val lower = col("nb.id") < col("st.id")
+    val cross = newPost.as("nb").join(oldPost.as("st"), Seq("f"))
+      .select(
+        when(lower, col("nb.id")).otherwise(col("st.id")).as("id_a"),
+        when(lower, col("st.id")).otherwise(col("nb.id")).as("id_b"),
+        when(lower, col("nb.sz")).otherwise(col("st.sz")).as("sz_a"),
+        when(lower, col("st.sz")).otherwise(col("nb.sz")).as("sz_b"))
+    val within = newPost.as("a").join(newPost.as("b"), Seq("f"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+    cross.unionByName(within)
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") /
+          (col("sz_a").cast("long") + col("sz_b").cast("long") - col("c")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -487,20 +638,41 @@ object Dedup {
     val prep = docs.select(col(idCol).as("id"),
         shingleHashes(col(textCol), n).as("sh"))
       .repartition(parallelism(docs), col("id"))
-    val posting = prep.select(col("id"), explode(col("sh")).as("h"))
-    val screened = docFreqValve(posting, "h", maxDocFreq)
-    val candidates = screened.as("a")
-      .join(screened.as("b"), Seq("h"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .distinct()
-    candidates
-      .join(prep.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(prep.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextHashFunctions.intersectSizeSorted(col("sh_a"), col("sh_b")).as("n_common"),
-        size(col("sh_a")).cast("long").as("n_a"))
-      .filter(col("n_common") * 10000L >= col("n_a") * thresholdBp.toLong)
+    if (maxDocFreq == Int.MaxValue) {
+      // count-based exact containment (optimization round 11 — the
+      // winnowPairs algebra): gram sets are sorted DISTINCT hashes, so
+      // groupBy(pair).count() over the posting self-join is |A∩B|
+      // exactly, with |A| carried as 4-byte payload — no array
+      // re-attach joins, no candidates.distinct(). c = 0 pairs cannot
+      // reach any positive threshold, so emitting joined pairs only is
+      // the same lossless screen.
+      val posting = prep.select(col("id"), size(col("sh")).as("sz"), col("sh"))
+        .select(col("id"), col("sz"), explode(col("sh")).as("h"))
+      val a = posting.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      val b = posting.select(col("h"), col("id").as("id_b"))
+      a.join(b, Seq("h"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("sz_a"))
+        .agg(count(lit(1)).as("n_common"))
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          col("sz_a").cast("long").as("n_a"))
+        .filter(col("n_common") * 10000L >= col("n_a") * thresholdBp.toLong)
+    } else {
+      val posting = prep.select(col("id"), explode(col("sh")).as("h"))
+      val screened = docFreqValve(posting, "h", maxDocFreq)
+      val candidates = screened.as("a")
+        .join(screened.as("b"), Seq("h"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+        .distinct()
+      candidates
+        .join(prep.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(prep.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextHashFunctions.intersectSizeSorted(col("sh_a"), col("sh_b")).as("n_common"),
+          size(col("sh_a")).cast("long").as("n_a"))
+        .filter(col("n_common") * 10000L >= col("n_a") * thresholdBp.toLong)
+    }
   }
 
   // ------------------------------------------- embedding cosine near-dup
@@ -576,33 +748,49 @@ object Dedup {
     // cap is the session's configured parallelism and this is a no-op
     var labels: DataFrame = null
     Graph.withShufflePartitions(edges, Graph.iterPartitions(edges, edges.count())) {
-      labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
+      val nodes = edges.select(col("src").as("node")).distinct()
         .localCheckpoint(true)
-      // convergence probe: labels only ever decrease (least of own and
-      // neighbors'), so Σ labels strictly decreases iff any node changed
-      // — one tiny aggregate over the checkpointed round output instead
-      // of a next⋈previous join per round. decimal(38,0): a wrapped Long
-      // sum could alias across rounds at extreme node-count × id-range
+      // SELF-LOOP form of the min-label update (optimization round 11):
+      // min(own, min over neighbors) == min over neighbors ∪ {self}, so
+      // appending one (node, node) self-loop per node turns each round
+      // into ONE equi-join + ONE aggregate that consumes the previous
+      // labeling exactly once — the old least(own, neighborMin) shape
+      // consumed it twice (the neighbor join and the own-label re-join),
+      // which both added a join per round and made round-chaining
+      // recompute the inner round. Single consumption is what lets two
+      // rounds chain per materialization below (the kCore/LPA batching)
+      // with no recomputation: the per-round floor is job dispatch, not
+      // data, so halving the checkpoint count halves the fixed cost.
+      val adj = edges.unionByName(
+        nodes.select(col("node").as("src"), col("node").as("dst")))
+      labels = nodes.select(col("node"), col("node").as("label"))
+      def propagate(l: DataFrame): DataFrame = adj
+        .join(l.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"))
+      // convergence probe: labels only ever decrease (min includes the
+      // self-loop), so Σ labels strictly decreases iff any node changed
+      // — one tiny aggregate over the checkpointed block output. A
+      // block whose two chained rounds change nothing leaves the sum
+      // unchanged, and an unchanged FIRST round forces an unchanged
+      // second (the update is a pure function), so the equal-sum test
+      // still proves the fixpoint exactly. decimal(38,0): a wrapped
+      // Long sum could alias across rounds at extreme node-count ×
+      // id-range
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
-        // min neighbor label per node, then min with own label
-        val neighborMin = edges
-          .join(labels, edges("src") === labels("node"))
-          .select(col("dst").as("node"), col("label"))
-          .groupBy(col("node")).agg(min(col("label")).as("nmin"))
-        labels = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        val steps = math.min(2, maxIter - iter)
+        labels = (1 to steps).foldLeft(labels)((l, _) => propagate(l))
           .localCheckpoint(true)
         val s = labelSum(labels)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
-        iter += 1
+        iter += steps
       }
     }
     labels.withColumnRenamed("label", "cluster_id")

@@ -108,20 +108,33 @@ object Graph {
       // single equi-join + aggregation over slim (src, dst, deg) rows
       val edgesDeg = edges.join(degrees, Seq("src")).cache()
       scores = degrees.select(col("src").as("node"), lit(scale).as("score"))
+      // one damping update: the symmetrized distinct edge list gives
+      // every node in-degree ≥ 1, so the per-dst aggregate already
+      // covers the full node set — no nodes-side outer join (one fewer
+      // join+broadcast per round); dangling-node handling would need it
+      // back. The previous scores table is consumed exactly ONCE, which
+      // is what makes round-chaining below recomputation-free.
+      def update(s0: DataFrame): DataFrame = edgesDeg
+        .join(s0.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("score div deg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("insum"))
+        .select(col("node"),
+          (lit(base) + expr("(85 * insum) div 100")).as("score"))
       var converged = false
       while (rounds < iterations && !converged) {
-        // the symmetrized distinct edge list gives every node in-degree
-        // ≥ 1, so the per-dst aggregate already covers the full node set
-        // — no nodes-side outer join (one fewer join+broadcast per
-        // round); dangling-node handling would need it back
-        val next = edgesDeg
-          .join(scores, edgesDeg("src") === scores("node"))
-          .select(col("dst").as("node"), expr("score div deg").as("contrib"))
-          .groupBy(col("node"))
-          .agg(sum(col("contrib")).as("insum"))
-          .select(col("node"),
-            (lit(base) + expr("(85 * insum) div 100")).as("score"))
-        // truncate lineage every round with an eager localCheckpoint: a
+        // fixed-round runs (tolAbs < 0) chain TWO updates per
+        // materialization (optimization round 11 — the kCore/LPA
+        // batching): the recurrence is a pure function of the previous
+        // score table and each update consumes it once, so f∘f inside
+        // one job is bit-identical to two jobs, and the per-round floor
+        // on a slim (node, long) table is job dispatch + checkpoint
+        // I/O, not compute. Convergence-probed runs (tolAbs ≥ 0) keep
+        // one update per probe so the early stop fires on the same
+        // round it always did.
+        val steps = if (tolAbs >= 0L) 1 else math.min(5, iterations - rounds)
+        val next = (1 to steps).foldLeft(scores)((s0, _) => update(s0))
+        // truncate lineage every block with an eager localCheckpoint: a
         // lazy i-deep join tree makes each stage replan the whole prefix,
         // and a cache() chain is worse — unpersisting round i-1 makes the
         // CacheManager invalidate round i's dependent entry (non-cascading
@@ -133,7 +146,7 @@ object Graph {
         // cluster use reliable checkpoint() if executor loss matters —
         // localCheckpoint trades fault-tolerance for speed.
         val checkpointed = next.localCheckpoint(true)
-        rounds += 1
+        rounds += steps
         if (tolAbs >= 0L && rounds < iterations) {
           // convergence probe over the two checkpointed (node, long)
           // tables — both sides already materialized, so this is one
