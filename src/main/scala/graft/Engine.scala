@@ -48,12 +48,32 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped parquet SCHEMA cache (optimization round 11, guide
+    * §6): without an explicit schema every `spark.read.parquet` infers
+    * one — a footer read plus a driver-side job — and a bench session
+    * builds several hundred plans over the same ten immutable tables,
+    * so the inference tax is pure fixed overhead on every query. Caching
+    * the schema (metadata only — never rows, never results; the scan
+    * itself still runs per query) removes it. Keyed per session AND
+    * path so a replaced SparkSession or a different scale factor can
+    * never serve a stale schema; testdata files are immutable within a
+    * run by the driver contract.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      org.apache.spark.sql.types.StructType]()
+
   /** Load one parquet table from a scale-factor directory. Parquet scans
     * get predicate pushdown + column pruning from Catalyst for free, so
     * callers just select/filter declaratively.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(
+      (System.identityHashCode(spark), path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** events table with `ts` normalized to TimestampType (µs), whatever
     * encoding the parquet writer chose:

@@ -642,19 +642,36 @@ object SparkEntry {
     }),
     // first/last/nth over an explicit full frame (constants per
     // partition under the total order → 3 distinct rows)
+    // first/last/nth over an unbounded frame are order statistics of a
+    // TOTAL order ((qty, orderkey, linenumber) is unique), so first and
+    // third are rank-1/rank-3 under ONE ascending window whose rk ≤ 3
+    // filter compiles to WindowGroupLimit (3 candidate rows per
+    // partition per map task cross the exchange, not the whole table —
+    // optimization round 11, guide §2.3), and last is a plain
+    // partial-aggregable max over the (qty, orderkey, linenumber)
+    // struct — no second window, no full-partition buffering anywhere.
+    // nth_value's null-when-short semantics survive (a flag with < 3
+    // rows has no rk = 3 row, so the max(when) is NULL).
     "window_firstlast" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      t(s, dir, "lineitem")
+      val base = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           floor(col("l_quantity")).as("qty"))
-        .select(col("l_returnflag"),
-          first(col("qty")).over(w).as("first_qty"),
-          last(col("qty")).over(w).as("last_qty"),
-          nth_value(col("qty"), 3).over(w).as("third_qty"))
-        .distinct()
+      val wAsc = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+      val headAgg = base.withColumn("rk", row_number().over(wAsc))
+        .filter(col("rk") <= 3)
+        .groupBy(col("l_returnflag"))
+        .agg(max(when(col("rk") === 1, col("qty"))).as("first_qty"),
+          max(when(col("rk") === 3, col("qty"))).as("third_qty"))
+      val tailAgg = base
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("qty"), col("l_orderkey"), col("l_linenumber")))
+          .as("m"))
+        .select(col("l_returnflag"), col("m.qty").as("last_qty"))
+      headAgg.join(tailAgg, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("first_qty"), col("last_qty"),
+          col("third_qty"))
     }),
     // SQL subquery machinery: CTE + EXISTS (→ semi join) + scalar
     // subquery (→ one-row broadcast), all through the parser
@@ -2323,8 +2340,13 @@ object SparkEntry {
           "embedding", km.centroids), basePath)
         ModelStore.upsertIvfPostings(Similarity.ivfAssign(e.filter(batchPred),
           "vec_id", "embedding", km.centroids), deltaPath, batchId = 0L)
-        val n0 = corpus0.count()
-        val na = e.filter(batchPred).count()
+        // one fused aggregate for both ledger counts (optimization
+        // round 11): two .count() actions were two scan jobs
+        val cnt = e.agg(
+          sum(when(batchPred, 0L).otherwise(1L)).as("n0"),
+          sum(when(batchPred, 1L).otherwise(0L)).as("na")).collect()(0)
+        val n0 = cnt.getLong(0)
+        val na = cnt.getLong(1)
         val (_, churnBp, due) = ModelStore.rebuildDue(n0, 0L, na)
         if (due) ModelStore.compactIvfPostings(s, basePath, deltaPath)
         val dp = new org.apache.hadoop.fs.Path(deltaPath)

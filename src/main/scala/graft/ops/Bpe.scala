@@ -64,13 +64,6 @@ object Bpe {
     modelCache.getOrElseTrain(key)(trainMergesUncached(docs, textCol, rounds))
   }
 
-  /** Corpus vocabulary size (distinct surviving tokens) after applying
-    * `flat` merges — one aggregate over the word-TYPE table.
-    */
-  private def vocabSize(words: DataFrame, flat: Array[String]): Long =
-    words.select(explode(BpeKernels.tokens(col("w"), flat)).as("t"))
-      .agg(countDistinct(col("t"))).head().getLong(0)
-
   /** VOCABULARY-SIZE-TARGETED training — the way tokenizers are
     * actually specced (train until |vocab| = V, not "run k rounds"):
     * learn merges until the corpus's distinct-token count first reaches
@@ -89,19 +82,42 @@ object Bpe {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val words = wordFreq(docs, textCol).cache()
     try {
-      if (vocabSize(words, Array.empty) >= targetVocab) return Vector.empty
       val out = Vector.newBuilder[(String, String, Long)]
       var flat = Array.empty[String]
       var r = 0
       var done = false
-      while (r < maxRounds && !done) {
-        trainOneRound(words, flat) match {
-          case None => done = true // no adjacent pair left
-          case Some((x, y, c)) =>
-            out += ((x, y, c))
-            flat = flat ++ Array(x, y)
-            r += 1
-            if (vocabSize(words, flat) >= targetVocab) done = true
+      while (!done) {
+        // FUSED round probe (optimization round 11): the stop check
+        // (vocab size under the merges so far) and the next merge (the
+        // argmax adjacent pair under the SAME tokenization) aggregate
+        // the same tokenized word-type table, so one crossJoined 1-row
+        // plan answers both — k+1 jobs for k merges where the old loop
+        // paid 1 + 2k (a vocab job AND an argmax job per round). The
+        // argmax is min over struct(−count, x, y) — identical to the
+        // old (count DESC, x ASC, y ASC) TakeOrdered, binary string
+        // order in both — and a pair-less tokenization yields a NULL
+        // struct, the old None.
+        val toks = words
+          .select(col("freq"), BpeKernels.tokens(col("w"), flat).as("t"))
+        val vocab = toks.select(explode(col("t")).as("tok"))
+          .agg(countDistinct(col("tok")).as("vs"))
+        val best = toks.filter(size(col("t")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> struct(element_at(t, i) as x, element_at(t, i + 1) as y))"))
+            .as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("freq")).as("c"))
+          .agg(min(struct((-col("c")).as("nc"), col("x"), col("y"))).as("m"))
+        val row = vocab.crossJoin(best)
+          .select(col("vs"), col("m.x"), col("m.y"), (-col("m.nc")).as("c"))
+          .collect()(0)
+        if (row.getLong(0) >= targetVocab || row.isNullAt(1) || r >= maxRounds)
+          done = true
+        else {
+          out += ((row.getString(1), row.getString(2), row.getLong(3)))
+          flat = flat ++ Array(row.getString(1), row.getString(2))
+          r += 1
         }
       }
       out.result()
