@@ -139,9 +139,15 @@ object Bpe {
         .as("p"))
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(sum(col("freq")).as("c"))
-    pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
-      .limit(1).collect().headOption
-      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+    // argmax as min over struct(−count, x, y) — one partial-aggregable
+    // pass, no TakeOrdered sort buffer; identical (count DESC, x ASC,
+    // y ASC) tie-break, binary string order in both forms
+    val row = pairs
+      .agg(min(struct((-col("c")).as("nc"), col("x"), col("y"))).as("m"))
+      .select(col("m.x"), col("m.y"), (-col("m.nc")).as("c"))
+      .collect()(0)
+    if (row.isNullAt(0)) None
+    else Some((row.getString(0), row.getString(1), row.getLong(2)))
   }
 
   /** The actual training loop (no model cache). Each round re-derives
