@@ -139,15 +139,16 @@ object Bpe {
         .as("p"))
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(sum(col("freq")).as("c"))
-    // argmax as min over struct(−count, x, y) — one partial-aggregable
-    // pass, no TakeOrdered sort buffer; identical (count DESC, x ASC,
-    // y ASC) tie-break, binary string order in both forms
-    val row = pairs
-      .agg(min(struct((-col("c")).as("nc"), col("x"), col("y"))).as("m"))
-      .select(col("m.x"), col("m.y"), (-col("m.nc")).as("c"))
-      .collect()(0)
-    if (row.isNullAt(0)) None
-    else Some((row.getString(0), row.getString(1), row.getLong(2)))
+    // TakeOrdered(1): partition-local top-1s go straight to the driver
+    // with no final exchange — measured FASTER here than the
+    // agg-min-over-struct form (1.08 → 1.32 s for the 8-round loop when
+    // this was briefly an aggregate; the fused vocab-target loop keeps
+    // the aggregate form because there the argmax must be a 1-row
+    // relation to crossJoin with the stop check, which saves a whole
+    // job per round)
+    pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
+      .limit(1).collect().headOption
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
   }
 
   /** The actual training loop (no model cache). Each round re-derives

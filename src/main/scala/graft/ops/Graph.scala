@@ -206,42 +206,37 @@ object Graph {
         .distinct().localCheckpoint(true)
       val nNodes = nodes.count()
       val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+      val edgesDeg = edges.join(degrees, Seq("src")).cache()
       val dangling = nodes
         .join(degrees.select(col("src").as("node")), Seq("node"), "left_anti")
         .localCheckpoint(true)
-      // VIRTUAL SINK edges (optimization round 11): one (dangling →
-      // NULL-dst, deg = 1) edge per dangling node folds the dangling
-      // mass into the SAME join+aggregate that computes per-node
-      // contributions — the NULL-keyed group of the aggregate IS
-      // Σ score of the dangling set (score div 1), where the old loop
-      // ran a separate semi-join + sum sub-plan over the score table
-      // every round. The score table is consumed once per round; the
-      // aggregate's exchange is read by both the per-node join and the
-      // 1-row share scalar (AQE reuses the exchange rather than
-      // recomputing the aggregate).
-      val edgesAll = edges.join(degrees, Seq("src"))
-        .select(col("src"), col("dst"), col("deg"))
-        .unionByName(dangling.select(col("node").as("src"),
-          lit(null).cast(dangling.schema("node").dataType).as("dst"),
-          lit(1L).as("deg")))
-        .cache()
       val base = scale * 15L / 100L
       var scores = nodes.select(col("node"), lit(scale).as("score"))
         .localCheckpoint(true)
       var r = 0
       while (r < iterations) {
-        val insums = edgesAll
-          .join(scores, edgesAll("src") === scores("node"))
+        // dangling mass: one scalar aggregate over the checkpointed
+        // score table, folded INTO the round's plan as a 1-row cross
+        // join (broadcast) — the directed mode's extra cost per round
+        // is this sub-plan, not a separate driver round-trip (collect
+        // per round measured ~2× the job dispatches). share = mass div
+        // |nodes|: nonneg, so div's truncation equals the oracle's //.
+        // (Optimization round 11 TRIED folding the mass into the
+        // contrib aggregate via a virtual dangling→NULL sink edge so
+        // scores is consumed once per round; measured 2.67 → 2.82 s at
+        // sf0.1 — the extra scan of the CHECKPOINTED score table is
+        // cheaper than making the share scalar depend on the contrib
+        // aggregate's exchange being reused — so the two-consumer form
+        // stays.)
+        val share = scores.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("score")), lit(0L)).as("dm"))
+          .select(expr(s"dm div ${nNodes}L").as("share"))
+        val contrib = edgesDeg
+          .join(scores, edgesDeg("src") === scores("node"))
           .select(col("dst").as("node"), expr("score div deg").as("contrib"))
           .groupBy(col("node"))
           .agg(sum(col("contrib")).as("insum"))
-        // share = dangling mass div |nodes|: nonneg, so div's
-        // truncation equals the oracle's //. A graph with no dangling
-        // nodes has no NULL group — coalesce keeps the mass at 0.
-        val share = insums.filter(col("node").isNull)
-          .agg(coalesce(sum(col("insum")), lit(0L)).as("dm"))
-          .select(expr(s"dm div ${nNodes}L").as("share"))
-        scores = nodes.join(insums, Seq("node"), "left")
+        scores = nodes.join(contrib, Seq("node"), "left")
           .crossJoin(share)
           .select(col("node"),
             (lit(base) +
